@@ -1,0 +1,122 @@
+"""Fractal cluster initial conditions (Goodwin & Whitworth 2004).
+
+The reference obtains fractal ICs from the AMUSE `fractalcluster` Fortran
+worker (`new_fractal_cluster_model`, al26_nbody.py:1521-1526) with a
+`--fractal_dimension` flag. We implement the same box-splitting algorithm
+on the host in numpy:
+
+  1. A root parent sits at the centre of a cube of side 2.
+  2. Each parent spawns 2^3 children at its sub-cube centres (plus noise);
+     a child "matures" with probability 2^(D-3) where D is the fractal
+     dimension (D=3.0 -> uniform, D<3 -> clumpy).
+  3. Recurse until the surviving generation exceeds N; stars are a random
+     subset of the final generation, cut to the unit sphere.
+  4. Velocities: children inherit the parent velocity plus a random
+     component that shrinks by 1/2 each generation (GW04 §2.2), giving
+     correlated kinematic substructure; finally the system is scaled to
+     virial equilibrium (Q = -T/U = 0.5) at radius Rc.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..units import G_INTERNAL
+
+_CHILD_OFFSETS = np.array(
+    [[dx, dy, dz] for dx in (-1, 1) for dy in (-1, 1) for dz in (-1, 1)],
+    dtype=np.float64,
+)
+
+
+def _grow_generations(
+    rng: np.random.Generator, n: int, fractal_dimension: float,
+    noise: float = 0.3, max_restarts: int = 200,
+):
+    """Run box-splitting until a generation holds >= 2n candidates."""
+    p_mature = 2.0 ** (fractal_dimension - 3.0)
+    for _ in range(max_restarts):
+        pos = np.zeros((1, 3))
+        vel = np.zeros((1, 3))
+        delta = 0.5  # child offset scale for generation 1 (cube side 2)
+        vel_scale = 1.0
+        generation = 0
+        while len(pos) < 2 * n and generation < 40:
+            generation += 1
+            n_par = len(pos)
+            child_pos = (
+                pos[:, None, :]
+                + delta * _CHILD_OFFSETS[None, :, :]
+                + rng.normal(0.0, noise * delta, size=(n_par, 8, 3))
+            ).reshape(-1, 3)
+            child_vel = (
+                vel[:, None, :]
+                + vel_scale * rng.normal(0.0, 1.0, size=(n_par, 8, 3))
+            ).reshape(-1, 3)
+            survive = rng.uniform(size=len(child_pos)) < p_mature
+            if not np.any(survive):
+                break  # lineage died out; restart
+            pos, vel = child_pos[survive], child_vel[survive]
+            delta *= 0.5
+            vel_scale *= 0.5
+        if len(pos) >= n:
+            return pos, vel
+    raise RuntimeError(
+        "fractal generator failed to reach the requested star count; "
+        "check fractal_dimension"
+    )
+
+
+def fractal_positions_velocities(
+    rng: np.random.Generator,
+    n: int,
+    rc_pc: float,
+    total_mass_msun: float,
+    fractal_dimension: float = 2.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sample a fractal cluster; returns (pos [N,3] pc, vel [N,3] pc/Myr),
+    virialised (Q = 0.5) with virial radius Rc."""
+    pos, vel = _grow_generations(rng, n, fractal_dimension)
+
+    # cut to unit sphere about the densest region's centre of mass
+    centre = pos.mean(axis=0)
+    pos = pos - centre
+    r = np.linalg.norm(pos, axis=1)
+    order = np.argsort(r)
+    keep = order[: max(n, int(0.9 * len(pos)))]
+    pos, vel = pos[keep], vel[keep]
+
+    # random subset of exactly n
+    sel = rng.permutation(len(pos))[:n]
+    pos, vel = pos[sel], vel[sel]
+
+    # normalise spatial extent: unit sphere -> Rc
+    r_max = np.linalg.norm(pos, axis=1).max()
+    pos = pos * (rc_pc / r_max)
+
+    # barycentre frame
+    pos -= pos.mean(axis=0)
+    vel -= vel.mean(axis=0)
+
+    # virialise with equal masses m = M/n (IMF masses assigned afterwards,
+    # mirroring the reference flow al26_nbody.py:1521-1530)
+    m = np.full(n, total_mass_msun / n)
+    u = _potential_energy(pos, m)
+    t_kin = 0.5 * np.sum(m * np.sum(vel * vel, axis=1))
+    target_t = -0.5 * u  # Q = 0.5
+    if t_kin > 0:
+        vel = vel * np.sqrt(target_t / t_kin)
+    return pos, vel
+
+
+def _potential_energy(pos: np.ndarray, mass: np.ndarray) -> float:
+    """Host-side O(N^2) potential energy in chunks (init-time only)."""
+    n = len(pos)
+    u = 0.0
+    block = 2048
+    for s in range(0, n, block):
+        p = pos[s : s + block]
+        d = np.linalg.norm(p[:, None, :] - pos[None, :, :], axis=-1)
+        rows = np.arange(s, min(s + block, n))
+        d[np.arange(len(rows)), rows] = np.inf
+        u += -0.5 * G_INTERNAL * np.sum(mass[rows][:, None] * mass[None, :] / d)
+    return u

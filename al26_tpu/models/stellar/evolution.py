@@ -1,0 +1,159 @@
+"""Vectorised stellar evolution: the SeBa replacement.
+
+The reference runs the SeBa C++ binary-evolution code out of process and
+reads back `mass`, `wind_mass_loss_rate` and the implicit supernova signal
+"wind rate dropped to exactly zero" (al26_nbody.py:60, 841, 892, 946-948).
+It also spawns throwaway single-star SeBa instances at init to get each
+massive star's lifetime-integrated mass loss (`calc_total_mass_loss`,
+al26_nbody.py:467-493, evolved to 2x the estimated lifespan, i.e. past the
+SN, so the returned loss is m0 - m_remnant).
+
+Here the same capability is a set of pure, closed-form jax functions over an
+anchor table, fully `vmap`-able and usable inside `jit`:
+
+  * `t_sn(m0)`       — time of core collapse (Myr)
+  * `m_presn(m0)`    — pre-supernova mass (Msun)
+  * `m_remnant(m0)`  — remnant mass (Msun)
+  * `wind_mdot(m0,t)`— wind mass-loss rate (Msun/Myr), EXACTLY zero past t_sn
+  * `mass_at(m0,t)`  — current mass (Msun), dropping to m_remnant at t_sn
+  * `total_wind_loss(m0)` — m0 - m_remnant, matching the reference's
+    normalisation of wind_ratio (al26_nbody.py:1583-1594)
+
+Model: anchors are calibrated to published solar-metallicity massive-star
+evolution (lifetimes and pre-SN masses in the spirit of Limongi & Chieffi
+2018 / Schaller et al. 1992; NS remnants ~1.4 Msun for 13-25 Msun, direct
+BH collapse above ~25-30 Msun — consistent with the reference's own yield
+tables, which carry SN yields only for 13-25 Msun and wind-only yields for
+30-120 Msun, limongi-chieffi-2018/fit-data.py:72-79). The wind history is
+a two-phase piecewise-constant rate: a weak main-sequence wind for
+t < f_ms_t * t_sn releasing a fraction f_ms_m of the lifetime wind loss,
+then a strong post-MS (RSG/WR) wind releasing the rest. The phase split is
+what sets the *timing* of SLR wind deposition; the lifetime-integrated SLR
+release is pinned to the Limongi-Chieffi yield tables regardless (see
+al26_tpu.models.yields).
+
+Interpolation is linear in (log m, log y) between anchors, clamped at the
+ends; everything is differentiable except the intended discontinuity at
+t_sn.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# --------------------------------------------------------------------------
+# Anchor tables (solar metallicity Z = 0.02)
+# --------------------------------------------------------------------------
+# mass grid (Msun)
+_M = np.array([0.8, 3.0, 8.0, 13.0, 15.0, 20.0, 25.0,
+               30.0, 40.0, 60.0, 85.0, 120.0, 150.0])
+# total stellar lifetime to core collapse (Myr); below 8 Msun no SN occurs,
+# the "lifetime" is the end of nuclear burning (used only for AGB phases).
+_T_END = np.array([2.5e4, 4.0e2, 4.0e1, 14.8, 12.1, 8.6, 7.0,
+                   6.0, 5.0, 3.9, 3.4, 3.0, 2.8])
+# pre-supernova mass (Msun): weak RSG winds for 13-25, heavy WR stripping
+# above 30.
+_M_PRESN = np.array([0.53, 0.65, 7.0, 12.3, 13.6, 15.8, 16.2,
+                     13.5, 14.0, 17.0, 22.5, 28.5, 33.0])
+# remnant mass (Msun): WD below 8, NS 13-25, BH (direct collapse) >= 30.
+_M_REM = np.array([0.53, 0.65, 1.25, 1.35, 1.40, 1.55, 1.70,
+                   11.0, 12.5, 16.0, 21.5, 27.5, 32.0])
+# fraction of the lifetime spent before the strong-wind phase begins
+_F_MS_T = np.array([0.99, 0.99, 0.95, 0.90, 0.90, 0.89, 0.88,
+                    0.82, 0.80, 0.78, 0.76, 0.75, 0.75])
+# fraction of the lifetime wind loss shed during the MS phase
+_F_MS_M = np.array([0.5, 0.5, 0.2, 0.10, 0.10, 0.12, 0.15,
+                    0.30, 0.35, 0.40, 0.42, 0.45, 0.45])
+
+_LOG_M = np.log(_M)
+
+# minimum initial mass that undergoes core collapse (SN) — high-mass stars
+# in this code are >= 13 Msun (al26_nbody.py:1211) so the precise cut only
+# matters for completeness.
+SN_MIN_MASS = 8.0
+
+
+def _loglog_interp(m0: jax.Array, ytab: np.ndarray) -> jax.Array:
+    x = jnp.log(jnp.clip(m0, _M[0], _M[-1]))
+    return jnp.exp(jnp.interp(x, jnp.asarray(_LOG_M), jnp.log(jnp.asarray(ytab))))
+
+
+def _loglin_interp(m0: jax.Array, ytab: np.ndarray) -> jax.Array:
+    x = jnp.log(jnp.clip(m0, _M[0], _M[-1]))
+    return jnp.interp(x, jnp.asarray(_LOG_M), jnp.asarray(ytab))
+
+
+def t_end(m0: jax.Array) -> jax.Array:
+    """End of nuclear burning (Myr); equals the SN time for m0 >= 8 Msun."""
+    return _loglog_interp(m0, _T_END)
+
+
+def t_sn(m0: jax.Array) -> jax.Array:
+    """Core-collapse time (Myr); +inf for stars below SN_MIN_MASS."""
+    return jnp.where(m0 >= SN_MIN_MASS, t_end(m0), jnp.inf)
+
+
+def m_presn(m0: jax.Array) -> jax.Array:
+    return jnp.minimum(_loglog_interp(m0, _M_PRESN), m0)
+
+
+def m_remnant(m0: jax.Array) -> jax.Array:
+    return jnp.minimum(_loglog_interp(m0, _M_REM), m0)
+
+
+def total_wind_loss(m0: jax.Array) -> jax.Array:
+    """m0 - m_remnant: the reference's calc_total_mass_loss evolves SeBa
+    past the SN so the 'wind loss' it returns includes the SN ejecta
+    (al26_nbody.py:467-493). We preserve that normalisation."""
+    return m0 - m_remnant(m0)
+
+
+def _phase_rates(m0):
+    """(t_ms, mdot_ms, mdot_post, t_cc) for the two-phase wind model."""
+    t_cc = t_end(m0)
+    dm_wind = jnp.maximum(m0 - m_presn(m0), 0.0)
+    f_t = _loglin_interp(m0, _F_MS_T)
+    f_m = _loglin_interp(m0, _F_MS_M)
+    t_ms = f_t * t_cc
+    mdot_ms = f_m * dm_wind / t_ms
+    mdot_post = (1.0 - f_m) * dm_wind / jnp.maximum(t_cc - t_ms, 1e-12)
+    return t_ms, mdot_ms, mdot_post, t_cc
+
+
+def wind_mdot(m0: jax.Array, t: jax.Array) -> jax.Array:
+    """Wind mass-loss rate (Msun/Myr, >= 0) at age t.
+
+    EXACTLY zero for t >= t_sn: the reference detects supernovae by
+    `wind_mass_loss_rate == 0` (al26_nbody.py:946-948) and we keep that
+    signal. Low-mass stars (m0 < 8) return ~0 within cluster lifetimes
+    (their MS wind is negligible at the Myr scales simulated here)."""
+    t_ms, mdot_ms, mdot_post, t_cc = _phase_rates(m0)
+    sn_mass = m0 >= SN_MIN_MASS
+    alive_rate = jnp.where(t < t_ms, mdot_ms, mdot_post)
+    rate = jnp.where(t < t_cc, alive_rate, 0.0)
+    # below the SN cut: negligible wind on sim timescales -> 0 by design
+    return jnp.where(sn_mass, rate, 0.0)
+
+
+def mass_at(m0: jax.Array, t: jax.Array) -> jax.Array:
+    """Current mass at age t: wind losses accumulate piecewise-linearly,
+    then the star drops to its remnant mass at t_sn (for m0 >= 8)."""
+    t_ms, mdot_ms, mdot_post, t_cc = _phase_rates(m0)
+    lost = jnp.where(
+        t < t_ms,
+        mdot_ms * t,
+        mdot_ms * t_ms + mdot_post * (jnp.minimum(t, t_cc) - t_ms),
+    )
+    m_alive = m0 - lost
+    sn_mass = m0 >= SN_MIN_MASS
+    m_dead = m_remnant(m0)
+    out = jnp.where((t >= t_cc) & sn_mass, m_dead, m_alive)
+    return jnp.where(sn_mass, out, m0)
+
+
+def evolve(m0: jax.Array, t: jax.Array):
+    """One-call stellar-evolution step: (mass, wind_mdot) at age t.
+    This is the per-step replacement for `stellar.evolve_model(t)` +
+    channel copies (al26_nbody.py:841, 871-876)."""
+    return mass_at(m0, t), wind_mdot(m0, t)

@@ -1,0 +1,129 @@
+"""SLR database and Limongi-Chieffi yield tables.
+
+Host-side (init-time) port of `read_SLRs` (al26_nbody.py:572-640) and the
+per-star yield calculators (`calc_slr_yield`, `calc_wind_ratio`,
+al26_nbody.py:441-499). Yield lookups use Akima interpolation of log10
+yields over the table mass grid and return 0 outside the grid, exactly as
+the reference does. Nothing here runs inside jit — the result is a handful
+of per-star floats baked into the Cluster state at init.
+
+Data files are the published tables the reference ships (reduced from the
+Limongi & Chieffi 2018 machine-readable tables by
+limongi-chieffi-2018/fit-data.py; regenerable with
+scripts/gen_yield_tables.py).
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+from scipy.interpolate import Akima1DInterpolator
+
+DATA_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "data")
+
+
+@dataclass
+class SLR:
+    """One short-lived radioisotope's data (al26_nbody.py:576-592)."""
+
+    name: str
+    daughter: str
+    stable: str
+    half_life_myr: float
+    tau_myr: float
+    zss: float
+    zss_err: float
+    wind_mass: np.ndarray = field(default_factory=lambda: np.array([]))
+    wind_yield: np.ndarray = field(default_factory=lambda: np.array([]))
+    sne_mass: np.ndarray = field(default_factory=lambda: np.array([]))
+    sne_yield: np.ndarray = field(default_factory=lambda: np.array([]))
+
+
+def _read_yield_table(path: str, wanted: set[str]) -> dict[str, tuple[np.ndarray, np.ndarray]]:
+    """Parse a wind-/sne-yields.csv: header `vel,fe/h,isotope,13m,...,120m`;
+    rows give per-initial-mass yields in Msun (al26_nbody.py:606-638)."""
+    out: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    with open(path) as f:
+        header = f.readline().strip().split(",")[3:]
+        masses = np.array([float(h[:-1]) for h in header])  # strip trailing 'm'
+        for line in f:
+            cells = line.strip().split(",")
+            iso = cells[2]
+            if iso in wanted:
+                out[iso] = (masses, np.array([float(v) for v in cells[3:]]))
+    return out
+
+
+def read_slrs(data_dir: str | None = None) -> dict[str, SLR]:
+    """Load slr-abundances.csv plus the LC18 wind/SNe yield curves for any
+    isotope present in both (reference behaviour: al26_nbody.py:594-640)."""
+    data_dir = data_dir or DATA_DIR
+    slrs: dict[str, SLR] = {}
+    with open(os.path.join(data_dir, "slr-abundances.csv"), encoding="utf-8-sig") as f:
+        next(f)
+        for line in f:
+            c = line.strip().split(",")
+            slrs[c[0]] = SLR(
+                name=c[0], daughter=c[1], stable=c[2],
+                half_life_myr=float(c[3]), tau_myr=float(c[4]),
+                zss=float(c[5]), zss_err=float(c[6]),
+            )
+    lc_dir = os.path.join(data_dir, "limongi_chieffi_2018")
+    wanted = set(slrs)
+    for iso, (m, y) in _read_yield_table(os.path.join(lc_dir, "wind-yields.csv"), wanted).items():
+        slrs[iso].wind_mass, slrs[iso].wind_yield = m, y
+    for iso, (m, y) in _read_yield_table(os.path.join(lc_dir, "sne-yields.csv"), wanted).items():
+        slrs[iso].sne_mass, slrs[iso].sne_yield = m, y
+    return slrs
+
+
+def calc_slr_yield(mass_msun: float, masses: np.ndarray, yields: np.ndarray) -> float:
+    """Akima interpolation of log10(yield) at the star's initial mass;
+    0 outside the table range (al26_nbody.py:444-465).
+
+    The SNe table holds exact zeros for masses that collapse directly
+    (>= 30 Msun rows in sne-yields.csv); log10 of those is -inf, which the
+    reference feeds to Akima unchecked. We floor at 1e-300 so the
+    interpolation stays finite and the returned yield for such stars
+    underflows to 0, preserving behaviour without the NaNs."""
+    if len(masses) == 0 or mass_msun < masses.min() or mass_msun > masses.max():
+        return 0.0
+    safe = np.maximum(yields, 1e-300)
+    interp = Akima1DInterpolator(masses, np.log10(safe))
+    out = float(10.0 ** interp(mass_msun))
+    return 0.0 if out < 1e-250 else out
+
+
+def calc_wind_ratio(total_wind_loss_msun: float, slr_wind_yield_msun: float) -> float:
+    """wind_ratio = SLR wind yield / lifetime-integrated mass loss
+    (al26_nbody.py:441-442)."""
+    if total_wind_loss_msun <= 0.0:
+        return 0.0
+    return slr_wind_yield_msun / total_wind_loss_msun
+
+
+def massive_star_yields(
+    m0: np.ndarray, slrs: dict[str, SLR], total_wind_loss: np.ndarray,
+    threshold: float = 13.0,
+) -> dict[str, np.ndarray]:
+    """Per-star wind ratios and SN yields for both isotopes, zero below the
+    high-mass threshold (init loop al26_nbody.py:1581-1601)."""
+    n = len(m0)
+    out = {
+        "wind_ratio_26al": np.zeros(n), "wind_ratio_60fe": np.zeros(n),
+        "sn_yield_26al": np.zeros(n), "sn_yield_60fe": np.zeros(n),
+        "wind_yield_26al": np.zeros(n), "wind_yield_60fe": np.zeros(n),
+    }
+    al, fe = slrs["Al26"], slrs["Fe60"]
+    for i in np.flatnonzero(m0 >= threshold):
+        m = float(m0[i])
+        wy_al = calc_slr_yield(m, al.wind_mass, al.wind_yield)
+        wy_fe = calc_slr_yield(m, fe.wind_mass, fe.wind_yield)
+        out["wind_yield_26al"][i] = wy_al
+        out["wind_yield_60fe"][i] = wy_fe
+        out["wind_ratio_26al"][i] = calc_wind_ratio(total_wind_loss[i], wy_al)
+        out["wind_ratio_60fe"][i] = calc_wind_ratio(total_wind_loss[i], wy_fe)
+        out["sn_yield_26al"][i] = calc_slr_yield(m, al.sne_mass, al.sne_yield)
+        out["sn_yield_60fe"][i] = calc_slr_yield(m, fe.sne_mass, fe.sne_yield)
+    return out

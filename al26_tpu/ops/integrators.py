@@ -1,0 +1,125 @@
+"""Time integrators for the N-body subsystem.
+
+Reference parity targets (al26_nbody.py:1709-1722): BHTree (leapfrog-like,
+default), Hermite / ph4 (4th-order Hermite predictor-corrector). Both are
+re-designed as jit-compiled fixed-shape programs:
+
+  * `leapfrog_advance` — KDK leapfrog with a fixed number of substeps per
+    outer step (the outer step is the physics step dt = t_f/1000,
+    al26_nbody.py:786).
+  * `hermite4_advance` — shared adaptive-timestep 4th-order Hermite
+    (predict / evaluate / correct) iterated inside a bounded
+    `lax.while_loop` until the outer step is consumed. Data-dependent
+    substep counts stay entirely on device; shapes never change.
+
+All integrators are vmappable over an ensemble axis.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..units import G_INTERNAL
+from .nbody import acc_jerk_pot, acc_pot_dense
+
+
+def leapfrog_advance(
+    pos: jax.Array,
+    vel: jax.Array,
+    mass: jax.Array,
+    dt: jax.Array,
+    n_sub: int = 8,
+    eps2: float | jax.Array = 0.0,
+    g: float = G_INTERNAL,
+) -> Tuple[jax.Array, jax.Array]:
+    """Kick-drift-kick leapfrog with `n_sub` fixed substeps."""
+    h = dt / n_sub
+
+    def body(_, carry):
+        p, v = carry
+        a, _ = acc_pot_dense(p, mass, eps2, g)
+        v_half = v + 0.5 * h * a
+        p_new = p + h * v_half
+        a_new, _ = acc_pot_dense(p_new, mass, eps2, g)
+        v_new = v_half + 0.5 * h * a_new
+        return (p_new, v_new)
+
+    pos, vel = jax.lax.fori_loop(0, n_sub, body, (pos, vel))
+    return pos, vel
+
+
+def hermite4_advance(
+    pos: jax.Array,
+    vel: jax.Array,
+    mass: jax.Array,
+    dt: jax.Array,
+    eta: float = 0.14,
+    eps2: float | jax.Array = 0.0,
+    g: float = G_INTERNAL,
+    max_substeps: int = 4096,
+    force_block: int | None = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Advance (pos, vel) by dt with shared adaptive-timestep Hermite4.
+
+    The shared substep is h = eta * min_i |a_i| / |jerk_i| (simple Aarseth
+    criterion), clamped so the outer step finishes within `max_substeps`.
+    One force evaluation per substep (the predictor reuses the previous
+    corrector's derivatives), matching the classic P(EC) scheme.
+    """
+    dtype = pos.dtype
+    tiny = jnp.asarray(1e-30, dtype)
+
+    def forces(p, v):
+        a, j, _ = acc_jerk_pot(p, v, mass, eps2, g, block=force_block)
+        return a, j
+
+    a0, j0 = forces(pos, vel)
+    h_min = dt / max_substeps
+
+    def timestep(a, j, t_left):
+        a2 = jnp.sum(a * a, axis=-1)
+        j2 = jnp.sum(j * j, axis=-1)
+        h = eta * jnp.sqrt(jnp.min(a2 / jnp.maximum(j2, tiny)))
+        h = jnp.maximum(h, h_min)
+        return jnp.minimum(h, t_left)
+
+    def cond(carry):
+        t, *_ = carry
+        return t < dt
+
+    def body(carry):
+        t, p, v, a, j = carry
+        h = timestep(a, j, dt - t)
+        h2 = h * h
+        # predict
+        pp = p + h * v + 0.5 * h2 * a + (h2 * h / 6.0) * j
+        vp = v + h * a + 0.5 * h2 * j
+        # evaluate
+        a1, j1 = forces(pp, vp)
+        # correct (Makino & Aarseth 1992 two-stage corrector)
+        v1 = v + 0.5 * h * (a + a1) + (h2 / 12.0) * (j - j1)
+        p1 = p + 0.5 * h * (v + v1) + (h2 / 12.0) * (a - a1)
+        return (t + h, p1, v1, a1, j1)
+
+    t0 = jnp.zeros((), dtype)
+    _, pos, vel, _, _ = jax.lax.while_loop(
+        cond, body, (t0, pos, vel, a0, j0)
+    )
+    return pos, vel
+
+
+def advance(
+    pos, vel, mass, dt, *, integrator: str = "hermite4",
+    eta: float = 0.14, n_sub: int = 8, eps2=0.0, g=G_INTERNAL,
+    max_substeps: int = 4096, force_block=None,
+):
+    """Static dispatch over the configured integrator."""
+    if integrator == "hermite4":
+        return hermite4_advance(
+            pos, vel, mass, dt, eta, eps2, g, max_substeps, force_block
+        )
+    if integrator == "leapfrog":
+        return leapfrog_advance(pos, vel, mass, dt, n_sub, eps2, g)
+    raise ValueError(f"unknown integrator: {integrator}")

@@ -1,0 +1,216 @@
+"""Direct-summation N-body gravity in plain JAX.
+
+The reference delegates gravity to AMUSE C++ worker codes (BHTree default,
+Hermite/ph4 selectable; al26_nbody.py:1709-1722). On TPU a direct O(N^2)
+pairwise evaluation vectorises onto the VPU/MXU and, at the cluster sizes
+this domain uses (N <= ~1e5), beats a tree while being *more* accurate (no
+multipole truncation). This module is the reference implementation (plain
+jnp, row-chunked for memory); `al26_tpu.ops.pallas_nbody` holds the tiled
+Pallas kernel used on the hot path, and `al26_tpu.parallel` shards row
+blocks across chips.
+
+All functions are pure, dtype-preserving and vmappable over a leading
+ensemble axis.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..units import G_INTERNAL
+
+
+def _pair_terms(dx, r2):
+    """inv_r, inv_r3 with the self-interaction (r2 == eps2 on diagonal)
+    handled by the caller via masking."""
+    inv_r = jax.lax.rsqrt(r2)
+    inv_r3 = inv_r / r2
+    return inv_r, inv_r3
+
+
+def acc_pot_dense(
+    pos: jax.Array,
+    mass: jax.Array,
+    eps2: float | jax.Array = 0.0,
+    g: float = G_INTERNAL,
+) -> Tuple[jax.Array, jax.Array]:
+    """Accelerations [N,3] and per-particle potentials [N] by dense O(N^2).
+
+    Memory O(N^2); use `acc_pot_chunked` beyond a few thousand stars.
+    Potential excludes the self term: pot_i = -G sum_{j!=i} m_j / r_ij.
+    """
+    n = pos.shape[0]
+    dx = pos[None, :, :] - pos[:, None, :]          # x_j - x_i
+    r2 = jnp.sum(dx * dx, axis=-1) + eps2
+    inv_r, inv_r3 = _pair_terms(dx, r2)
+    eye = jnp.eye(n, dtype=bool)
+    inv_r = jnp.where(eye, 0.0, inv_r)
+    inv_r3 = jnp.where(eye, 0.0, inv_r3)
+    acc = g * jnp.einsum("ij,ijk->ik", mass[None, :] * inv_r3, dx)
+    pot = -g * jnp.sum(mass[None, :] * inv_r, axis=1)
+    return acc, pot
+
+
+def acc_jerk_pot_dense(
+    pos: jax.Array,
+    vel: jax.Array,
+    mass: jax.Array,
+    eps2: float | jax.Array = 0.0,
+    g: float = G_INTERNAL,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Accelerations, jerks and potentials for the Hermite scheme.
+
+    jerk_i = G sum_j m_j [ v_ij/r^3 - 3 (x_ij . v_ij) x_ij / r^5 ]
+    """
+    n = pos.shape[0]
+    dx = pos[None, :, :] - pos[:, None, :]
+    dv = vel[None, :, :] - vel[:, None, :]
+    r2 = jnp.sum(dx * dx, axis=-1) + eps2
+    inv_r, inv_r3 = _pair_terms(dx, r2)
+    eye = jnp.eye(n, dtype=bool)
+    inv_r = jnp.where(eye, 0.0, inv_r)
+    inv_r3 = jnp.where(eye, 0.0, inv_r3)
+    xv = jnp.sum(dx * dv, axis=-1)                  # x_ij . v_ij
+    mj3 = mass[None, :] * inv_r3
+    r2_safe = jnp.where(eye, 1.0, r2)               # diagonal: 0/0 guard
+    acc = g * jnp.einsum("ij,ijk->ik", mj3, dx)
+    jerk = g * (
+        jnp.einsum("ij,ijk->ik", mj3, dv)
+        - 3.0 * jnp.einsum("ij,ijk->ik", mj3 * xv / r2_safe, dx)
+    )
+    pot = -g * jnp.sum(mass[None, :] * inv_r, axis=1)
+    return acc, jerk, pot
+
+
+def _row_block_acc_jerk_pot(pos_i, vel_i, pos, vel, mass, eps2, g, self_rows):
+    """Force on a row block [B,3] from all sources [N,3].
+
+    `self_rows` gives the global indices of the block rows so the self pair
+    can be masked out exactly.
+    """
+    n = pos.shape[0]
+    dx = pos[None, :, :] - pos_i[:, None, :]
+    dv = vel[None, :, :] - vel_i[:, None, :]
+    r2 = jnp.sum(dx * dx, axis=-1) + eps2
+    inv_r = jax.lax.rsqrt(r2)
+    inv_r3 = inv_r / r2
+    cols = jnp.arange(n)
+    self_mask = cols[None, :] == self_rows[:, None]
+    inv_r = jnp.where(self_mask, 0.0, inv_r)
+    inv_r3 = jnp.where(self_mask, 0.0, inv_r3)
+    xv = jnp.sum(dx * dv, axis=-1)
+    mj3 = mass[None, :] * inv_r3
+    r2_safe = jnp.where(self_mask, 1.0, r2)         # diagonal: 0/0 guard
+    acc = g * jnp.einsum("ij,ijk->ik", mj3, dx)
+    jerk = g * (
+        jnp.einsum("ij,ijk->ik", mj3, dv)
+        - 3.0 * jnp.einsum("ij,ijk->ik", mj3 * xv / r2_safe, dx)
+    )
+    pot = -g * jnp.sum(mass[None, :] * inv_r, axis=1)
+    return acc, jerk, pot
+
+
+def acc_jerk_pot_chunked(
+    pos: jax.Array,
+    vel: jax.Array,
+    mass: jax.Array,
+    eps2: float | jax.Array = 0.0,
+    g: float = G_INTERNAL,
+    block: int = 1024,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """O(N^2) force/jerk/potential with O(N*block) memory via lax.map over
+    row blocks. N is padded to a multiple of `block` with zero-mass stars."""
+    n = pos.shape[0]
+    nb = -(-n // block) * block
+    pad = nb - n
+    if pad:
+        posp = jnp.pad(pos, ((0, pad), (0, 0)))
+        velp = jnp.pad(vel, ((0, pad), (0, 0)))
+    else:
+        posp, velp = pos, vel
+
+    rows = jnp.arange(nb).reshape(-1, block)
+
+    def one_block(idx):
+        return _row_block_acc_jerk_pot(
+            posp[idx], velp[idx], pos, vel, mass, eps2, g, idx
+        )
+
+    acc, jerk, pot = jax.lax.map(one_block, rows)
+    acc = acc.reshape(nb, 3)[:n]
+    jerk = jerk.reshape(nb, 3)[:n]
+    pot = pot.reshape(nb)[:n]
+    return acc, jerk, pot
+
+
+def acc_jerk_pot(
+    pos, vel, mass, eps2=0.0, g=G_INTERNAL, block: Optional[int] = None
+):
+    """Dispatch dense vs chunked on a static size threshold."""
+    n = pos.shape[0]
+    if block is None:
+        block = 1024
+    if n <= 2048:
+        return acc_jerk_pot_dense(pos, vel, mass, eps2, g)
+    return acc_jerk_pot_chunked(pos, vel, mass, eps2, g, block)
+
+
+# ---------------------------------------------------------------------------
+# Cluster diagnostics (replacing AMUSE particle-set builtins,
+# al26_nbody.py:770 virial_radius, al26_plot.py:281-299 energies)
+# ---------------------------------------------------------------------------
+def potential_energy(pos, mass, eps2=0.0, g=G_INTERNAL) -> jax.Array:
+    """Total potential energy U = 1/2 sum_i m_i pot_i."""
+    _, pot = acc_pot_dense(pos, mass, eps2, g)
+    return 0.5 * jnp.sum(mass * pot)
+
+
+def kinetic_energy(vel, mass) -> jax.Array:
+    return 0.5 * jnp.sum(mass * jnp.sum(vel * vel, axis=-1))
+
+
+def total_energy(pos, vel, mass, eps2=0.0, g=G_INTERNAL) -> jax.Array:
+    return kinetic_energy(vel, mass) + potential_energy(pos, mass, eps2, g)
+
+
+def virial_radius(pos, mass, g=G_INTERNAL) -> jax.Array:
+    """R_vir = -G M^2 / (2 U), matching AMUSE particles.virial_radius()
+    used each step by the reference (al26_nbody.py:770). Unsoftened."""
+    u = potential_energy(pos, mass, 0.0, g)
+    mtot = jnp.sum(mass)
+    return -g * mtot * mtot / (2.0 * u)
+
+
+def center_of_mass(pos, mass) -> jax.Array:
+    return jnp.sum(pos * mass[:, None], axis=0) / jnp.sum(mass)
+
+
+def half_mass_radius(pos, mass) -> jax.Array:
+    """Radius enclosing half the total mass about the barycentre
+    (al26_nbody.py:1336-1363). Sort-based, fixed shape."""
+    com = center_of_mass(pos, mass)
+    d2 = jnp.sum((pos - com) ** 2, axis=-1)
+    order = jnp.argsort(d2)
+    csum = jnp.cumsum(mass[order])
+    target = 0.5 * jnp.sum(mass)
+    idx = jnp.searchsorted(csum, target)
+    idx = jnp.clip(idx, 0, pos.shape[0] - 1)
+    return jnp.sqrt(d2[order[idx]])
+
+
+def local_densities(pos, mass, k: int = 10) -> jax.Array:
+    """10th-nearest-neighbour local mass density per star
+    (al26_plot.py:324-371): rho_i = sum(mass of k nearest) / (4/3 pi d_k^3).
+    Dense O(N^2); diagnostics only."""
+    d2 = jnp.sum((pos[:, None, :] - pos[None, :, :]) ** 2, axis=-1)
+    # neighbour 0 is self; take 1..k
+    neg_d2 = -d2
+    _, idx = jax.lax.top_k(neg_d2, k + 1)
+    nbr = idx[:, 1 : k + 1]
+    m_sum = jnp.sum(mass[nbr], axis=1)
+    d_k = jnp.sqrt(d2[jnp.arange(pos.shape[0])[:, None], nbr[:, -1:]])[:, 0]
+    four_thirds_pi = 4.18879020479  # constant as written in al26_plot.py:327
+    return m_sum / (four_thirds_pi * d_k**3)

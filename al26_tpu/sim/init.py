@@ -1,0 +1,174 @@
+"""Cluster initialisation: the `init_cluster` equivalent
+(al26_nbody.py:1492-1610) plus interloper spawning (al26_nbody.py:1448-1490).
+
+Everything here runs once on the host (numpy + table lookups); the result is
+a device-resident `SimState` plus a `SimAux` bundle of fixed-shape auxiliary
+arrays (massive-star candidate slots, AGB rate grids) consumed by the jitted
+step.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SimConfig
+from ..models import agb as agb_mod
+from ..models import discs, imf
+from ..models.fractal import fractal_positions_velocities
+from ..models.plummer import plummer_positions_velocities
+from ..models.stellar import evolution as stellar
+from ..models.yields import massive_star_yields, read_slrs
+from ..state import Cluster, ISO_26AL, ISO_60FE, N_CH, N_ISO, SimState
+from ..units import AU_TO_PC, KMS_TO_PCMYR
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class SimAux:
+    """Fixed-shape auxiliary inputs to the step (not part of the evolving
+    state)."""
+
+    hm_idx: jax.Array        # [H] candidate massive-star indices (m0 >= 13)
+    agb_grid_t: jax.Array    # [G] Myr (zeros when interloper disabled)
+    agb_grid_rates: jax.Array  # [S,G] Msun/Myr
+
+    def replace(self, **kw):
+        import dataclasses
+        return dataclasses.replace(self, **kw)
+
+
+def _dtype(cfg: SimConfig):
+    return jnp.float64 if cfg.dtype == "f64" else jnp.float32
+
+
+def init_cluster(cfg: SimConfig, data_dir: str | None = None):
+    """Build the initial SimState/SimAux for a fresh run.
+
+    Returns (state, aux, resolved_cfg): interloper parameters with random
+    defaults (closest approach, velocity; al26_nbody.py:1666-1676) are
+    resolved into the returned config so they are recorded in checkpoints.
+    """
+    rng = np.random.default_rng(cfg.seed)
+    dtype = _dtype(cfg)
+
+    # -- masses (IMF with >=13 Msun re-roll, al26_nbody.py:1508-1510) ------
+    masses = imf.generate_masses(
+        rng, cfg.n, cfg.star_min_mass, cfg.star_max_mass,
+        no_massive_star_requirement=cfg.no_massive_star_requirement,
+        massive_threshold=cfg.high_mass_threshold,
+    )
+    m_total = float(masses.sum())
+
+    # -- positions / velocities --------------------------------------------
+    if cfg.model == "plummer":
+        pos, vel = plummer_positions_velocities(rng, cfg.n, cfg.rc, m_total)
+    elif cfg.model == "fractal":
+        pos, vel = fractal_positions_velocities(
+            rng, cfg.n, cfg.rc, m_total, cfg.fractal_dimension
+        )
+    else:
+        raise ValueError(
+            'Invalid choice of cluster model, must be either "plummer" or '
+            '"fractal"!'
+        )
+
+    # -- discs ---------------------------------------------------------
+    lm = (masses >= cfg.low_mass_min) & (masses <= cfg.low_mass_max)
+    hm = masses >= cfg.high_mass_threshold
+    tau_disk = discs.draw_disk_lifetimes(rng, cfg.n, cfg.disk_lifetime_mean)
+    r_disk = np.full(cfg.n, cfg.disk_radius * AU_TO_PC)
+
+    # -- per-star yield data for massive stars -----------------------------
+    total_wind_loss = np.where(
+        hm, np.asarray(stellar.total_wind_loss(jnp.asarray(masses))), 0.0
+    )
+    slrs = read_slrs(data_dir)
+    ydata = massive_star_yields(masses, slrs, total_wind_loss,
+                                cfg.high_mass_threshold)
+
+    # -- optional interloper -------------------------------------------
+    n_total = cfg.n + (1 if cfg.interloper else 0)
+    agb_grid_t = np.zeros(1)
+    agb_grid_rates = np.zeros((N_ISO, 1))
+    resolved = cfg
+    if cfg.interloper:
+        # resolve randomised defaults (al26_nbody.py:1666-1676)
+        ri = cfg.interloper_radius
+        if ri is None:
+            ri = float(rng.uniform(0.0, cfg.rc))
+        di = cfg.interloper_distance
+        if di is None:
+            di = 2.0 * cfg.rc
+        vi = cfg.interloper_velocity
+        if vi is None:
+            vi = float(rng.uniform(0.0, 100.0))
+        resolved = cfg.replace(
+            interloper_radius=ri, interloper_distance=di,
+            interloper_velocity=vi,
+        )
+        tables = agb_mod.read_agbs(data_dir)
+        table = agb_mod.find_agb(tables, cfg.interloper_mass)
+        agb_grid_t = table.grid_t
+        agb_grid_rates = np.stack([table.grid_26al, table.grid_60fe])
+
+        # spawned at (-distance, closest_approach, 0) moving along +x
+        # (al26_nbody.py:1479-1485)
+        pos = np.vstack([pos, [-di, ri, 0.0]])
+        vel = np.vstack([vel, [vi * KMS_TO_PCMYR, 0.0, 0.0]])
+        masses = np.append(masses, cfg.interloper_mass)
+        tau_disk = np.append(tau_disk, 0.0)
+        r_disk = np.append(r_disk, 0.0)
+        lm = np.append(lm, False)
+        hm = np.append(hm, False)
+        total_wind_loss = np.append(total_wind_loss, 0.0)
+        for k in ydata:
+            ydata[k] = np.append(ydata[k], 0.0)
+
+    is_interloper = np.zeros(n_total, bool)
+    if cfg.interloper:
+        is_interloper[-1] = True
+
+    # -- fixed massive-star candidate slots ---------------------------------
+    hm_candidates = np.flatnonzero(masses >= cfg.high_mass_threshold)
+    if len(hm_candidates) == 0:
+        hm_candidates = np.array([0])
+    hm_idx = jnp.asarray(hm_candidates, dtype=jnp.int32)
+
+    mdot0 = np.asarray(stellar.wind_mdot(jnp.asarray(masses),
+                                         jnp.zeros_like(jnp.asarray(masses))))
+
+    f = lambda a: jnp.asarray(a, dtype=dtype)
+    cluster = Cluster(
+        pos=f(pos), vel=f(vel), mass=f(masses),
+        m0=f(masses), mdot=f(mdot0),
+        kicked=jnp.zeros(n_total, bool),
+        r_disk=f(r_disk), tau_disk=f(tau_disk),
+        disk_alive=jnp.asarray(lm),
+        m_disk_gas=f(0.1 * masses),               # al26_nbody.py:1545
+        m_disk_dust=f(0.01 * 0.1 * masses),       # al26_nbody.py:1546
+        mass_27al=f(cfg.mass_frac_27al * masses),  # al26_nbody.py:1555
+        mass_56fe=f(cfg.mass_frac_56fe * masses),  # al26_nbody.py:1567
+        slr=jnp.zeros((n_total, N_ISO, N_CH), dtype),
+        slr_final=jnp.zeros((n_total, N_ISO, N_CH), dtype),
+        agb_raw=jnp.zeros((n_total, N_ISO), dtype),
+        wind_ratio=f(np.stack([ydata["wind_ratio_26al"],
+                               ydata["wind_ratio_60fe"]], axis=-1)),
+        sn_yield=f(np.stack([ydata["sn_yield_26al"],
+                             ydata["sn_yield_60fe"]], axis=-1)),
+        total_wind_loss=f(total_wind_loss),
+        is_interloper=jnp.asarray(is_interloper),
+    )
+    state = SimState(
+        cluster=cluster,
+        time=jnp.zeros((), dtype),
+        step_count=jnp.zeros((), jnp.int32),
+    )
+    aux = SimAux(
+        hm_idx=hm_idx,
+        agb_grid_t=f(agb_grid_t),
+        agb_grid_rates=f(agb_grid_rates),
+    )
+    return state, aux, resolved

@@ -1,0 +1,151 @@
+"""The simulation step: one jitted, fixed-shape program.
+
+Re-design of `evolve_simulation` (al26_nbody.py:704-1113). The reference's
+step crosses four process boundaries (BHTree, SeBa, two channel copies) and
+runs four numba kernel launches; here the entire step is a single pure
+function `step(state, aux) -> state` compiled once by XLA. Order of
+operations follows the reference exactly:
+
+  1. masks + virial radius from the state at step start (:767-770)
+  2. N-body advance by the fixed outer dt (:786, :833)
+  3. stellar evolution update -> new masses + wind rates (:841, :871-876)
+  4. wind deposition, global + local mixing models (:883-941)
+  5. supernova detection + disc injection (:943-967)
+  6. AGB interloper deposition (:969-1028)
+  7. radioactive decay (:1045-1068)
+  8. disc condensation / death (:1070-1086)
+
+Data-dependent events (SNe, disc death, interloper proximity) are masks —
+shapes never change, so the same compiled program runs every step and can
+be vmapped over ensemble realizations or scanned over many steps.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SimConfig
+from ..ops import deposition as dep
+from ..ops.integrators import advance
+from ..ops.nbody import virial_radius
+from ..state import CH_AGB, CH_GLOBAL, CH_LOCAL, CH_SNE, SimState
+from ..models.stellar import evolution as stellar
+from .init import SimAux
+
+
+def _agb_rates(aux: SimAux, t_interloper):
+    """Interpolate the AGB wind rate grids at the interloper clock; zero
+    outside the tabulated range (al26_nbody.py:535-562)."""
+    t = aux.agb_grid_t
+    inside = (t_interloper >= t[0]) & (t_interloper <= t[-1])
+    r_al = jnp.interp(t_interloper, t, aux.agb_grid_rates[0]) * inside
+    r_fe = jnp.interp(t_interloper, t, aux.agb_grid_rates[1]) * inside
+    return r_al, r_fe
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def step(state: SimState, aux: SimAux, cfg: SimConfig) -> SimState:
+    c = state.cluster
+    t = state.time
+    dt = jnp.asarray(cfg.dt, c.pos.dtype)
+    # derive the new time from the step counter rather than accumulating:
+    # in f32 on TPU, 1000 accumulated roundings drift t_f by ~1e-4 Myr
+    t_new = (state.step_count + 1).astype(c.pos.dtype) * dt
+
+    # -- 1. masks + cluster radius from step-start state --------------------
+    hm_mask_now = c.high_mass_mask(cfg.high_mass_threshold)
+    lm_mask = c.low_mass_mask(cfg.low_mass_min, cfg.low_mass_max)
+    hm_valid = hm_mask_now[aux.hm_idx]
+    r_vir = virial_radius(c.pos, c.mass)
+    pos_old = c.pos
+
+    # -- 2. N-body advance ---------------------------------------------
+    eps2 = jnp.asarray(cfg.eps2, c.pos.dtype)
+    pos, vel = advance(
+        c.pos, c.vel, c.mass, dt,
+        integrator=cfg.integrator, eta=cfg.eta_hermite,
+        eps2=eps2, max_substeps=cfg.substeps_max,
+    )
+
+    # -- 3. stellar evolution ------------------------------------------
+    mass_new, mdot_new = stellar.evolve(c.m0, t_new)
+    # the interloper's mass is pinned (it is an evolved AGB star whose mass
+    # track is carried by the AGB table, al26_nbody.py:1448-1490)
+    mass_new = jnp.where(c.is_interloper, c.mass, mass_new)
+    mdot_new = jnp.where(c.is_interloper, 0.0, mdot_new)
+
+    # -- 4. wind deposition (both isotopes, both mixing models) -------------
+    slr = c.slr
+    wind_global = dep.wind_deposition(
+        pos, vel, c.r_disk, lm_mask, aux.hm_idx, hm_valid,
+        mdot_new, c.wind_ratio, r_vir, dt, local=False,
+    )
+    wind_local = dep.wind_deposition(
+        pos, vel, c.r_disk, lm_mask, aux.hm_idx, hm_valid,
+        mdot_new, c.wind_ratio,
+        jnp.asarray(cfg.r_bub_local_wind, c.pos.dtype), dt, local=True,
+    )
+    slr = slr.at[:, :, CH_GLOBAL].add(wind_global)
+    slr = slr.at[:, :, CH_LOCAL].add(wind_local)
+
+    # -- 5. supernovae ---------------------------------------------------
+    injected, kicked = dep.sn_injection(
+        pos, c.r_disk, lm_mask, aux.hm_idx, hm_mask_now,
+        mdot_new, c.kicked, c.sn_yield,
+    )
+    slr = slr.at[:, :, CH_SNE].add(injected)
+
+    # -- 6. interloper ----------------------------------------------------
+    agb_raw = c.agb_raw
+    if cfg.interloper:
+        t_int = t - jnp.asarray(cfg.interloper_offset_time, c.pos.dtype)
+        r_al, r_fe = _agb_rates(aux, t_int)
+        active = t_int > 0.0
+        agb_abs = dep.interloper_deposition(
+            pos_old, pos, c.r_disk, lm_mask,
+            interloper_index=-1,
+            rate_26al=r_al * active, rate_60fe=r_fe * active,
+            proximity_radius=0.1,  # pc, al26_nbody.py:1013
+            bubble_radius=jnp.asarray(cfg.interloper_bubble_radius,
+                                      c.pos.dtype),
+            dt=dt,
+        )
+        slr = slr.at[:, :, CH_AGB].add(agb_abs)
+        agb_raw = agb_raw + agb_abs
+
+    # -- 7. decay ---------------------------------------------------------
+    slr = dep.apply_decay(
+        slr, dt, cfg.half_life_26al, cfg.half_life_60fe,
+        decay_agb=cfg.interloper,
+    )
+
+    # -- 8. condensation ----------------------------------------------
+    slr_final, disk_alive = dep.condense(
+        slr, c.slr_final, cfg.interloper, c.tau_disk, c.disk_alive,
+        lm_mask, t_new,
+    )
+
+    cluster = c.replace(
+        pos=pos, vel=vel, mass=mass_new, mdot=mdot_new, kicked=kicked,
+        slr=slr, slr_final=slr_final, agb_raw=agb_raw,
+        disk_alive=disk_alive,
+    )
+    return state.replace(
+        cluster=cluster, time=t_new, step_count=state.step_count + 1
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps"))
+def run_steps(state: SimState, aux: SimAux, cfg: SimConfig,
+              n_steps: int) -> SimState:
+    """Scan `n_steps` physics steps on device (used between checkpoints —
+    the reference saves every `steps_per_plot`=10 steps,
+    al26_nbody.py:1754-1760)."""
+    def body(s, _):
+        return step(s, aux, cfg), None
+
+    state, _ = jax.lax.scan(body, state, None, length=n_steps)
+    return state

@@ -1,0 +1,101 @@
+"""IMF and initial-condition statistics tests (SURVEY.md §4a,b)."""
+import numpy as np
+import pytest
+
+from al26_tpu.models import imf
+from al26_tpu.models.plummer import plummer_positions_velocities
+from al26_tpu.models.fractal import fractal_positions_velocities
+from al26_tpu.models.discs import draw_disk_lifetimes
+from al26_tpu.ops.nbody import kinetic_energy, potential_energy, virial_radius
+from al26_tpu.units import G_INTERNAL
+
+import jax.numpy as jnp
+
+
+def test_maschberger_cdf_matches_samples():
+    rng = np.random.default_rng(1)
+    m = imf.sample_masses(rng, 200_000, 0.01, 150.0, method="invcdf")
+    assert m.min() >= 0.01 and m.max() <= 150.0
+    # empirical CDF vs analytic CDF at a few probe masses
+    for probe in [0.05, 0.2, 1.0, 5.0, 50.0]:
+        emp = np.mean(m <= probe)
+        ana = imf.maschberger_cdf(probe, 0.01, 150.0)
+        assert abs(emp - ana) < 5e-3, (probe, emp, ana)
+
+
+def test_rejection_and_invcdf_agree():
+    rng = np.random.default_rng(2)
+    a = imf.sample_masses(rng, 100_000, 0.01, 150.0, method="invcdf")
+    b = imf.sample_masses(rng, 100_000, 0.01, 150.0, method="rejection")
+    # two-sample comparison of quantiles
+    qs = np.linspace(0.05, 0.95, 10)
+    qa, qb = np.quantile(a, qs), np.quantile(b, qs)
+    assert np.allclose(qa, qb, rtol=0.05)
+
+
+def test_massive_star_reroll():
+    rng = np.random.default_rng(3)
+    m = imf.generate_masses(rng, 50, massive_threshold=13.0)
+    assert m.max() >= 13.0
+
+
+def test_plummer_virial_equilibrium():
+    rng = np.random.default_rng(4)
+    n, rc, mtot = 4000, 1.0, 500.0
+    pos, vel = plummer_positions_velocities(rng, n, rc, mtot)
+    mass = jnp.full(n, mtot / n)
+    ke = float(kinetic_energy(jnp.asarray(vel), mass))
+    pe = float(potential_energy(jnp.asarray(pos), mass))
+    q = -ke / pe
+    assert 0.42 < q < 0.58, f"virial ratio {q}"
+    rv = float(virial_radius(jnp.asarray(pos), mass))
+    assert 0.8 < rv / rc < 1.25, f"virial radius {rv}"
+
+
+def test_plummer_density_profile():
+    """Half-mass radius of a Plummer sphere is ~1.3 a = 0.766 R_vir."""
+    rng = np.random.default_rng(5)
+    n = 20000
+    pos, _ = plummer_positions_velocities(rng, n, 1.0, 1.0)
+    r = np.sort(np.linalg.norm(pos, axis=1))
+    r_half = r[n // 2]
+    a = 3 * np.pi / 16
+    expected = 1.3048 * a  # Plummer r_h = a/sqrt(2^(2/3)-1)
+    assert abs(r_half / expected - 1) < 0.05
+
+
+def test_fractal_cluster_basic():
+    rng = np.random.default_rng(6)
+    n, rc, mtot = 1000, 1.0, 300.0
+    pos, vel = fractal_positions_velocities(rng, n, rc, mtot, 2.0)
+    assert pos.shape == (n, 3) and vel.shape == (n, 3)
+    r = np.linalg.norm(pos - pos.mean(0), axis=1)
+    assert r.max() <= 2.5 * rc
+    # virialised: Q = 0.5
+    mass = jnp.full(n, mtot / n)
+    ke = float(kinetic_energy(jnp.asarray(vel), mass))
+    pe = float(potential_energy(jnp.asarray(pos), mass))
+    assert abs(-ke / pe - 0.5) < 0.05
+
+
+def test_fractal_is_clumpier_than_uniform():
+    """Lower fractal dimension -> more substructure: compare mean nearest-
+    neighbour distance normalised by system size against a D=3.0 run."""
+    rng = np.random.default_rng(7)
+
+    def mean_nn(pos):
+        d = np.linalg.norm(pos[:, None] - pos[None, :], axis=-1)
+        np.fill_diagonal(d, np.inf)
+        return d.min(1).mean()
+
+    p16, _ = fractal_positions_velocities(rng, 500, 1.0, 100.0, 1.6)
+    p30, _ = fractal_positions_velocities(rng, 500, 1.0, 100.0, 3.0)
+    assert mean_nn(p16) < mean_nn(p30)
+
+
+def test_disk_lifetime_distribution():
+    rng = np.random.default_rng(8)
+    tau = draw_disk_lifetimes(rng, 200_000)
+    assert abs(tau.mean() - 2.885) < 0.05
+    # exponential: median = mean * ln 2
+    assert abs(np.median(tau) - 2.885 * np.log(2)) < 0.05

@@ -1,0 +1,140 @@
+"""Stellar-evolution module and yield-pipeline tests (SURVEY.md §7 hard
+part 1: SeBa-replacement fidelity checks)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from al26_tpu.models.stellar import evolution as st
+from al26_tpu.models.yields import (
+    calc_slr_yield,
+    calc_wind_ratio,
+    massive_star_yields,
+    read_slrs,
+)
+from al26_tpu.models.agb import find_agb, read_agbs
+
+
+def test_lifetimes_monotonic_and_plausible():
+    m = jnp.asarray([13.0, 15.0, 20.0, 25.0, 40.0, 60.0, 120.0])
+    t = np.asarray(st.t_sn(m))
+    assert (np.diff(t) < 0).all(), "lifetime must decrease with mass"
+    # canonical solar-metallicity ranges
+    assert 10.0 < t[0] < 20.0    # 13 Msun
+    assert 6.0 < t[3] < 9.0      # 25 Msun
+    assert 2.0 < t[-1] < 4.0     # 120 Msun
+
+
+def test_no_sn_below_cut():
+    assert np.isinf(float(st.t_sn(jnp.asarray(3.0))))
+    assert np.isinf(float(st.t_sn(jnp.asarray(7.9))))
+
+
+def test_mdot_integrates_to_presn_loss():
+    """Integral of the wind rate over the lifetime equals m0 - m_presn."""
+    for m0 in [13.0, 20.0, 40.0, 120.0]:
+        m0j = jnp.asarray(m0)
+        t_cc = float(st.t_sn(m0j))
+        ts = np.linspace(0, t_cc * 0.9999, 20001)
+        rates = np.asarray(st.wind_mdot(m0j, jnp.asarray(ts)))
+        integral = np.trapezoid(rates, ts)
+        expected = m0 - float(st.m_presn(m0j))
+        assert abs(integral - expected) / expected < 1e-3, m0
+
+
+def test_mass_at_consistent_with_mdot():
+    m0 = jnp.asarray(25.0)
+    t_cc = float(st.t_sn(m0))
+    t1, t2 = 0.3 * t_cc, 0.95 * t_cc
+    ts = np.linspace(t1, t2, 50001)
+    rates = np.asarray(st.wind_mdot(m0, jnp.asarray(ts)))
+    dm = np.trapezoid(rates, ts)
+    m1 = float(st.mass_at(m0, jnp.asarray(t1)))
+    m2 = float(st.mass_at(m0, jnp.asarray(t2)))
+    # trapezoid across the MS->post-MS rate discontinuity limits accuracy
+    assert abs((m1 - m2) - dm) < 5e-4
+
+
+def test_sn_signal_is_exact_zero_and_remnant_mass():
+    m0 = jnp.asarray(20.0)
+    t_cc = float(st.t_sn(m0))
+    assert float(st.wind_mdot(m0, jnp.asarray(t_cc * 1.0001))) == 0.0
+    assert float(st.wind_mdot(m0, jnp.asarray(t_cc * 0.999))) > 0.0
+    m_after = float(st.mass_at(m0, jnp.asarray(t_cc * 1.01)))
+    assert 1.0 < m_after < 2.5  # NS for a 20 Msun star
+
+
+def test_total_wind_loss_semantics():
+    """Reference's calc_total_mass_loss evolves past the SN -> includes the
+    ejecta (al26_nbody.py:467-493)."""
+    m0 = jnp.asarray(15.0)
+    assert abs(float(st.total_wind_loss(m0)) -
+               (15.0 - float(st.m_remnant(m0)))) < 1e-12
+    # direct-collapse BH star loses less relative to an exploding star
+    assert float(st.total_wind_loss(jnp.asarray(40.0))) < 40.0
+
+
+def test_read_slrs_full_database():
+    slrs = read_slrs()
+    assert set(slrs) == {"Be10", "Al26", "Ca41", "Mn53", "Fe60"}
+    al = slrs["Al26"]
+    assert al.half_life_myr == 0.717
+    assert al.stable == "27Al"
+    assert al.zss == 5.23e-05
+    # LC18 yield curves attached for Al26/Fe60: winds tabulated over
+    # 13-120 Msun, SN ejecta only for 13-25 Msun (direct collapse above —
+    # limongi-chieffi-2018/fit-data.py:72-79)
+    assert len(al.wind_mass) == 9 and len(al.sne_mass) == 4
+    assert al.wind_mass[0] == 13.0 and al.wind_mass[-1] == 120.0
+    assert al.sne_mass[0] == 13.0 and al.sne_mass[-1] == 25.0
+    # exact table endpoints (limongi_chieffi_2018/wind-yields.csv row Al26)
+    assert np.isclose(al.wind_yield[0], 5.4088e-06)
+    assert np.isclose(al.wind_yield[-1], 8.5138e-04)
+
+
+def test_calc_slr_yield_interpolation():
+    slrs = read_slrs()
+    al = slrs["Al26"]
+    # at a grid point: exact table value
+    y13 = calc_slr_yield(13.0, al.wind_mass, al.wind_yield)
+    assert np.isclose(y13, 5.4088e-06, rtol=1e-10)
+    # between grid points: between neighbours (log-space Akima)
+    y17 = calc_slr_yield(17.0, al.wind_mass, al.wind_yield)
+    assert min(5.4109e-06, 4.6238e-06) * 0.5 < y17 < 1.3068e-05 * 2
+    # outside range: zero (al26_nbody.py:459-461)
+    assert calc_slr_yield(12.0, al.wind_mass, al.wind_yield) == 0.0
+    assert calc_slr_yield(150.0, al.wind_mass, al.wind_yield) == 0.0
+
+
+def test_sne_yields_zero_for_direct_collapse():
+    """sne-yields.csv rows are ~0 for >=30 Msun (LC18 set R direct
+    collapse) — the pipeline must not produce NaNs there."""
+    slrs = read_slrs()
+    al = slrs["Al26"]
+    y40 = calc_slr_yield(40.0, al.sne_mass, al.sne_yield)
+    assert np.isfinite(y40) and y40 >= 0.0
+
+
+def test_massive_star_yields_vectorised():
+    slrs = read_slrs()
+    m0 = np.array([1.0, 15.0, 40.0])
+    twl = np.array([0.0, 13.6, 27.5])
+    y = massive_star_yields(m0, slrs, twl)
+    assert y["wind_ratio_26al"][0] == 0.0
+    assert y["wind_ratio_26al"][1] > 0.0
+    assert y["sn_yield_26al"][1] > 0.0
+    ratio = calc_wind_ratio(13.6, y["wind_yield_26al"][1])
+    assert np.isclose(y["wind_ratio_26al"][1], ratio)
+
+
+def test_agb_tables():
+    tables = read_agbs()
+    masses = sorted(t.mass_msun for t in tables)
+    assert masses == [3.0, 5.0, 6.0, 7.0]
+    t3 = find_agb(tables, 3.0)
+    # dense grid covers the table range and matches host Akima inside
+    mid = 0.5 * (t3.t_myr[0] + t3.t_myr[-1])
+    host = t3.interp_rate_host("26al", mid)
+    grid = np.interp(mid, t3.grid_t, t3.grid_26al)
+    assert np.isclose(host, grid, rtol=1e-3, atol=1e-25)
+    with pytest.raises(ValueError):
+        find_agb(tables, 4.0)
