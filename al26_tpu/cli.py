@@ -1,0 +1,112 @@
+"""Command-line interface.
+
+Flag-for-flag mirror of the reference argparse block
+(al26_nbody.py:1768-1821), plus TPU-specific extras (--seed, --dtype,
+--integrator, --ensemble). Run as `python -m al26_tpu.cli ...` or via the
+`al26-nbody` console entry point.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Calculate orbital trajectories and Al26 enrichment of "
+                    "a stellar cluster (TPU-native)"
+    )
+    p.add_argument("-n", default=None, type=int,
+                   help="Number of stars in cluster")
+    p.add_argument("-rc", default=None, type=float,
+                   help="Cluster radius (pc)")
+    p.add_argument("-r", "--reload", type=str, default="",
+                   help="Base name of files to RELOAD")
+    p.add_argument("-nc", "--n_checkpoint", type=int, default=None,
+                   help="Which checkpoint file to load, defaults to highest number")
+    p.add_argument("-m", "--model", type=str, default="plummer",
+                   help="Which model to use, defaults to Plummer sphere, can also use fractal model")
+    p.add_argument("-d", "--fractal_dimension", type=float, default=2.0,
+                   help="Dimension parameter for fractal model")
+    p.add_argument("-rd", "--disk_radius", type=float, default=100,
+                   help="Protoplanetary disk radius, typically 100 AU")
+    p.add_argument("--adaptive_timestep", action="store_true",
+                   help="(accepted for reference parity; the Hermite "
+                        "integrator is always adaptive internally)")
+    p.add_argument("-f", "--filename", type=str, default="",
+                   help='Base name for files to SAVE, i.e. "<filename>-yields.csv"; '
+                        'defaults to "sim-YY-MM-DD-HH-MM-SS"')
+    p.add_argument("--no_massive_star_requirement", action="store_true",
+                   help="Do not require the formation of a massive star in the cluster (no re-rolls)")
+    p.add_argument("--star_min_mass", type=float, default=0.01,
+                   help="Minimum star mass (Msun)")
+    p.add_argument("--star_max_mass", type=float, default=150.0,
+                   help="Maximum star mass (Msun)")
+    # interloper
+    p.add_argument("-i", "--interloper", action="store_true",
+                   help="Throw an interloping AGB star into the simulation")
+    p.add_argument("-mi", "--interloper_mass", type=float, default=3.0,
+                   help="Mass of the interloping star, needs to be a valid mass")
+    p.add_argument("-rbi", "--interloper_bubble_radius", type=float, default=0.1,
+                   help="Bubble size of interloping stars stellar wind (pc)")
+    p.add_argument("-ri", "--interloper_radius", type=float, default=None,
+                   help="Interloper closest approach radius (pc); random in [0, rc) if unset")
+    p.add_argument("-di", "--interloper_distance", type=float, default=None,
+                   help="Interloper initial distance; 2*rc if unset")
+    p.add_argument("-vi", "--interloper_velocity", type=float, default=None,
+                   help="Interloper velocity towards the cluster (km/s); random in [0, 100) if unset")
+    p.add_argument("-ti", "--interloper_offset_time", type=float, default=0.0,
+                   help="Time until interloper enters AGB phase (Myr)")
+    p.add_argument("-trji", "--interloper_trajectory", action="store_true",
+                   help="Write AGB position to text file, interloper_trajectory.dat")
+    p.add_argument("-t_f", "--final_time", type=float, default=10.0,
+                   help="Final time to simulate to in Myr")
+    p.add_argument("-v", "--verbose", action="store_true",
+                   help="Print additional statements")
+    # TPU-native extras
+    p.add_argument("--seed", type=int, default=0,
+                   help="Master PRNG seed (recorded in checkpoints)")
+    p.add_argument("--dtype", type=str, default="f64", choices=("f32", "f64"),
+                   help="Compute precision (f64 needs jax x64; use f32 on TPU)")
+    p.add_argument("--integrator", type=str, default="hermite4",
+                   choices=("hermite4", "leapfrog"),
+                   help="N-body integrator")
+    p.add_argument("--softening", type=float, default=None,
+                   help="Plummer softening length (pc); default: BHTree parity "
+                        "sqrt(0.125)*rc")
+    p.add_argument("--ensemble", type=int, default=1,
+                   help="Number of vmapped cluster realizations")
+    return p
+
+
+def config_from_args(args: argparse.Namespace):
+    from .config import SimConfig
+
+    if args.n is None or args.rc is None:
+        if args.reload == "":
+            raise SystemExit(
+                "Input arguments need to either be loading a checkpoint or "
+                "defining a simulation"
+            )
+    d = vars(args).copy()
+    d.pop("adaptive_timestep", None)
+    return SimConfig.from_dict(d)
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+    if cfg.dtype == "f64":
+        import jax
+        jax.config.update("jax_enable_x64", True)
+    from .sim.driver import run
+
+    result = run(cfg)
+    print("!!! Finished !!!")
+    if cfg.verbose:
+        print(f"wall time: {result.wall_time_s:.1f} s")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

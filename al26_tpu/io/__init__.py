@@ -1,0 +1,1 @@
+from . import checkpoint, compat, compression, ubjson, yields_store

@@ -1,0 +1,81 @@
+"""Checkpoint save/load in the reference's on-disk formats.
+
+File layout per run (al26_nbody.py:347-439, filetypes.md):
+  <base>-state-NNNNN.pkl.zst   zstd(pickle(State{cluster, converter, metadata}))
+  <base>-yields.ubj.zst        zstd(ubjson(Yields.__dict__)), rewritten whole
+  <base>-cluster-yields.csv    append-only global sums
+
+`load_state` additionally accepts files written by the ORIGINAL reference
+(AMUSE pickles) through the tolerant unpickler.
+"""
+from __future__ import annotations
+
+import glob
+import os
+import pickle
+import re
+import time
+
+from .compat import Metadata, Particles, State, tolerant_loads
+from .compression import compress, decompress
+from .yields_store import Yields
+
+
+def state_filename(base: str, nfile: int) -> str:
+    return f"{base}-state-{str(nfile).zfill(5)}.pkl.zst"
+
+
+def yields_filename(base: str) -> str:
+    return f"{base}-yields.ubj.zst"
+
+
+def most_recent_checkpoint(base: str) -> int:
+    """Find the highest state-file number (al26_nbody.py:295-318)."""
+    files = glob.glob(base + "-state-*")
+    regex = re.compile(r"-state-(\d+)")
+    highest = 0
+    for file in files:
+        m = regex.search(file)
+        if m and int(m.group(1)) > highest:
+            highest = int(m.group(1))
+    path = state_filename(base, highest)
+    if not os.path.isfile(path):
+        raise IOError("Missing file! Somethings up!")
+    return highest
+
+
+def save_checkpoint(
+    base: str, nfile: int, cluster_particles: Particles, converter,
+    yields: Yields, metadata: Metadata, verbose: bool = False,
+) -> None:
+    """Write state + yields (al26_nbody.py:347-401)."""
+    t0 = time.time()
+    state = State(cluster_particles, converter, metadata)
+    with open(state_filename(base, nfile), "wb") as f:
+        f.write(compress(pickle.dumps(state)))
+    yields.marinate(yields_filename(base))
+    if verbose:
+        print(
+            f"Saving checkpoint #{str(nfile).zfill(5)}... Done! "
+            f"Took {time.time() - t0:3f} seconds!"
+        )
+
+
+def load_state(path: str) -> State:
+    """Load one state file — ours or one written by the reference
+    (read_state, al26_plot.py:41-50)."""
+    with open(path, "rb") as f:
+        data = decompress(f.read())
+    try:
+        return pickle.loads(data)
+    except (ImportError, AttributeError, ModuleNotFoundError):
+        return tolerant_loads(data)
+
+
+def load_checkpoint(base: str, nfile: int):
+    """Load state + yields (al26_nbody.py:403-439).
+    Returns (cluster_particles, converter, yields, metadata)."""
+    state = load_state(state_filename(base, nfile))
+    yields = Yields(base)
+    yields.plate(yields_filename(base))
+    return state.cluster, state.converter, yields, state.metadata

@@ -1,0 +1,171 @@
+"""Run driver: checkpointed simulation loop + resume.
+
+Mirrors the reference `main()` control flow (al26_nbody.py:1612-1766):
+initialise (or reload) -> initial checkpoint #0 -> loop with a save every
+`steps_per_plot` iterations -> final checkpoint. Between saves the physics
+runs entirely on device via a scanned `run_steps`; the host only touches
+data at checkpoint boundaries (the reference instead crosses 4 process
+boundaries per step).
+
+Save cadence parity: the reference saves on iterations where
+n_iter % steps_per_plot == 0 (al26_nbody.py:1754-1758), i.e. after steps
+1, 11, 21, ... — 100 checkpoints plus the initial one. We keep that cadence
+and additionally write a final checkpoint at exactly t_f (the reference only
+does so when float accumulation overshoots t_f and triggers a clamped
+zero-length step, al26_nbody.py:820-825 — writing it always is strictly
+more useful and format-identical).
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SimConfig
+from ..io import checkpoint as ckpt
+from ..io.compat import Args, Converter, Metadata, cluster_to_particles, particles_to_cluster
+from ..io.yields_store import Yields
+from ..state import SimState
+from ..units import myr
+from .init import SimAux, init_cluster
+from .step import run_steps, step
+
+
+@dataclass
+class RunResult:
+    state: SimState
+    aux: SimAux
+    cfg: SimConfig
+    metadata: Metadata
+    yields: Yields
+    wall_time_s: float
+
+
+def _metadata_from_cfg(cfg: SimConfig) -> Metadata:
+    args = Args(**cfg.to_dict(),
+                final_time_myr=cfg.final_time)
+    md = Metadata(args, cfg.final_time, filename=cfg.filename)
+    return md
+
+
+def _save(base, metadata, converter, yields, state, cfg,
+          increment=True, verbose=False):
+    t_myr = float(state.time)
+    metadata.update(t_myr, increment_checkpoint=increment)
+    particles = cluster_to_particles(state.cluster)
+    yields.update_state(t_myr, particles)
+    ckpt.save_checkpoint(
+        base, metadata.most_recent_checkpoint, particles, converter,
+        yields, metadata, verbose=verbose,
+    )
+
+
+def _rebuild_aux(cfg: SimConfig, cluster, data_dir=None) -> SimAux:
+    """Reconstruct the fixed-shape aux bundle after a reload."""
+    from ..models import agb as agb_mod
+    from ..state import N_ISO
+
+    m0 = np.asarray(cluster.m0)
+    hm_candidates = np.flatnonzero(m0 >= cfg.high_mass_threshold)
+    if len(hm_candidates) == 0:
+        hm_candidates = np.array([0])
+    agb_grid_t = np.zeros(1)
+    agb_grid_rates = np.zeros((N_ISO, 1))
+    if cfg.interloper:
+        tables = agb_mod.read_agbs(data_dir)
+        table = agb_mod.find_agb(tables, cfg.interloper_mass)
+        agb_grid_t = table.grid_t
+        agb_grid_rates = np.stack([table.grid_26al, table.grid_60fe])
+    dtype = cluster.pos.dtype
+    return SimAux(
+        hm_idx=jnp.asarray(hm_candidates, dtype=jnp.int32),
+        agb_grid_t=jnp.asarray(agb_grid_t, dtype=dtype),
+        agb_grid_rates=jnp.asarray(agb_grid_rates, dtype=dtype),
+    )
+
+
+def load_run(base: str, n_checkpoint: Optional[int] = None,
+             override_cfg: Optional[SimConfig] = None):
+    """Resume from checkpoint files (al26_nbody.py:1647-1656, 1734-1737).
+    Returns (state, aux, cfg, metadata, yields, converter)."""
+    if n_checkpoint is None:
+        n_checkpoint = ckpt.most_recent_checkpoint(base)
+    particles, converter, yields, metadata = ckpt.load_checkpoint(
+        base, n_checkpoint
+    )
+    metadata.update_access_time()
+    cfg = override_cfg or SimConfig.from_dict(vars(metadata.args))
+    dtype = jnp.float64 if cfg.dtype == "f64" else jnp.float32
+    cluster = particles_to_cluster(particles, dtype=dtype)
+    t_myr = float(metadata.time.value_in(myr))
+    state = SimState(
+        cluster=cluster,
+        time=jnp.asarray(t_myr, dtype),
+        step_count=jnp.asarray(round(t_myr / cfg.dt), jnp.int32),
+    )
+    aux = _rebuild_aux(cfg, cluster)
+    return state, aux, cfg, metadata, yields, converter
+
+
+def run(cfg: SimConfig, progress: bool = True,
+        data_dir: Optional[str] = None) -> RunResult:
+    """Full checkpointed run (cold start or resume)."""
+    t_wall0 = time.time()
+
+    if cfg.reload:
+        state, aux, cfg, metadata, yields, converter = load_run(
+            cfg.reload, cfg.n_checkpoint
+        )
+        base = metadata.filename
+    else:
+        state, aux, cfg = init_cluster(cfg, data_dir)
+        metadata = _metadata_from_cfg(cfg)
+        base = metadata.filename
+        converter = Converter(cfg.rc, float(np.asarray(state.cluster.mass).sum()))
+        yields = Yields(base)
+        # initial checkpoint #0 (al26_nbody.py:1741-1745)
+        _save(base, metadata, converter, yields, state, cfg,
+              increment=False, verbose=cfg.verbose)
+
+    n_done = int(state.step_count)
+    n_steps = cfg.n_steps
+    spp = cfg.steps_per_plot
+
+    bar = None
+    if progress:
+        try:
+            from tqdm import tqdm
+            bar = tqdm(total=cfg.final_time, desc="Simulation", unit="Myr",
+                       initial=float(state.time))
+        except ImportError:
+            pass
+
+    k = n_done
+    while k < n_steps:
+        # one step, then save (reference cadence: save after steps 1, 11, ...)
+        if k % spp == 0:
+            state = step(state, aux, cfg)
+            k += 1
+            _save(base, metadata, converter, yields, state, cfg,
+                  verbose=cfg.verbose)
+        else:
+            chunk = min(spp - (k % spp), n_steps - k)
+            state = run_steps(state, aux, cfg, chunk)
+            k += chunk
+        if bar is not None:
+            bar.n = round(float(state.time), 6)
+            bar.refresh()
+
+    # final checkpoint at exactly t_f
+    _save(base, metadata, converter, yields, state, cfg,
+          verbose=cfg.verbose)
+    if bar is not None:
+        bar.close()
+
+    return RunResult(
+        state=state, aux=aux, cfg=cfg, metadata=metadata, yields=yields,
+        wall_time_s=time.time() - t_wall0,
+    )

@@ -1,0 +1,237 @@
+"""Persistence-layer tests: UBJSON codec, compression, yields store,
+checkpoint round-trip, reference-file compatibility (SURVEY.md §4f)."""
+import os
+import pickle
+import struct
+
+import numpy as np
+import pytest
+
+from al26_tpu.io import ubjson
+from al26_tpu.io.compression import compress, decompress
+
+
+# ---------------------------------------------------------------------------
+# UBJSON
+# ---------------------------------------------------------------------------
+def test_ubjson_scalar_roundtrip():
+    for v in [None, True, False, 0, 1, -1, 127, 128, -129, 2**15, 2**40,
+              0.0, 1.5, -2.25e-12, "hello", "ünïcødé", ""]:
+        assert ubjson.loadb(ubjson.dumpb(v)) == v
+
+
+def test_ubjson_container_roundtrip():
+    obj = {
+        "time": [0.0, 0.01, 0.02],
+        "names": ["a", "b"],
+        "nested": [[1.0, 2.0], [3.0, 4.0]],
+        "mixed": [1, "x", None, True, 2.5],
+        "flag": True,
+        "n": 1000,
+        "empty": [],
+        "emptydict": {},
+    }
+    assert ubjson.loadb(ubjson.dumpb(obj)) == obj
+    # unoptimized form too
+    assert ubjson.loadb(ubjson.dumpb(obj, optimized=False)) == obj
+
+
+def test_ubjson_typed_array_wire_format():
+    """Optimized float lists use the [$D# typed-array form with big-endian
+    payload (readable by py-ubjson)."""
+    data = ubjson.dumpb([1.0, 2.0])
+    assert data.startswith(b"[$D#")
+    # count as an int8/uint8 marker + 2, then two big-endian doubles
+    assert data[4:5] in (b"i", b"U") and data[5] == 2
+    assert struct.unpack(">2d", data[6:]) == (1.0, 2.0)
+
+
+def test_ubjson_reads_plain_py_ubjson_form():
+    """Hand-built unoptimized stream as py-ubjson's default emits it:
+    {'t': [D 1.0 D 2.0], 's': S...}."""
+    stream = (
+        b"{"
+        b"U\x01t" b"[" + b"D" + struct.pack(">d", 1.0) + b"D" + struct.pack(">d", 2.0) + b"]"
+        b"U\x01s" b"S" b"U\x02" b"ok"
+        b"U\x01n" b"l" + struct.pack(">i", 70000) +
+        b"}"
+    )
+    assert ubjson.loadb(stream) == {"t": [1.0, 2.0], "s": "ok", "n": 70000}
+
+
+def test_ubjson_numpy_arrays():
+    a = np.arange(6, dtype=np.float64).reshape(2, 3)
+    out = ubjson.loadb(ubjson.dumpb(a))
+    assert out == [[0.0, 1.0, 2.0], [3.0, 4.0, 5.0]]
+
+
+def test_ubjson_large_payload_fast():
+    """1000 x 1000 float payload encodes+decodes quickly (the reference's
+    selling point for ubjson: ~0.2 s vs 5.3 s pickle, al26_nbody.py:250)."""
+    import time
+    payload = {"series": [list(np.random.default_rng(0).uniform(size=1000))
+                          for _ in range(1000)]}
+    t0 = time.time()
+    data = ubjson.dumpb(payload)
+    enc = time.time() - t0
+    t0 = time.time()
+    back = ubjson.loadb(data)
+    dec = time.time() - t0
+    assert back["series"][500] == payload["series"][500]
+    assert enc < 2.0 and dec < 2.0, (enc, dec)
+
+
+def test_compression_roundtrip():
+    blob = os.urandom(1000) + b"compressible" * 1000
+    assert decompress(compress(blob)) == blob
+
+
+# ---------------------------------------------------------------------------
+# Yields store
+# ---------------------------------------------------------------------------
+def _small_run(tmp_path, n=48, seed=21, t_f=1.0, **kw):
+    from al26_tpu.config import SimConfig
+    from al26_tpu.sim.driver import run
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        cfg = SimConfig(n=n, rc=0.5, final_time=t_f, seed=seed,
+                        filename="testrun", n_plot=5, steps_per_plot=4,
+                        **kw)
+        return run(cfg, progress=False)
+    finally:
+        os.chdir(cwd)
+
+
+def test_yields_files_and_csv_format(tmp_path):
+    res = _small_run(tmp_path)
+    base = os.path.join(tmp_path, "testrun")
+    # 0 + 5 saves + final
+    states = sorted(os.listdir(tmp_path))
+    state_files = [f for f in states if "-state-" in f]
+    assert state_files[0] == "testrun-state-00000.pkl.zst"
+    assert len(state_files) == 7
+    assert os.path.exists(base + "-yields.ubj.zst")
+    csv = open(base + "-cluster-yields.csv").read().strip().splitlines()
+    assert csv[0] == ("time,local_26al,global_26al,sne_26al,"
+                      "local_60fe,global_60fe,sne_60fe")
+    assert len(csv) == 1 + 7
+    # rows are 7 scientific-notation floats
+    row = csv[-1].split(",")
+    assert len(row) == 7
+    assert float(row[0]) == pytest.approx(1.0)
+
+
+def test_yields_roundtrip(tmp_path):
+    from al26_tpu.io.yields_store import Yields
+
+    res = _small_run(tmp_path)
+    y = Yields("reload")
+    y.plate(os.path.join(tmp_path, "testrun-yields.ubj.zst"))
+    assert len(y.time) == 7  # initial + 5 cadence saves + final
+    assert y.time[-1] == pytest.approx(1.0)
+    n_total = res.state.cluster.n
+    assert len(y.local_26al[-1]) == n_total
+    # sums consistent with per-star lists
+    assert sum(y.local_26al[-1]) == pytest.approx(y.sum_local_26al[-1])
+
+
+def test_checkpoint_roundtrip_state(tmp_path):
+    from al26_tpu.io.checkpoint import load_state, most_recent_checkpoint
+    from al26_tpu.units import msol, myr, pc
+
+    res = _small_run(tmp_path)
+    base = os.path.join(tmp_path, "testrun")
+    n = most_recent_checkpoint(base)
+    assert n == 6
+    state = load_state(f"{base}-state-{n:05d}.pkl.zst")
+    # postprocess.py access patterns
+    assert state.metadata.args.n == 48
+    assert state.metadata.args.rc == 0.5
+    taus = state.cluster.tau_disk.value_in(myr)
+    assert len(taus) == 48
+    masses = state.cluster.mass.value_in(msol)
+    np.testing.assert_allclose(masses, np.asarray(res.state.cluster.mass))
+    ratio = state.cluster.mass_26al_local / state.cluster.mass_27al
+    assert np.isfinite(ratio).all()
+    # iteration like postprocess.py:90
+    star0 = next(iter(state.cluster))
+    assert star0.mass.value_in(msol) == pytest.approx(masses[0])
+
+
+def test_resume_continues_identically(tmp_path):
+    """Resume mid-run must reproduce the uninterrupted trajectory
+    (al26_nbody.py:1647-1656 reload path)."""
+    from al26_tpu.config import SimConfig
+    from al26_tpu.sim.driver import run
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        cfg = SimConfig(n=32, rc=0.5, final_time=1.0, seed=9,
+                        filename="full", n_plot=5, steps_per_plot=4)
+        full = run(cfg, progress=False)
+
+        # rerun to checkpoint 3 only, then resume
+        cfg2 = cfg.replace(filename="part", final_time=1.0)
+        from al26_tpu.sim import init_cluster, run_steps
+        state, aux, cfg2 = init_cluster(cfg2)
+        # drive to 12 steps (checkpoint cadence 4) via driver on a shorter
+        # horizon: simpler — run the full driver, then reload from an
+        # EARLIER checkpoint and continue
+        part = run(cfg2, progress=False)
+        resumed = run(SimConfig(reload="part", n_checkpoint=3),
+                      progress=False)
+        np.testing.assert_allclose(
+            np.asarray(resumed.state.cluster.pos),
+            np.asarray(full.state.cluster.pos), rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(
+            np.asarray(resumed.state.cluster.slr),
+            np.asarray(full.state.cluster.slr), rtol=1e-8, atol=1e-30)
+    finally:
+        os.chdir(cwd)
+
+
+class _RefLikeClass:
+    """Module-level donor class: its pickle bytes get rewritten to point at
+    a module that does not exist here (mimicking an AMUSE class)."""
+
+
+def test_tolerant_unpickler_reference_like_file(tmp_path):
+    """A pickle whose classes live in modules we don't have (AMUSE,
+    al26_nbody) must still load via class stubbing."""
+    from al26_tpu.io.compat import tolerant_loads
+
+    obj = _RefLikeClass()
+    obj.number = [1.0, 2.0, 3.0]
+    # protocol 2 encodes class refs as text GLOBAL opcodes (module\nname\n),
+    # so a byte-level rename yields a pickle referencing a missing module
+    raw = pickle.dumps({"q": obj, "x": 1.5}, protocol=2)
+    raw = raw.replace(
+        _RefLikeClass.__module__.encode() + b"\n_RefLikeClass\n",
+        b"amuse.units.quantities\nVectorQuantity\n",
+    )
+    with pytest.raises((ImportError, AttributeError, ModuleNotFoundError)):
+        pickle.loads(raw)
+    out = tolerant_loads(raw)
+    assert out["x"] == 1.5
+    stub = out["q"]
+    assert stub._stub_class == "amuse.units.quantities.VectorQuantity"
+    assert stub.number == [1.0, 2.0, 3.0]
+
+
+def test_cluster_particles_mapping_roundtrip():
+    from al26_tpu.config import SimConfig
+    from al26_tpu.io.compat import cluster_to_particles, particles_to_cluster
+    from al26_tpu.sim import init_cluster
+    import dataclasses
+
+    cfg = SimConfig(n=20, rc=1.0, seed=2, no_massive_star_requirement=True)
+    state, _, _ = init_cluster(cfg)
+    p = cluster_to_particles(state.cluster)
+    c2 = particles_to_cluster(p)
+    for fld in dataclasses.fields(type(state.cluster)):
+        a = np.asarray(getattr(state.cluster, fld.name))
+        b = np.asarray(getattr(c2, fld.name))
+        np.testing.assert_allclose(a, b, rtol=1e-12, err_msg=fld.name)
