@@ -60,6 +60,7 @@ def hermite4_advance(
     g: float = G_INTERNAL,
     max_substeps: int = 4096,
     force_block: int | None = None,
+    force_fn=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Advance (pos, vel) by dt with shared adaptive-timestep Hermite4.
 
@@ -67,13 +68,20 @@ def hermite4_advance(
     criterion), clamped so the outer step finishes within `max_substeps`.
     One force evaluation per substep (the predictor reuses the previous
     corrector's derivatives), matching the classic P(EC) scheme.
+
+    `force_fn(pos, vel) -> (acc, jerk)` overrides the default dense/chunked
+    evaluation — this is the hook through which the Pallas kernel
+    (ops.pallas_nbody) and the multi-chip row-sharded kernel
+    (parallel.sharded) plug into the same integrator.
     """
     dtype = pos.dtype
     tiny = jnp.asarray(1e-30, dtype)
 
-    def forces(p, v):
-        a, j, _ = acc_jerk_pot(p, v, mass, eps2, g, block=force_block)
-        return a, j
+    if force_fn is None:
+        def force_fn(p, v):
+            a, j, _ = acc_jerk_pot(p, v, mass, eps2, g, block=force_block)
+            return a, j
+    forces = force_fn
 
     a0, j0 = forces(pos, vel)
     h_min = dt / max_substeps
@@ -113,12 +121,13 @@ def hermite4_advance(
 def advance(
     pos, vel, mass, dt, *, integrator: str = "hermite4",
     eta: float = 0.14, n_sub: int = 8, eps2=0.0, g=G_INTERNAL,
-    max_substeps: int = 4096, force_block=None,
+    max_substeps: int = 4096, force_block=None, force_fn=None,
 ):
     """Static dispatch over the configured integrator."""
     if integrator == "hermite4":
         return hermite4_advance(
-            pos, vel, mass, dt, eta, eps2, g, max_substeps, force_block
+            pos, vel, mass, dt, eta, eps2, g, max_substeps, force_block,
+            force_fn,
         )
     if integrator == "leapfrog":
         return leapfrog_advance(pos, vel, mass, dt, n_sub, eps2, g)

@@ -46,28 +46,58 @@ def _agb_rates(aux: SimAux, t_interloper):
     return r_al, r_fe
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def step(state: SimState, aux: SimAux, cfg: SimConfig) -> SimState:
+def _build_force_fn(mass, eps2, cfg: SimConfig, mesh, force_impl: str):
+    """Select the pairwise force backend (static dispatch).
+
+    auto    -> None (integrator default: dense <=2048, chunked above),
+               unless a mesh is given (-> sharded) or pallas is requested.
+    pallas  -> single-chip Pallas tiled kernel (ops.pallas_nbody).
+    sharded -> shard_map row blocks over `mesh` (parallel.sharded).
+    """
+    if force_impl == "auto":
+        force_impl = "sharded" if mesh is not None else "default"
+    if force_impl == "default":
+        return None
+    if force_impl == "sharded":
+        from ..parallel.sharded import make_sharded_force
+        return make_sharded_force(mesh, mass, eps2)
+    if force_impl == "pallas":
+        from ..ops.pallas_nbody import make_pallas_force
+        return make_pallas_force(mass, eps2)
+    raise ValueError(f"unknown force_impl: {force_impl}")
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh", "force_impl"))
+def step(state: SimState, aux: SimAux, cfg: SimConfig,
+         mesh=None, force_impl: str = "auto") -> SimState:
     c = state.cluster
     t = state.time
     dt = jnp.asarray(cfg.dt, c.pos.dtype)
     # derive the new time from the step counter rather than accumulating:
     # in f32 on TPU, 1000 accumulated roundings drift t_f by ~1e-4 Myr
     t_new = (state.step_count + 1).astype(c.pos.dtype) * dt
+    eps2 = jnp.asarray(cfg.eps2, c.pos.dtype)
 
     # -- 1. masks + cluster radius from step-start state --------------------
     hm_mask_now = c.high_mass_mask(cfg.high_mass_threshold)
     lm_mask = c.low_mass_mask(cfg.low_mass_min, cfg.low_mass_max)
     hm_valid = hm_mask_now[aux.hm_idx]
-    r_vir = virial_radius(c.pos, c.mass)
+    if mesh is not None:
+        from ..parallel.sharded import sharded_potential_energy
+        u = sharded_potential_energy(c.pos, c.mass, mesh)
+        mtot = jnp.sum(c.mass)
+        from ..units import G_INTERNAL
+        r_vir = -G_INTERNAL * mtot * mtot / (2.0 * u)
+    else:
+        r_vir = virial_radius(c.pos, c.mass)
     pos_old = c.pos
 
     # -- 2. N-body advance ---------------------------------------------
-    eps2 = jnp.asarray(cfg.eps2, c.pos.dtype)
+    force_fn = _build_force_fn(c.mass, eps2, cfg, mesh, force_impl)
     pos, vel = advance(
         c.pos, c.vel, c.mass, dt,
         integrator=cfg.integrator, eta=cfg.eta_hermite,
-        eps2=eps2, max_substeps=cfg.substeps_max,
+        eps2=eps2, max_substeps=cfg.substeps_max, force_fn=force_fn,
     )
 
     # -- 3. stellar evolution ------------------------------------------
@@ -138,14 +168,15 @@ def step(state: SimState, aux: SimAux, cfg: SimConfig) -> SimState:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_steps"))
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "mesh",
+                                              "force_impl"))
 def run_steps(state: SimState, aux: SimAux, cfg: SimConfig,
-              n_steps: int) -> SimState:
+              n_steps: int, mesh=None, force_impl: str = "auto") -> SimState:
     """Scan `n_steps` physics steps on device (used between checkpoints —
     the reference saves every `steps_per_plot`=10 steps,
     al26_nbody.py:1754-1760)."""
     def body(s, _):
-        return step(s, aux, cfg), None
+        return step(s, aux, cfg, mesh, force_impl), None
 
     state, _ = jax.lax.scan(body, state, None, length=n_steps)
     return state

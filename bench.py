@@ -1,0 +1,94 @@
+"""Headline benchmark: sustained pairwise force throughput (Gpairs/s).
+
+Runs the Pallas tiled force/jerk/potential kernel (the hot op of every
+simulation step, replacing the reference's C++ BHTree/Hermite workers) at
+N=131072 on the attached TPU chip(s) with true host synchronisation per
+iteration, and prints ONE JSON line:
+
+    {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+
+Baseline: the driver target of >= 50 Gpairs/s sustained at N=100k on a
+v5e-8 (BASELINE.md). The reference publishes no simulation throughput
+numbers of its own. vs_baseline = value / 50.
+
+Secondary diagnostics (wall-clock per simulated Myr for full-physics runs
+at N=1k/10k) go to stderr so stdout stays a single JSON line.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+# the ambient JAX_PLATFORMS=axon value breaks backend init outside the repo
+# dir; empty lets jax auto-select the TPU (see .claude/skills/verify/SKILL.md)
+os.environ.pop("JAX_PLATFORMS", None)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from al26_tpu.ops.pallas_nbody import pallas_acc_jerk_pot  # noqa: E402
+
+N_BENCH = 131072
+BASELINE_GPAIRS = 50.0
+ITERS = 5
+
+
+def bench_force_throughput() -> float:
+    rng = np.random.default_rng(0)
+    pos = jnp.asarray(rng.normal(size=(N_BENCH, 3)), jnp.float32)
+    vel = jnp.asarray(rng.normal(size=(N_BENCH, 3)), jnp.float32)
+    mass = jnp.asarray(rng.uniform(0.1, 2.0, N_BENCH), jnp.float32)
+    # warm-up + compile; a scalar pull to host is the only reliable sync on
+    # the tunneled TPU platform (block_until_ready returns early there)
+    a, _, _ = pallas_acc_jerk_pot(pos, vel, mass, 1e-3)
+    float(jnp.sum(a))
+    t0 = time.time()
+    for _ in range(ITERS):
+        a, j, p = pallas_acc_jerk_pot(pos, vel, mass, 1e-3)
+        float(jnp.sum(a))
+    dt = (time.time() - t0) / ITERS
+    return N_BENCH * N_BENCH / dt / 1e9
+
+
+def bench_wallclock_per_myr(n: int, repeat_steps: int = 100) -> float:
+    """Full-physics step cadence at the reference dt (t_f=10 -> dt=0.01)."""
+    from al26_tpu.config import SimConfig
+    from al26_tpu.sim import init_cluster, run_steps
+
+    cfg = SimConfig(n=n, rc=1.0, final_time=10.0, seed=1, dtype="f32")
+    state, aux, cfg = init_cluster(cfg)
+    s = run_steps(state, aux, cfg, 2)
+    float(jnp.sum(s.cluster.pos))  # compile + sync
+    t0 = time.time()
+    s = run_steps(state, aux, cfg, repeat_steps)
+    float(jnp.sum(s.cluster.pos))
+    wall = time.time() - t0
+    myr = repeat_steps * cfg.dt
+    return wall / myr
+
+
+def main() -> None:
+    gpairs = bench_force_throughput()
+    try:
+        for n in (1024, 10240):
+            spm = bench_wallclock_per_myr(n)
+            print(f"# wall-clock per simulated Myr, N={n}: {spm:.3f} s/Myr",
+                  file=sys.stderr)
+    except Exception as e:  # diagnostics must not break the headline metric
+        print(f"# secondary bench failed: {e}", file=sys.stderr)
+    print(json.dumps({
+        "metric": f"pairwise force throughput (acc+jerk+pot, N={N_BENCH}, "
+                  f"{len(jax.devices())} chip(s))",
+        "value": round(gpairs, 2),
+        "unit": "Gpairs/s",
+        "vs_baseline": round(gpairs / BASELINE_GPAIRS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

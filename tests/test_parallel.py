@@ -1,0 +1,90 @@
+"""Multi-device tests on the 8-device fake CPU mesh (SURVEY.md §4g)."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from al26_tpu.config import SimConfig
+from al26_tpu.ops.nbody import acc_jerk_pot_dense, potential_energy
+from al26_tpu.parallel.ensemble import (
+    ensemble_run_steps, init_ensemble, make_ensemble_mesh, shard_ensemble,
+)
+from al26_tpu.parallel.sharded import (
+    make_mesh, make_sharded_force, shard_state_rows, sharded_acc_jerk_pot,
+    sharded_potential_energy,
+)
+from al26_tpu.sim import init_cluster, run_steps, step
+
+
+def test_eight_fake_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_force_matches_dense():
+    rng = np.random.default_rng(0)
+    n = 256
+    pos = jnp.asarray(rng.normal(size=(n, 3)))
+    vel = jnp.asarray(rng.normal(size=(n, 3)))
+    mass = jnp.asarray(rng.uniform(0.1, 2.0, n))
+    mesh = make_mesh(8)
+    a1, j1, p1 = acc_jerk_pot_dense(pos, vel, mass, 1e-3)
+    a2, j2, p2 = sharded_acc_jerk_pot(pos, vel, mass, mesh, 1e-3)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(j1), np.asarray(j2), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-12)
+    u1 = float(potential_energy(pos, mass, 1e-3))
+    u2 = float(sharded_potential_energy(pos, mass, mesh, 1e-3))
+    assert u1 == pytest.approx(u2, rel=1e-12)
+
+
+def test_sharded_step_matches_single_device():
+    """The full physics step under row sharding must equal the
+    single-device result."""
+    cfg = SimConfig(n=64, rc=1.0, final_time=10.0, seed=13)
+    state, aux, cfg = init_cluster(cfg)
+    mesh = make_mesh(8)
+    s_ref = run_steps(state, aux, cfg, 5)
+    state_sharded = shard_state_rows(state, mesh)
+    s_shd = run_steps(state_sharded, aux, cfg, 5, mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(s_ref.cluster.pos), np.asarray(s_shd.cluster.pos),
+        rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(s_ref.cluster.slr), np.asarray(s_shd.cluster.slr),
+        rtol=1e-9, atol=1e-30)
+
+
+def test_ensemble_sharded_run():
+    """8 realizations across 8 devices: one launch, independent clusters."""
+    cfg = SimConfig(n=32, rc=1.0, final_time=10.0, seed=100,
+                    no_massive_star_requirement=True)
+    bs, ba, cfgs = init_ensemble(cfg, 8)
+    mesh = make_ensemble_mesh(8)
+    bs, ba = shard_ensemble(bs, ba, mesh)
+    out = ensemble_run_steps(bs, ba, cfg, 3)
+    assert out.cluster.pos.shape == (8, 32, 3)
+    # cross-check realization 2 against its single run
+    s2, a2, _ = init_cluster(cfg.replace(seed=102))
+    ref = run_steps(s2, a2, cfg, 3)
+    np.testing.assert_allclose(
+        np.asarray(out.cluster.pos[2]), np.asarray(ref.cluster.pos),
+        rtol=1e-9, atol=1e-12)
+
+
+def test_force_fn_hook_in_integrator():
+    from al26_tpu.ops.integrators import hermite4_advance
+
+    rng = np.random.default_rng(1)
+    n = 64
+    pos = jnp.asarray(rng.normal(size=(n, 3)))
+    vel = jnp.asarray(rng.normal(size=(n, 3)) * 0.1)
+    mass = jnp.asarray(rng.uniform(0.1, 1.0, n))
+    mesh = make_mesh(8)
+    ff = make_sharded_force(mesh, mass, 1e-3)
+    p1, v1 = hermite4_advance(pos, vel, mass, jnp.asarray(0.01), eps2=1e-3)
+    p2, v2 = hermite4_advance(pos, vel, mass, jnp.asarray(0.01), eps2=1e-3,
+                              force_fn=ff)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-10)
