@@ -143,8 +143,29 @@ def _encode_ndarray(buf: BytesIO, a: np.ndarray, optimized: bool) -> None:
         buf.write(b"]")
 
 
+# optional C++ accelerator (built by scripts/build_native.py); the pure-
+# Python implementation below is the behavioural specification and fallback
+try:
+    import os as _os
+    import sys as _sys
+
+    _sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "native"))
+    import _ubjson_native as _native
+
+    _sys.path.pop(0)
+except ImportError:
+    _native = None
+
+
 def dumpb(obj, optimized: bool = True) -> bytes:
-    """Serialise `obj` to UBJSON bytes (py-ubjson `dumpb` equivalent)."""
+    """Serialise `obj` to UBJSON bytes (py-ubjson `dumpb` equivalent).
+    Routes through the C++ codec when built; numpy payloads and the
+    unoptimized wire form use the Python path."""
+    if _native is not None and optimized:
+        try:
+            return _native.dumpb(obj)
+        except TypeError:
+            pass  # unsupported type (e.g. numpy array): python fallback
     buf = BytesIO()
     _encode(buf, obj, optimized)
     return buf.getvalue()
@@ -299,5 +320,20 @@ def _decode_object(r: _Reader):
 
 def loadb(data: bytes):
     """Deserialise UBJSON bytes (py-ubjson `loadb` equivalent)."""
+    if _native is not None:
+        return _native.loadb(data)
     r = _Reader(data)
     return _decode_value(r, r.marker())
+
+
+def loadb_python(data: bytes):
+    """Pure-Python decode path (kept callable for differential testing)."""
+    r = _Reader(data)
+    return _decode_value(r, r.marker())
+
+
+def dumpb_python(obj, optimized: bool = True) -> bytes:
+    """Pure-Python encode path (kept callable for differential testing)."""
+    buf = BytesIO()
+    _encode(buf, obj, optimized)
+    return buf.getvalue()

@@ -152,6 +152,50 @@ def mass_at(m0: jax.Array, t: jax.Array) -> jax.Array:
     return jnp.where(sn_mass, out, m0)
 
 
+# --------------------------------------------------------------------------
+# AGB phase model (for the interloper table generator, replacing the
+# reference's SeBa stellar_type>=5 / >=7 phase detection,
+# agb_wind/agb-wind-calc.py:28-64)
+# --------------------------------------------------------------------------
+# intermediate-mass anchors: AGB phase duration (Myr) and white-dwarf mass
+_M_AGB = np.array([1.0, 3.0, 5.0, 6.0, 7.0, 8.0])
+_AGB_DURATION = np.array([10.0, 2.0, 0.6, 0.45, 0.3, 0.2])
+# Kalirai et al. 2008 initial-final mass relation: m_wd = 0.394 + 0.109 m
+_AGB_SUPERWIND_STEEPNESS = 5.0
+
+
+def m_wd(m0: jax.Array) -> jax.Array:
+    """White-dwarf remnant mass for intermediate-mass stars (IFMR)."""
+    return 0.394 + 0.109 * m0
+
+
+def agb_t_end(m0: jax.Array) -> jax.Array:
+    """End of the AGB phase = end of nuclear burning for m0 < 8."""
+    return t_end(m0)
+
+
+def agb_t_start(m0: jax.Array) -> jax.Array:
+    x = jnp.log(jnp.clip(m0, _M_AGB[0], _M_AGB[-1]))
+    dur = jnp.exp(jnp.interp(x, jnp.asarray(np.log(_M_AGB)),
+                             jnp.log(jnp.asarray(_AGB_DURATION))))
+    return agb_t_end(m0) - dur
+
+
+def agb_mdot(m0: jax.Array, t: jax.Array) -> jax.Array:
+    """AGB wind mass-loss rate (Msun/Myr): an exponentially ramping
+    superwind through the phase, normalised so its integral equals the
+    envelope loss m0 - m_wd. Zero outside [agb_t_start, agb_t_end]."""
+    t0 = agb_t_start(m0)
+    t1 = agb_t_end(m0)
+    dur = t1 - t0
+    s = (t - t0) / dur
+    k = _AGB_SUPERWIND_STEEPNESS
+    dm = jnp.maximum(m0 - m_wd(m0), 0.0)
+    norm = dm * k / (jnp.exp(k) - 1.0) / dur
+    rate = norm * jnp.exp(k * s)
+    return jnp.where((s >= 0.0) & (s <= 1.0), rate, 0.0)
+
+
 def evolve(m0: jax.Array, t: jax.Array):
     """One-call stellar-evolution step: (mass, wind_mdot) at age t.
     This is the per-step replacement for `stellar.evolve_model(t)` +

@@ -1,2 +1,2 @@
 from .init import SimAux, init_cluster
-from .step import run_steps, step
+from .step import run_steps, run_steps_traj, step

@@ -30,8 +30,9 @@ from ..io.compat import Args, Converter, Metadata, cluster_to_particles, particl
 from ..io.yields_store import Yields
 from ..state import SimState
 from ..units import myr
+from ..utils.timing import PhaseTimers, maybe_start_trace, maybe_stop_trace
 from .init import SimAux, init_cluster
-from .step import run_steps, step
+from .step import run_steps, run_steps_traj, step
 
 
 @dataclass
@@ -61,6 +62,21 @@ def _save(base, metadata, converter, yields, state, cfg,
         base, metadata.most_recent_checkpoint, particles, converter,
         yields, metadata, verbose=verbose,
     )
+
+
+def _append_trajectory(rows: np.ndarray,
+                       path: str = "interloper_trajectory.dat") -> None:
+    """Append per-step interloper rows, reference format
+    (al26_nbody.py:1030-1037): t_sim, t_agb, x, y, z, bary_dist — written
+    only once the AGB clock is positive. (The reference accidentally writes
+    its y coordinate into the z column, al26_nbody.py:1034; we write the
+    real z.)"""
+    active = rows[rows[:, 1] > 0.0]
+    if len(active) == 0:
+        return
+    with open(path, "a") as f:
+        for r in active:
+            f.write("{:.3e},{:.3e},{:.3e},{:.3e},{:.3e},{:.3e}\n".format(*r))
 
 
 def _rebuild_aux(cfg: SimConfig, cluster, data_dir=None) -> SimAux:
@@ -143,27 +159,46 @@ def run(cfg: SimConfig, progress: bool = True,
         except ImportError:
             pass
 
+    timers = PhaseTimers()
+    maybe_start_trace()
+    write_traj = cfg.interloper and cfg.interloper_trajectory
+
+    def advance_steps(s, n):
+        if write_traj:
+            s, rows = run_steps_traj(s, aux, cfg, n)
+            _append_trajectory(np.asarray(rows))
+            return s
+        return run_steps(s, aux, cfg, n)
+
     k = n_done
     while k < n_steps:
         # one step, then save (reference cadence: save after steps 1, 11, ...)
         if k % spp == 0:
-            state = step(state, aux, cfg)
+            with timers.phase("physics"):
+                state = advance_steps(state, 1)
             k += 1
-            _save(base, metadata, converter, yields, state, cfg,
-                  verbose=cfg.verbose)
+            with timers.phase("checkpoint"):
+                _save(base, metadata, converter, yields, state, cfg,
+                      verbose=cfg.verbose)
         else:
             chunk = min(spp - (k % spp), n_steps - k)
-            state = run_steps(state, aux, cfg, chunk)
+            with timers.phase("physics"):
+                state = advance_steps(state, chunk)
             k += chunk
         if bar is not None:
             bar.n = round(float(state.time), 6)
             bar.refresh()
 
     # final checkpoint at exactly t_f
-    _save(base, metadata, converter, yields, state, cfg,
-          verbose=cfg.verbose)
+    with timers.phase("checkpoint"):
+        _save(base, metadata, converter, yields, state, cfg,
+              verbose=cfg.verbose)
     if bar is not None:
         bar.close()
+    maybe_stop_trace()
+    if cfg.verbose:
+        print("phase timings:")
+        print(timers.report())
 
     return RunResult(
         state=state, aux=aux, cfg=cfg, metadata=metadata, yields=yields,

@@ -180,3 +180,28 @@ def run_steps(state: SimState, aux: SimAux, cfg: SimConfig,
 
     state, _ = jax.lax.scan(body, state, None, length=n_steps)
     return state
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps"))
+def run_steps_traj(state: SimState, aux: SimAux, cfg: SimConfig,
+                   n_steps: int):
+    """Like run_steps, additionally collecting the interloper trajectory per
+    step: (t_sim, t_interloper, x, y, z, barycentre distance) — the data the
+    reference appends to interloper_trajectory.dat each step
+    (al26_nbody.py:1030-1037)."""
+    from ..ops.nbody import center_of_mass
+
+    def body(s, _):
+        s_new = step(s, aux, cfg)
+        c = s_new.cluster
+        pos_int = c.pos[-1]
+        com = center_of_mass(c.pos, c.mass)
+        bary_dist = jnp.sqrt(jnp.sum((pos_int - com) ** 2))
+        t_int = s.time - jnp.asarray(cfg.interloper_offset_time, c.pos.dtype)
+        row = jnp.concatenate([
+            s.time[None], t_int[None], pos_int, bary_dist[None]
+        ])
+        return s_new, row
+
+    state, rows = jax.lax.scan(body, state, None, length=n_steps)
+    return state, rows

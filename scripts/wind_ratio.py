@@ -1,0 +1,62 @@
+"""Cumulative 26Al wind yield vs stellar age for a grid of massive stars.
+
+Equivalent of the reference's root wind-ratio.py / limongi-chieffi-2018/
+wind-ratio.py analysis scripts (SeBa-driven there): for each initial mass,
+integrate wind_ratio * mdot(t) over time and plot/print the cumulative SLR
+release alongside the lifetime total from the LC18 tables.
+
+Usage: python scripts/wind_ratio.py [out.pdf]  (also prints a text table)
+"""
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+
+def main(outname: str = "wind-ratio.pdf") -> None:
+    import jax.numpy as jnp
+
+    from al26_tpu.models.stellar import evolution as st
+    from al26_tpu.models.yields import calc_slr_yield, read_slrs
+
+    slrs = read_slrs()
+    al = slrs["Al26"]
+    masses = [20.0, 25.0, 30.0, 40.0, 60.0]
+    curves = {}
+    print(f"{'mass':>6} {'t_SN (Myr)':>11} {'wind 26Al (Msun)':>17} "
+          f"{'ratio of table':>15}")
+    for m in masses:
+        m0 = jnp.asarray(m)
+        t_cc = float(st.t_sn(m0))
+        wy = calc_slr_yield(m, al.wind_mass, al.wind_yield)
+        twl = float(st.total_wind_loss(m0))
+        ratio = wy / twl if twl > 0 else 0.0
+        ts = np.linspace(0.0, t_cc * 0.99999, 2048)
+        rates = np.asarray(st.wind_mdot(m0, jnp.asarray(ts))) * ratio
+        cum = np.concatenate([[0.0], np.cumsum(
+            0.5 * (rates[1:] + rates[:-1]) * np.diff(ts))])
+        curves[m] = (ts, cum)
+        print(f"{m:6.1f} {t_cc:11.2f} {cum[-1]:17.4e} {cum[-1] / wy:15.3f}")
+
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        plt.figure(figsize=(5, 3.5))
+        for m, (ts, cum) in curves.items():
+            plt.semilogy(ts, np.maximum(cum, 1e-12),
+                         label=rf"{int(m)} $M_\odot$")
+        plt.xlabel("Age (Myr)")
+        plt.ylabel(r"Cumulative $^{26}$Al wind yield ($M_\odot$)")
+        plt.legend()
+        plt.grid(which="both", linestyle=":", alpha=0.3)
+        plt.savefig(outname, bbox_inches="tight")
+        print("wrote", outname)
+    except ImportError:
+        pass
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])

@@ -235,3 +235,78 @@ def test_cluster_particles_mapping_roundtrip():
         a = np.asarray(getattr(state.cluster, fld.name))
         b = np.asarray(getattr(c2, fld.name))
         np.testing.assert_allclose(a, b, rtol=1e-12, err_msg=fld.name)
+
+
+def test_interloper_trajectory_file(tmp_path):
+    """--interloper_trajectory writes per-step rows once the AGB clock is
+    positive (al26_nbody.py:1030-1037 format: 6 CSV floats)."""
+    res = _small_run(
+        tmp_path, n=24, seed=12, t_f=0.5,
+        interloper=True, interloper_mass=3.0, interloper_velocity=20.0,
+        interloper_radius=0.02, interloper_offset_time=0.1,
+        interloper_trajectory=True, no_massive_star_requirement=True,
+    )
+    traj = os.path.join(tmp_path, "interloper_trajectory.dat")
+    assert os.path.exists(traj)
+    rows = [l.split(",") for l in open(traj).read().strip().splitlines()]
+    assert all(len(r) == 6 for r in rows)
+    t_sim = [float(r[0]) for r in rows]
+    t_agb = [float(r[1]) for r in rows]
+    # rows only for t_agb > 0, monotonically increasing sim time
+    assert all(t > 0 for t in t_agb)
+    assert t_sim == sorted(t_sim)
+    # offset respected: t_agb = t_sim - 0.1
+    import numpy as _np
+    _np.testing.assert_allclose(_np.array(t_sim) - 0.1, t_agb, atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# Native (C++) codec — differential tests vs the pure-Python specification
+# ---------------------------------------------------------------------------
+natives = pytest.mark.skipif(
+    ubjson._native is None,
+    reason="native codec not built (scripts/build_native.py)")
+
+
+@natives
+def test_native_matches_python_wire():
+    objs = [
+        None, True, False, 0, -1, 255, -129, 2**40, -2**40, 1.5, -2.5e-30,
+        "hello", "ünïcødé", {"a": [1.0, 2.0, 3.0], "b": {"c": [1, "x"]}},
+        [[1.0, 2.0], [3.0]], [], {}, list(range(300)),
+        [1.0] * 1000,
+    ]
+    for obj in objs:
+        nat = ubjson._native.dumpb(obj)
+        pyb = ubjson.dumpb_python(obj, optimized=True)
+        assert nat == pyb, obj
+        assert ubjson._native.loadb(pyb) == ubjson.loadb_python(nat) == obj
+
+
+@natives
+def test_native_handles_python_only_forms():
+    # unoptimized containers and counted containers decode identically
+    obj = {"t": [0.5, 1, "s", None], "u": [True, False]}
+    plain = ubjson.dumpb_python(obj, optimized=False)
+    assert ubjson._native.loadb(plain) == obj
+
+
+@natives
+def test_native_big_int_roundtrip():
+    v = 2**100
+    assert ubjson._native.loadb(ubjson._native.dumpb(v)) == v
+
+
+@natives
+def test_native_speed():
+    import time
+    payload = {"series": [list(np.random.default_rng(0).uniform(size=1000))
+                          for _ in range(1000)]}
+    t0 = time.time()
+    data = ubjson._native.dumpb(payload)
+    enc = time.time() - t0
+    t0 = time.time()
+    ubjson._native.loadb(data)
+    dec = time.time() - t0
+    # the reference quotes ~0.2 s for this payload via py-ubjson
+    assert enc < 0.5 and dec < 0.5, (enc, dec)
