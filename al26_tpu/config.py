@@ -49,7 +49,14 @@ class SimConfig:
     mass_frac_56fe: float = 1.828e-4   # stable 56Fe per stellar mass (:1567)
 
     # -- gravity ----------------------------------------------------------
-    integrator: str = "hermite4"       # "hermite4" | "leapfrog"
+    integrator: str = "auto"           # "auto" | "hermite4" | "leapfrog"
+    #   auto resolves at init: hermite4 (ph4-parity, shared adaptive
+    #   timestep) up to 8192 stars, BHTree-parity leapfrog beyond — the
+    #   reference's own default solver is the BHTree leapfrog
+    #   (al26_nbody.py:59); a shared adaptive step collapses at large N.
+    leapfrog_n_sub: Optional[int] = None  # substeps per outer step; None =
+    #   BHTree parity: internal dt = 1/64 N-body time unit, resolved at
+    #   init from the realised cluster mass (rounded to a power of two).
     softening: Optional[float] = None  # pc, Plummer softening length.
     #   None = BHTree parity: the reference's default gravity code is AMUSE
     #   BHTree whose default epsilon_squared is 0.125 nbody-length^2, i.e.

@@ -33,20 +33,34 @@ def leapfrog_advance(
     n_sub: int = 8,
     eps2: float | jax.Array = 0.0,
     g: float = G_INTERNAL,
+    acc_fn=None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Kick-drift-kick leapfrog with `n_sub` fixed substeps."""
+    """Kick-drift-kick leapfrog with `n_sub` fixed substeps.
+
+    This is the BHTree-parity path: the reference's default gravity code is
+    a leapfrog tree integrator with a FIXED internal timestep (1/64 of an
+    N-body time unit) and heavy softening (al26_nbody.py:59,1712-1714).
+    One force evaluation per substep (the closing kick reuses the opening
+    evaluation of the next substep via the standard DKD->KDK chaining is
+    not applied; we keep plain KDK with acc reuse below).
+    """
+    if acc_fn is None:
+        def acc_fn(p):
+            a, _ = acc_pot_dense(p, mass, eps2, g)
+            return a
+
     h = dt / n_sub
+    a0 = acc_fn(pos)
 
     def body(_, carry):
-        p, v = carry
-        a, _ = acc_pot_dense(p, mass, eps2, g)
+        p, v, a = carry
         v_half = v + 0.5 * h * a
         p_new = p + h * v_half
-        a_new, _ = acc_pot_dense(p_new, mass, eps2, g)
+        a_new = acc_fn(p_new)
         v_new = v_half + 0.5 * h * a_new
-        return (p_new, v_new)
+        return (p_new, v_new, a_new)
 
-    pos, vel = jax.lax.fori_loop(0, n_sub, body, (pos, vel))
+    pos, vel, _ = jax.lax.fori_loop(0, n_sub, body, (pos, vel, a0))
     return pos, vel
 
 
@@ -121,7 +135,7 @@ def hermite4_advance(
 def advance(
     pos, vel, mass, dt, *, integrator: str = "hermite4",
     eta: float = 0.14, n_sub: int = 8, eps2=0.0, g=G_INTERNAL,
-    max_substeps: int = 4096, force_block=None, force_fn=None,
+    max_substeps: int = 4096, force_block=None, force_fn=None, acc_fn=None,
 ):
     """Static dispatch over the configured integrator."""
     if integrator == "hermite4":
@@ -130,5 +144,9 @@ def advance(
             force_fn,
         )
     if integrator == "leapfrog":
-        return leapfrog_advance(pos, vel, mass, dt, n_sub, eps2, g)
+        if acc_fn is None and force_fn is not None:
+            def acc_fn(p):
+                a, _ = force_fn(p, jnp.zeros_like(p))
+                return a
+        return leapfrog_advance(pos, vel, mass, dt, n_sub, eps2, g, acc_fn)
     raise ValueError(f"unknown integrator: {integrator}")

@@ -162,9 +162,36 @@ def acc_jerk_pot(
 # Cluster diagnostics (replacing AMUSE particle-set builtins,
 # al26_nbody.py:770 virial_radius, al26_plot.py:281-299 energies)
 # ---------------------------------------------------------------------------
+def potential_chunked(pos, mass, eps2=0.0, g=G_INTERNAL,
+                      block: int = 1024) -> jax.Array:
+    """Per-particle potentials with O(N*block) memory."""
+    n = pos.shape[0]
+    nb = -(-n // block) * block
+    pad = nb - n
+    posp = jnp.pad(pos, ((0, pad), (0, 0))) if pad else pos
+    rows = jnp.arange(nb).reshape(-1, block)
+
+    def one_block(idx):
+        dx = pos[None, :, :] - posp[idx][:, None, :]
+        r2 = jnp.sum(dx * dx, axis=-1) + eps2
+        inv_r = jax.lax.rsqrt(r2)
+        cols = jnp.arange(n)
+        self_mask = cols[None, :] == idx[:, None]
+        inv_r = jnp.where(self_mask, 0.0, inv_r)
+        return -g * jnp.sum(mass[None, :] * inv_r, axis=1)
+
+    pot = jax.lax.map(one_block, rows)
+    return pot.reshape(nb)[:n]
+
+
 def potential_energy(pos, mass, eps2=0.0, g=G_INTERNAL) -> jax.Array:
-    """Total potential energy U = 1/2 sum_i m_i pot_i."""
-    _, pot = acc_pot_dense(pos, mass, eps2, g)
+    """Total potential energy U = 1/2 sum_i m_i pot_i. Dense for small N,
+    row-chunked beyond (a dense N=10k sweep materialises ~10^8-element
+    temporaries every step just for the virial radius)."""
+    if pos.shape[0] <= 2048:
+        _, pot = acc_pot_dense(pos, mass, eps2, g)
+    else:
+        pot = potential_chunked(pos, mass, eps2, g)
     return 0.5 * jnp.sum(mass * pot)
 
 

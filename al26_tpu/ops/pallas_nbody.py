@@ -48,6 +48,7 @@ def _nbody_kernel(
     eps2: float,
     g: float,
     n_padded: int,
+    with_jerk: bool = True,
 ):
     n_true = n_ref[0, 0]
     i0 = pl.program_id(0) * TILE_I
@@ -92,14 +93,15 @@ def _nbody_kernel(
         ay = ay + jnp.sum(w * dy, axis=1, keepdims=True)
         az = az + jnp.sum(w * dz, axis=1, keepdims=True)
 
-        dvx = vxj - vxi
-        dvy = vyj - vyi
-        dvz = vzj - vzi
-        # 3 (x.v) / r^2 with the mask folded into w already
-        s = 3.0 * (dx * dvx + dy * dvy + dz * dvz) * inv_r2
-        jx = jx + jnp.sum(w * (dvx - s * dx), axis=1, keepdims=True)
-        jy = jy + jnp.sum(w * (dvy - s * dy), axis=1, keepdims=True)
-        jz = jz + jnp.sum(w * (dvz - s * dz), axis=1, keepdims=True)
+        if with_jerk:
+            dvx = vxj - vxi
+            dvy = vyj - vyi
+            dvz = vzj - vzi
+            # 3 (x.v) / r^2 with the mask folded into w already
+            s = 3.0 * (dx * dvx + dy * dvy + dz * dvz) * inv_r2
+            jx = jx + jnp.sum(w * (dvx - s * dx), axis=1, keepdims=True)
+            jy = jy + jnp.sum(w * (dvy - s * dy), axis=1, keepdims=True)
+            jz = jz + jnp.sum(w * (dvz - s * dz), axis=1, keepdims=True)
 
         pot = pot - jnp.sum(mj * inv_r, axis=1, keepdims=True)
         return ax, ay, az, jx, jy, jz, pot
@@ -124,7 +126,8 @@ def _pad_rows(a: jax.Array, n_padded: int) -> jax.Array:
     return a
 
 
-@functools.partial(jax.jit, static_argnames=("eps2", "g", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("eps2", "g", "interpret", "with_jerk"))
 def pallas_acc_jerk_pot(
     pos: jax.Array,
     vel: jax.Array,
@@ -132,13 +135,21 @@ def pallas_acc_jerk_pot(
     eps2: float = 0.0,
     g: float = G_INTERNAL,
     interpret: bool | None = None,
+    with_jerk: bool = True,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """(acc [N,3], jerk [N,3], pot [N]) via the tiled TPU kernel. f32.
 
+    `with_jerk=False` skips the jerk accumulation (~40% of the pair work) —
+    the leapfrog/BHTree-parity path needs only accelerations.
     `interpret=None` auto-selects interpreter mode off-TPU so the kernel is
     testable on the CPU backend."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if eps2 == 0.0:
+        # eps2 == 0.0 exactly sends the Mosaic compiler into a >10 min hang
+        # (observed on v5e); 1e-30 is numerically inert here (self-pairs are
+        # masked and real pair distances are >> 1e-15) and compiles fine.
+        eps2 = 1e-30
     n = pos.shape[0]
     n_padded = -(-n // max(TILE_I, TILE_J)) * max(TILE_I, TILE_J)
 
@@ -154,9 +165,10 @@ def pallas_acc_jerk_pot(
 
     grid = (n_padded // TILE_I,)
     kernel = functools.partial(
-        _nbody_kernel, eps2=float(eps2), g=float(g), n_padded=n_padded
+        _nbody_kernel, eps2=float(eps2), g=float(g), n_padded=n_padded,
+        with_jerk=with_jerk,
     )
-    flops_per_pair = 50
+    flops_per_pair = 50 if with_jerk else 30
     acc, jerk, pot = pl.pallas_call(
         kernel,
         grid=grid,
@@ -202,7 +214,7 @@ def pallas_acc_jerk_pot(
 
 def make_pallas_force(mass: jax.Array, eps2: float | jax.Array = 0.0,
                       g: float = G_INTERNAL):
-    """`force_fn(pos, vel) -> (acc, jerk)` using the Pallas kernel (plugs
+    """`force_fn(pos, vel) -> (acc, jerk)` using the tiled kernel (plugs
     into ops.integrators.hermite4_advance)."""
 
     def force_fn(pos, vel):
@@ -210,3 +222,16 @@ def make_pallas_force(mass: jax.Array, eps2: float | jax.Array = 0.0,
         return a, j
 
     return force_fn
+
+
+def make_pallas_acc(mass: jax.Array, eps2: float | jax.Array = 0.0,
+                    g: float = G_INTERNAL):
+    """`acc_fn(pos) -> acc` (acceleration only) for the leapfrog path."""
+
+    def acc_fn(pos):
+        a, _, _ = pallas_acc_jerk_pot(
+            pos, jnp.zeros_like(pos), mass, float(eps2), g, with_jerk=False
+        )
+        return a
+
+    return acc_fn

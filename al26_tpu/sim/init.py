@@ -44,6 +44,25 @@ def _dtype(cfg: SimConfig):
     return jnp.float64 if cfg.dtype == "f64" else jnp.float32
 
 
+def resolve_integrator(cfg: SimConfig, m_total: float) -> SimConfig:
+    """Resolve integrator="auto" and the BHTree-parity leapfrog substep
+    count (internal dt = 1/64 N-body time unit, the AMUSE BHTree default;
+    al26_nbody.py:59,1712-1714)."""
+    from ..units import G_INTERNAL
+
+    integ = cfg.integrator
+    if integ == "auto":
+        integ = "hermite4" if cfg.n <= 8192 else "leapfrog"
+    n_sub = cfg.leapfrog_n_sub
+    if integ == "leapfrog" and n_sub is None:
+        t_nbody = float(np.sqrt(cfg.rc**3 / (G_INTERNAL * m_total)))
+        raw = cfg.dt / (t_nbody / 64.0)
+        n_sub = int(max(1, 2 ** int(np.ceil(np.log2(max(raw, 1.0))))))
+    elif n_sub is None:
+        n_sub = 8
+    return cfg.replace(integrator=integ, leapfrog_n_sub=n_sub)
+
+
 def init_cluster(cfg: SimConfig, data_dir: str | None = None):
     """Build the initial SimState/SimAux for a fresh run.
 
@@ -61,6 +80,7 @@ def init_cluster(cfg: SimConfig, data_dir: str | None = None):
         massive_threshold=cfg.high_mass_threshold,
     )
     m_total = float(masses.sum())
+    cfg = resolve_integrator(cfg, m_total)
 
     # -- positions / velocities --------------------------------------------
     if cfg.model == "plummer":

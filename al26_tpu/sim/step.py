@@ -49,21 +49,30 @@ def _agb_rates(aux: SimAux, t_interloper):
 def _build_force_fn(mass, eps2, cfg: SimConfig, mesh, force_impl: str):
     """Select the pairwise force backend (static dispatch).
 
-    auto    -> None (integrator default: dense <=2048, chunked above),
-               unless a mesh is given (-> sharded) or pallas is requested.
+    auto    -> sharded when a mesh is given; the Pallas kernel on a real
+               TPU backend at N >= 4096 in f32; otherwise the integrator
+               default (dense <= 2048, row-chunked above).
     pallas  -> single-chip Pallas tiled kernel (ops.pallas_nbody).
     sharded -> shard_map row blocks over `mesh` (parallel.sharded).
     """
+    import jax as _jax
+
     if force_impl == "auto":
-        force_impl = "sharded" if mesh is not None else "default"
+        if mesh is not None:
+            force_impl = "sharded"
+        elif (_jax.default_backend() == "tpu" and mass.shape[0] >= 4096
+              and mass.dtype == jnp.float32):
+            force_impl = "pallas"
+        else:
+            force_impl = "default"
     if force_impl == "default":
-        return None
+        return None, None
     if force_impl == "sharded":
         from ..parallel.sharded import make_sharded_force
-        return make_sharded_force(mesh, mass, eps2)
+        return make_sharded_force(mesh, mass, eps2), None
     if force_impl == "pallas":
-        from ..ops.pallas_nbody import make_pallas_force
-        return make_pallas_force(mass, eps2)
+        from ..ops.pallas_nbody import make_pallas_acc, make_pallas_force
+        return make_pallas_force(mass, eps2), make_pallas_acc(mass, eps2)
     raise ValueError(f"unknown force_impl: {force_impl}")
 
 
@@ -82,22 +91,41 @@ def step(state: SimState, aux: SimAux, cfg: SimConfig,
     hm_mask_now = c.high_mass_mask(cfg.high_mass_threshold)
     lm_mask = c.low_mass_mask(cfg.low_mass_min, cfg.low_mass_max)
     hm_valid = hm_mask_now[aux.hm_idx]
+    from ..units import G_INTERNAL
     if mesh is not None:
         from ..parallel.sharded import sharded_potential_energy
         u = sharded_potential_energy(c.pos, c.mass, mesh)
+    elif (jax.default_backend() == "tpu" and c.pos.shape[0] >= 4096
+          and c.pos.dtype == jnp.float32):
+        from ..ops.pallas_nbody import pallas_acc_jerk_pot
+        _, _, pot = pallas_acc_jerk_pot(c.pos, jnp.zeros_like(c.vel),
+                                        c.mass, 0.0)
+        u = 0.5 * jnp.sum(c.mass * pot)
+    else:
+        u = None
+    if u is not None:
         mtot = jnp.sum(c.mass)
-        from ..units import G_INTERNAL
         r_vir = -G_INTERNAL * mtot * mtot / (2.0 * u)
     else:
         r_vir = virial_radius(c.pos, c.mass)
     pos_old = c.pos
 
     # -- 2. N-body advance ---------------------------------------------
-    force_fn = _build_force_fn(c.mass, eps2, cfg, mesh, force_impl)
+    # NOTE: pass the STATIC softening (cfg.eps2) — the pallas backend bakes
+    # it into the kernel as a compile-time constant
+    force_fn, acc_fn = _build_force_fn(c.mass, cfg.eps2, cfg, mesh,
+                                       force_impl)
+    # defensive "auto" resolution for callers that bypass init_cluster's
+    # resolve_integrator (e.g. a cfg recreated from a dict)
+    integ = cfg.integrator
+    if integ == "auto":
+        integ = "hermite4" if c.n <= 8192 else "leapfrog"
     pos, vel = advance(
         c.pos, c.vel, c.mass, dt,
-        integrator=cfg.integrator, eta=cfg.eta_hermite,
+        integrator=integ, eta=cfg.eta_hermite,
+        n_sub=cfg.leapfrog_n_sub or 16,
         eps2=eps2, max_substeps=cfg.substeps_max, force_fn=force_fn,
+        acc_fn=acc_fn,
     )
 
     # -- 3. stellar evolution ------------------------------------------

@@ -62,23 +62,49 @@ def bench_wallclock_per_myr(n: int, repeat_steps: int = 100) -> float:
 
     cfg = SimConfig(n=n, rc=1.0, final_time=10.0, seed=1, dtype="f32")
     state, aux, cfg = init_cluster(cfg)
-    s = run_steps(state, aux, cfg, 2)
-    float(jnp.sum(s.cluster.pos))  # compile + sync
-    t0 = time.time()
+    # warm with the SAME scan length (a different length is a new compile)
     s = run_steps(state, aux, cfg, repeat_steps)
+    float(jnp.sum(s.cluster.pos))
+    t0 = time.time()
+    s = run_steps(s, aux, cfg, repeat_steps)
     float(jnp.sum(s.cluster.pos))
     wall = time.time() - t0
     myr = repeat_steps * cfg.dt
     return wall / myr
 
 
+def bench_ensemble(n_real: int = 16, n: int = 1024,
+                   repeat_steps: int = 20) -> float:
+    """Vmapped ensemble cadence: realizations/s*Myr on the attached chips."""
+    from al26_tpu.config import SimConfig
+    from al26_tpu.parallel.ensemble import (
+        ensemble_run_steps, init_ensemble, make_ensemble_mesh, shard_ensemble,
+    )
+
+    cfg = SimConfig(n=n, rc=1.0, final_time=10.0, seed=1, dtype="f32")
+    bs, ba, cfgs = init_ensemble(cfg, n_real)
+    mesh = make_ensemble_mesh()
+    if n_real % len(jax.devices()) == 0:
+        bs, ba = shard_ensemble(bs, ba, mesh)
+    out = ensemble_run_steps(bs, ba, cfgs[0], repeat_steps)
+    float(jnp.sum(out.cluster.pos))
+    t0 = time.time()
+    out = ensemble_run_steps(out, ba, cfgs[0], repeat_steps)
+    float(jnp.sum(out.cluster.pos))
+    wall = time.time() - t0
+    return wall / (repeat_steps * cfg.dt)
+
+
 def main() -> None:
     gpairs = bench_force_throughput()
     try:
-        for n in (1024, 10240):
-            spm = bench_wallclock_per_myr(n)
+        for n, steps in ((1024, 100), (10240, 50), (102400, 10)):
+            spm = bench_wallclock_per_myr(n, steps)
             print(f"# wall-clock per simulated Myr, N={n}: {spm:.3f} s/Myr",
                   file=sys.stderr)
+        es = bench_ensemble()
+        print(f"# 16-realization vmapped ensemble (N=1024): {es:.3f} "
+              f"s/Myr total", file=sys.stderr)
     except Exception as e:  # diagnostics must not break the headline metric
         print(f"# secondary bench failed: {e}", file=sys.stderr)
     print(json.dumps({
