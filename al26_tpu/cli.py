@@ -99,6 +99,15 @@ def main(argv=None) -> int:
     if cfg.dtype == "f64":
         import jax
         jax.config.update("jax_enable_x64", True)
+    if cfg.ensemble > 1:
+        from .sim.driver import run_ensemble
+
+        _, sim_dirs, wall = run_ensemble(cfg)
+        print("!!! Finished !!!")
+        print(f"{len(sim_dirs)} realizations in {sim_dirs[0]} ...")
+        if cfg.verbose:
+            print(f"wall time: {wall:.1f} s")
+        return 0
     from .sim.driver import run
 
     result = run(cfg)

@@ -228,6 +228,19 @@ def half_mass_radius(pos, mass) -> jax.Array:
     return jnp.sqrt(d2[order[idx]])
 
 
+def min_intercept_time(pos, vel, lm_mask, hm_mask) -> jax.Array:
+    """Minimum straight-line intercept time d_ij / |v_i| over (low-mass,
+    high-mass) pairs — the reference's experimental adaptive-timestep
+    criterion (`calc_min_intercept_time`, al26_nbody.py:1116-1154; there it
+    is numba-parallel and gated behind a flag that exits). Vectorised,
+    masked, fixed-shape; usable as a diagnostic or a timestep bound."""
+    d2 = jnp.sum((pos[:, None, :] - pos[None, :, :]) ** 2, axis=-1)
+    spd2 = jnp.sum(vel * vel, axis=-1)
+    pair = lm_mask[:, None] & hm_mask[None, :]
+    t2 = jnp.where(pair, d2 / jnp.maximum(spd2[:, None], 1e-30), jnp.inf)
+    return jnp.sqrt(jnp.min(t2))
+
+
 def local_densities(pos, mass, k: int = 10) -> jax.Array:
     """10th-nearest-neighbour local mass density per star
     (al26_plot.py:324-371): rho_i = sum(mass of k nearest) / (4/3 pi d_k^3).

@@ -204,3 +204,85 @@ def run(cfg: SimConfig, progress: bool = True,
         state=state, aux=aux, cfg=cfg, metadata=metadata, yields=yields,
         wall_time_s=time.time() - t_wall0,
     )
+
+
+def run_ensemble(cfg: SimConfig, progress: bool = True,
+                 data_dir: Optional[str] = None, root: str = "."):
+    """Run `cfg.ensemble` independent cluster realizations as ONE vmapped
+    batched program, sharded across the available chips, writing each
+    realization's checkpoint files into the reference's grid folder layout
+    `pt-<rc>-<n>/pt-<rc>-<n>/pt-<k>/` (the layout plotting/postprocess.py
+    walks; the reference runs these as separate shell jobs instead,
+    SURVEY.md §2c item 4)."""
+    import os
+
+    import jax
+
+    from ..parallel.ensemble import (
+        ensemble_run_steps, init_ensemble, make_ensemble_mesh, shard_ensemble,
+    )
+
+    t_wall0 = time.time()
+    n_real = cfg.ensemble
+    batch_state, batch_aux, cfgs = init_ensemble(cfg, n_real, data_dir)
+    cfg = cfgs[0]
+    if n_real % len(jax.devices()) == 0:
+        mesh = make_ensemble_mesh()
+        batch_state, batch_aux = shard_ensemble(batch_state, batch_aux, mesh)
+
+    tag = f"pt-{cfg.rc}-{cfg.n}"
+    sim_dirs, metas, yieldses, converters = [], [], [], []
+    for k in range(n_real):
+        d = os.path.join(root, tag, tag, f"pt-{k}")
+        os.makedirs(d, exist_ok=True)
+        sim_dirs.append(d)
+        md = _metadata_from_cfg(cfgs[k].replace(filename=f"pt-{k}"))
+        metas.append(md)
+        yieldses.append(Yields(os.path.join(d, md.filename)))
+        converters.append(Converter(cfg.rc, 0.0))
+
+    def realization_state(b, k) -> SimState:
+        return jax.tree.map(lambda x: x[k], b)
+
+    def save_all(bs, increment=True):
+        for k in range(n_real):
+            st = realization_state(bs, k)
+            base = os.path.join(sim_dirs[k], metas[k].filename)
+            metas[k].update(float(st.time), increment_checkpoint=increment)
+            particles = cluster_to_particles(st.cluster)
+            yieldses[k].update_state(float(st.time), particles)
+            ckpt.save_checkpoint(
+                base, metas[k].most_recent_checkpoint, particles,
+                converters[k], yieldses[k], metas[k],
+            )
+
+    save_all(batch_state, increment=False)
+
+    bar = None
+    if progress:
+        try:
+            from tqdm import tqdm
+            bar = tqdm(total=cfg.final_time, desc=f"Ensemble x{n_real}",
+                       unit="Myr")
+        except ImportError:
+            pass
+
+    spp = cfg.steps_per_plot
+    k_step = 0
+    while k_step < cfg.n_steps:
+        if k_step % spp == 0:
+            batch_state = ensemble_run_steps(batch_state, batch_aux, cfg, 1)
+            k_step += 1
+            save_all(batch_state)
+        else:
+            chunk = min(spp - (k_step % spp), cfg.n_steps - k_step)
+            batch_state = ensemble_run_steps(batch_state, batch_aux, cfg,
+                                             chunk)
+            k_step += chunk
+        if bar is not None:
+            bar.n = round(k_step * cfg.dt, 6)
+            bar.refresh()
+    save_all(batch_state)
+    if bar is not None:
+        bar.close()
+    return batch_state, sim_dirs, time.time() - t_wall0

@@ -144,3 +144,31 @@ def test_figure_scripts_produce_output(sim_grid, tmp_path):
         assert os.path.exists("violins.pdf")
     finally:
         os.chdir(cwd)
+
+
+def test_ensemble_driver_grid_layout(tmp_path):
+    """run_ensemble writes the reference grid layout and the postprocessor
+    consumes it end-to-end."""
+    import pandas as pd
+
+    from al26_tpu.plotting import postprocess
+    from al26_tpu.sim.driver import run_ensemble
+
+    cfg = SimConfig(n=24, rc=0.5, final_time=0.5, seed=50, ensemble=2,
+                    n_plot=2, steps_per_plot=5,
+                    no_massive_star_requirement=True)
+    _, sim_dirs, _ = run_ensemble(cfg, progress=False, root=str(tmp_path))
+    assert sim_dirs[0].endswith("pt-0.5-24/pt-0.5-24/pt-0")
+    files = os.listdir(sim_dirs[0])
+    assert any("-state-00000" in f for f in files)
+    assert any(f.endswith("-yields.ubj.zst") for f in files)
+    out = str(tmp_path / "table.pkl.zst")
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        postprocess.main(".", out)
+    finally:
+        os.chdir(cwd)
+    df = pd.read_pickle(out)
+    assert len(df) == 2 * 24 * 2 * 5
+    assert set(df.sim_number.unique()) == {0, 1}

@@ -1,0 +1,67 @@
+"""Unit-layer and misc helper tests."""
+import numpy as np
+import pytest
+
+from al26_tpu import units as u
+
+
+def test_unit_conversions():
+    q = u.Quantity(1.0, u.pc)
+    assert q.value_in(u.km) == pytest.approx(3.0856775814913673e13)
+    v = u.Quantity(1.0, u.pcmyr)
+    assert v.value_in(u.kms) == pytest.approx(u.PCMYR_TO_KMS)
+    m = u.Quantity(2.0, u.msol)
+    assert m.value_in(u.kg) == pytest.approx(2 * u.MSUN_SI)
+    t = u.Quantity(1.0, u.myr)
+    assert t.value_in(u.yr) == pytest.approx(1e6)
+
+
+def test_quantity_arithmetic_and_ratio():
+    a = u.Quantity(np.array([2.0, 4.0]), u.msol)
+    b = u.Quantity(np.array([1.0, 2.0]), u.msol)
+    np.testing.assert_allclose((a + b).value_in(u.msol), [3.0, 6.0])
+    np.testing.assert_allclose((a - b).value_in(u.msol), [1.0, 2.0])
+    # same-dimension division -> dimensionless ndarray (the postprocess
+    # ratio pattern, plot_slr_statistics.py:43)
+    ratio = a / b
+    np.testing.assert_allclose(ratio, [2.0, 2.0])
+    with pytest.raises(ValueError):
+        a.value_in(u.pc)
+
+
+def test_g_internal_value():
+    # G = 4.498e-3 pc^3 / (Msun Myr^2) to ~0.1%
+    assert u.G_INTERNAL == pytest.approx(4.4985e-3, rel=2e-3)
+
+
+def test_min_intercept_time():
+    import jax.numpy as jnp
+
+    from al26_tpu.ops.nbody import min_intercept_time
+
+    pos = jnp.asarray([[0.0, 0, 0], [1.0, 0, 0], [0.0, 3, 0]])
+    vel = jnp.asarray([[2.0, 0, 0], [0.0, 0, 0], [1.0, 0, 0]])
+    lm = jnp.asarray([True, False, True])
+    hm = jnp.asarray([False, True, False])
+    # lm star 0 at d=1 with speed 2 -> 0.5; lm star 2 at d=sqrt(10), speed 1
+    t = float(min_intercept_time(pos, vel, lm, hm))
+    assert t == pytest.approx(0.5)
+
+
+def test_determinism_same_seed():
+    """Two identical runs produce identical state (deterministic RNG +
+    deterministic reductions; SURVEY.md §7 hard part 2)."""
+    import numpy as np
+
+    from al26_tpu.config import SimConfig
+    from al26_tpu.sim import init_cluster, run_steps
+
+    cfg = SimConfig(n=48, rc=0.5, final_time=1.0, seed=77)
+    s1, a1, c1 = init_cluster(cfg)
+    s2, a2, c2 = init_cluster(cfg)
+    o1 = run_steps(s1, a1, c1, 25)
+    o2 = run_steps(s2, a2, c2, 25)
+    np.testing.assert_array_equal(np.asarray(o1.cluster.pos),
+                                  np.asarray(o2.cluster.pos))
+    np.testing.assert_array_equal(np.asarray(o1.cluster.slr),
+                                  np.asarray(o2.cluster.slr))
