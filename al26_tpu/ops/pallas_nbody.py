@@ -35,7 +35,7 @@ TILE_J = 512
 
 
 def _nbody_kernel(
-    n_ref,            # [1,1] SMEM: true particle count
+    n_ref,            # [1,2] SMEM: (true source count, global row offset)
     pos_row,          # [TILE_I, 3] VMEM (this block's rows)
     vel_row,          # [TILE_I, 3]
     pos_t,            # [3, Np] VMEM (all columns, lane-major)
@@ -51,7 +51,8 @@ def _nbody_kernel(
     with_jerk: bool = True,
 ):
     n_true = n_ref[0, 0]
-    i0 = pl.program_id(0) * TILE_I
+    row_base = n_ref[0, 1]  # nonzero when rows are a shard of the columns
+    i0 = row_base + pl.program_id(0) * TILE_I
     row_ids = i0 + jax.lax.broadcasted_iota(jnp.int32, (TILE_I, 1), 0)
 
     xi = pos_row[:, 0:1]
@@ -143,6 +144,31 @@ def pallas_acc_jerk_pot(
     the leapfrog/BHTree-parity path needs only accelerations.
     `interpret=None` auto-selects interpreter mode off-TPU so the kernel is
     testable on the CPU backend."""
+    return pallas_acc_jerk_pot_rows(
+        pos, vel, jnp.zeros((), jnp.int32), pos, vel, mass,
+        eps2=eps2, g=g, interpret=interpret, with_jerk=with_jerk,
+    )
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("eps2", "g", "interpret", "with_jerk"))
+def pallas_acc_jerk_pot_rows(
+    pos_rows: jax.Array,   # [B,3]  target rows (a shard of the columns)
+    vel_rows: jax.Array,   # [B,3]
+    row_offset: jax.Array, # scalar int32: global index of pos_rows[0]
+    pos: jax.Array,        # [N,3]  ALL source columns
+    vel: jax.Array,        # [N,3]
+    mass: jax.Array,       # [N]
+    eps2: float = 0.0,
+    g: float = G_INTERNAL,
+    interpret: bool | None = None,
+    with_jerk: bool = True,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Row-block variant: forces on `pos_rows` from all of `pos`. This is
+    the per-shard kernel of the multi-chip path (parallel.sharded): each
+    chip owns a row block, all_gathers the columns over ICI and runs this.
+    Self-interactions are masked via `row_offset` + local index against the
+    global column index."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if eps2 == 0.0:
@@ -150,10 +176,14 @@ def pallas_acc_jerk_pot(
         # (observed on v5e); 1e-30 is numerically inert here (self-pairs are
         # masked and real pair distances are >> 1e-15) and compiles fine.
         eps2 = 1e-30
+    b = pos_rows.shape[0]
     n = pos.shape[0]
-    n_padded = -(-n // max(TILE_I, TILE_J)) * max(TILE_I, TILE_J)
+    b_padded = -(-b // TILE_I) * TILE_I
+    n_padded = -(-n // TILE_J) * TILE_J
 
     f32 = jnp.float32
+    rowsp = _pad_rows(pos_rows.astype(f32), b_padded)
+    vrowsp = _pad_rows(vel_rows.astype(f32), b_padded)
     posp = _pad_rows(pos.astype(f32), n_padded)
     velp = _pad_rows(vel.astype(f32), n_padded)
     massp = _pad_rows(mass.astype(f32), n_padded)
@@ -161,9 +191,11 @@ def pallas_acc_jerk_pot(
     pos_t = posp.T                      # [3, Np]
     vel_t = velp.T
     mass2d = massp[None, :]             # [1, Np]
-    n_arr = jnp.full((1, 1), n, jnp.int32)
+    n_arr = jnp.stack([
+        jnp.asarray(n, jnp.int32), row_offset.astype(jnp.int32)
+    ]).reshape(1, 2)
 
-    grid = (n_padded // TILE_I,)
+    grid = (b_padded // TILE_I,)
     kernel = functools.partial(
         _nbody_kernel, eps2=float(eps2), g=float(g), n_padded=n_padded,
         with_jerk=with_jerk,
@@ -173,7 +205,7 @@ def pallas_acc_jerk_pot(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((TILE_I, 3), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_I, 3), lambda i: (i, 0),
@@ -194,21 +226,21 @@ def pallas_acc_jerk_pot(
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n_padded, 3), f32),
-            jax.ShapeDtypeStruct((n_padded, 3), f32),
-            jax.ShapeDtypeStruct((n_padded, 1), f32),
+            jax.ShapeDtypeStruct((b_padded, 3), f32),
+            jax.ShapeDtypeStruct((b_padded, 3), f32),
+            jax.ShapeDtypeStruct((b_padded, 1), f32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=flops_per_pair * n_padded * n_padded,
-            bytes_accessed=7 * 4 * n_padded,
-            transcendentals=n_padded * n_padded,
+            flops=flops_per_pair * b_padded * n_padded,
+            bytes_accessed=7 * 4 * (b_padded + n_padded),
+            transcendentals=b_padded * n_padded,
         ),
         interpret=interpret,
-    )(n_arr, posp, velp, pos_t, vel_t, mass2d)
+    )(n_arr, rowsp, vrowsp, pos_t, vel_t, mass2d)
     return (
-        acc[:n].astype(pos.dtype),
-        jerk[:n].astype(pos.dtype),
-        pot[:n, 0].astype(pos.dtype),
+        acc[:b].astype(pos_rows.dtype),
+        jerk[:b].astype(pos_rows.dtype),
+        pot[:b, 0].astype(pos_rows.dtype),
     )
 
 

@@ -57,3 +57,57 @@ def test_pallas_force_fn_in_integrator():
                                     jnp.float32), eps2=1e-2, force_fn=ff)
     np.testing.assert_allclose(np.asarray(p_pal), np.asarray(p_ref),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_pallas_rows_variant_matches_full():
+    """The row-block kernel (multi-chip per-shard path) equals the full
+    kernel's corresponding rows for any offset."""
+    from al26_tpu.ops.pallas_nbody import pallas_acc_jerk_pot_rows
+
+    pos, vel, mass = _system(512, seed=7)
+    a_full, j_full, p_full = pallas_acc_jerk_pot(pos, vel, mass, 1e-3)
+    for start, width in [(0, 128), (128, 256), (384, 128)]:
+        a, j, p = pallas_acc_jerk_pot_rows(
+            pos[start:start + width], vel[start:start + width],
+            jnp.asarray(start, jnp.int32), pos, vel, mass, eps2=1e-3)
+        np.testing.assert_allclose(np.asarray(a),
+                                   np.asarray(a_full[start:start + width]),
+                                   rtol=2e-5, atol=1e-8)
+        np.testing.assert_allclose(np.asarray(p),
+                                   np.asarray(p_full[start:start + width]),
+                                   rtol=2e-5, atol=1e-8)
+
+
+def test_sharded_force_pallas_path_matches():
+    """shard_map + pallas row kernel (forced on, interpret mode) equals the
+    jnp sharded result on the fake 8-device mesh."""
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+
+    from al26_tpu.parallel.sharded import _local_rows_force, make_mesh
+
+    rng = np.random.default_rng(3)
+    n = 256
+    pos = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    vel = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    mass = jnp.asarray(rng.uniform(0.1, 2.0, n), jnp.float32)
+    mesh = make_mesh(8)
+
+    def build(use_pallas):
+        @functools.partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(P("rows"), P("rows"), P("rows")),
+            out_specs=(P("rows"), P("rows"), P("rows")),
+            check_vma=False)
+        def f(p, v, m):
+            return _local_rows_force(p, v, m, 1e-3, 4.4985e-3, "rows",
+                                     use_pallas=use_pallas)
+        return f
+
+    a1, j1, p1 = build(False)(pos, vel, mass)
+    a2, j2, p2 = build(True)(pos, vel, mass)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2),
+                               rtol=2e-4, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2),
+                               rtol=2e-4, atol=1e-7)
