@@ -125,9 +125,14 @@ def empty_cluster(n: int, dtype=jnp.float64) -> Cluster:
 
 
 def cluster_to_numpy(c: Cluster) -> dict:
-    """Pull a cluster to host as a dict of numpy arrays (I/O boundary)."""
+    """Pull a cluster to host as a dict of numpy arrays (I/O boundary).
+
+    Uses ONE batched device_get: per-field np.asarray would issue ~45
+    sequential device->host transfers, which costs >1 s per checkpoint on a
+    tunneled TPU (25 ms round-trip each)."""
+    host = jax.device_get(c)
     return {
-        fld.name: np.asarray(getattr(c, fld.name))
+        fld.name: np.asarray(getattr(host, fld.name))
         for fld in dataclasses.fields(c)
     }
 

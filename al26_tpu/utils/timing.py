@@ -16,7 +16,13 @@ from typing import Dict, List
 
 
 class PhaseTimers:
-    """Accumulates wall-clock per named phase; cheap enough to always run."""
+    """Accumulates wall-clock per named phase; cheap enough to always run.
+
+    CAVEAT: jax dispatch is asynchronous — a phase that only ENQUEUES device
+    work (e.g. the driver's "physics" phase) appears near-free, and the wait
+    lands in whichever later phase first touches the results (the
+    "checkpoint" phase's device_get). Interpret driver timings as
+    physics ~= checkpoint unless a phase does real host work."""
 
     def __init__(self) -> None:
         self.totals: Dict[str, float] = defaultdict(float)
