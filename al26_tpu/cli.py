@@ -68,14 +68,23 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Master PRNG seed (recorded in checkpoints)")
     p.add_argument("--dtype", type=str, default="f64", choices=("f32", "f64"),
                    help="Compute precision (f64 needs jax x64; use f32 on TPU)")
-    p.add_argument("--integrator", type=str, default="hermite4",
-                   choices=("hermite4", "leapfrog"),
-                   help="N-body integrator")
+    p.add_argument("--integrator", type=str, default="auto",
+                   choices=("auto", "hermite4", "leapfrog"),
+                   help="N-body integrator (auto: hermite4 <= 8192 stars, "
+                        "BHTree-parity leapfrog beyond)")
     p.add_argument("--softening", type=float, default=None,
                    help="Plummer softening length (pc); default: BHTree parity "
                         "sqrt(0.125)*rc")
     p.add_argument("--ensemble", type=int, default=1,
                    help="Number of vmapped cluster realizations")
+    p.add_argument("--eta", dest="eta_hermite", type=float, default=0.14,
+                   help="Hermite accuracy parameter (smaller = more "
+                        "substeps)")
+    p.add_argument("--leapfrog_n_sub", type=int, default=None,
+                   help="Leapfrog substeps per outer step; default: BHTree "
+                        "parity (1/64 N-body time unit)")
+    p.add_argument("--no_validate", dest="validate", action="store_false",
+                   help="Disable state invariant checks at checkpoints")
     return p
 
 

@@ -83,6 +83,9 @@ class SimConfig:
     #                                     uses numpy global RNG; we record the
     #                                     seed for reproducibility)
     verbose: bool = False              # (ref: -v)
+    validate: bool = True              # invariant checks at checkpoints
+    #   (utils/validate.py; the reference's analogue is the per-step
+    #   particle-key assertion, al26_nbody.py:781-783)
     metallicity: float = 0.02          # stellar evolution Z (al26_nbody.py:467)
 
     # -- parallel ----------------------------------------------------

@@ -56,7 +56,14 @@ def _save(base, metadata, converter, yields, state, cfg,
           increment=True, verbose=False):
     t_myr = float(state.time)
     metadata.update(t_myr, increment_checkpoint=increment)
-    particles = cluster_to_particles(state.cluster)
+    from ..state import cluster_to_numpy
+
+    cluster_np = cluster_to_numpy(state.cluster)
+    if getattr(cfg, "validate", True):
+        from ..utils.validate import validate_cluster_dict
+
+        validate_cluster_dict(cluster_np, t_myr)
+    particles = cluster_to_particles(cluster_np)
     yields.update_state(t_myr, particles)
     ckpt.save_checkpoint(
         base, metadata.most_recent_checkpoint, particles, converter,

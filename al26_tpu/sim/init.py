@@ -73,6 +73,16 @@ def init_cluster(cfg: SimConfig, data_dir: str | None = None):
     rng = np.random.default_rng(cfg.seed)
     dtype = _dtype(cfg)
 
+    if abs(cfg.metallicity - 0.02) > 1e-12:
+        import warnings
+
+        warnings.warn(
+            "the stellar-evolution anchor tables are calibrated at solar "
+            "metallicity Z=0.02 (the reference's SeBa setting, "
+            "al26_nbody.py:467); other Z values are not yet modelled",
+            stacklevel=2,
+        )
+
     # -- masses (IMF with >=13 Msun re-roll, al26_nbody.py:1508-1510) ------
     masses = imf.generate_masses(
         rng, cfg.n, cfg.star_min_mass, cfg.star_max_mass,

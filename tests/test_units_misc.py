@@ -65,3 +65,28 @@ def test_determinism_same_seed():
                                   np.asarray(o2.cluster.pos))
     np.testing.assert_array_equal(np.asarray(o1.cluster.slr),
                                   np.asarray(o2.cluster.slr))
+
+
+def test_state_validation_catches_corruption():
+    import numpy as np
+    import pytest as _pytest
+
+    from al26_tpu.config import SimConfig
+    from al26_tpu.sim import init_cluster
+    from al26_tpu.state import cluster_to_numpy
+    from al26_tpu.utils.validate import StateValidationError, validate_cluster_dict
+
+    cfg = SimConfig(n=16, rc=1.0, seed=1, no_massive_star_requirement=True)
+    state, _, _ = init_cluster(cfg)
+    d = cluster_to_numpy(state.cluster)
+    validate_cluster_dict(d, 0.0)  # clean state passes
+
+    bad = {k: v.copy() for k, v in d.items()}
+    bad["pos"][3, 1] = np.nan
+    with _pytest.raises(StateValidationError, match="pos.*non-finite"):
+        validate_cluster_dict(bad, 1.0)
+
+    bad2 = {k: v.copy() for k, v in d.items()}
+    bad2["mass"][0] = -1.0
+    with _pytest.raises(StateValidationError, match="negative stellar mass"):
+        validate_cluster_dict(bad2, 1.0)
