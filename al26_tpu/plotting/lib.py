@@ -25,6 +25,54 @@ __all__ = [
 ]
 
 
+def use_tex(use_mnras: bool = False) -> None:
+    """Enable TeX text rendering for paper figures (al26_plot.py:22-39).
+    No-op when no TeX toolchain is installed."""
+    import shutil
+
+    import matplotlib.pyplot as plt
+
+    if shutil.which("latex") is None:
+        return
+    plt.rcParams.update({
+        "text.usetex": True,
+        "font.family": "Computer Modern",
+    })
+    if use_mnras:
+        for key, size in (("axes", 9), ("xtick", 9), ("ytick", 9),
+                          ("legend", 9), ("figure", 9)):
+            plt.rc(key, **({"titlesize": size} if key == "figure"
+                           else {"labelsize": size} if key in ("xtick", "ytick")
+                           else {"fontsize": size} if key == "legend"
+                           else {"labelsize": size, "titlesize": size}))
+
+
+def sphere_wireframe(x, y, z, r):
+    """Wireframe sphere coordinates at (x,y,z) (al26_plot.py:100-109)."""
+    u, v = np.mgrid[0:2 * np.pi:20j, 0:np.pi:20j]
+    return (r * np.cos(u) * np.sin(v) + x,
+            r * np.sin(u) * np.sin(v) + y,
+            r * np.cos(v) + z)
+
+
+def check_interaction(xh, yh, zh, xl_arr, yl_arr, zl_arr, r):
+    """Disc stars within radius r of a massive star
+    (al26_plot.py:71-98, vectorised)."""
+    xl = np.asarray(xl_arr)
+    yl = np.asarray(yl_arr)
+    zl = np.asarray(zl_arr)
+    d = np.sqrt((xl - xh) ** 2 + (yl - yh) ** 2 + (zl - zh) ** 2)
+    hit = d < r
+    return (xl[hit].tolist(), yl[hit].tolist(), zl[hit].tolist(),
+            xl_arr, yl_arr, zl_arr)
+
+
+def get_digit_from_filename(filename: str, length: int = 5) -> str:
+    """Trailing digit group of a checkpoint filename (al26_plot.py:205-208)."""
+    digits = "".join(filter(str.isdigit, filename))
+    return digits[-length:]
+
+
 def read_state(filename: str) -> State:
     """Load a `<base>-state-NNNNN.pkl.zst` file (al26_plot.py:41-50);
     transparently handles reference-written AMUSE pickles."""

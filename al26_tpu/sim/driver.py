@@ -170,12 +170,27 @@ def run(cfg: SimConfig, progress: bool = True,
     maybe_start_trace()
     write_traj = cfg.interloper and cfg.interloper_trajectory
 
+    # optional multi-chip row sharding of a single large run
+    mesh = None
+    if cfg.mesh_shape:
+        from ..parallel.sharded import make_mesh, shard_state_rows
+
+        n_dev = int(np.prod(cfg.mesh_shape))
+        n_total = state.cluster.n
+        if n_total % n_dev != 0:
+            raise ValueError(
+                f"mesh_shape={cfg.mesh_shape}: star count {n_total} must "
+                f"divide across {n_dev} devices (pad n or change the mesh)"
+            )
+        mesh = make_mesh(n_dev)
+        state = shard_state_rows(state, mesh)
+
     def advance_steps(s, n):
         if write_traj:
             s, rows = run_steps_traj(s, aux, cfg, n)
             _append_trajectory(np.asarray(rows))
             return s
-        return run_steps(s, aux, cfg, n)
+        return run_steps(s, aux, cfg, n, mesh=mesh)
 
     k = n_done
     while k < n_steps:

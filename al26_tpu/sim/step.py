@@ -130,6 +130,10 @@ def step(state: SimState, aux: SimAux, cfg: SimConfig,
 
     # -- 3. stellar evolution ------------------------------------------
     mass_new, mdot_new = stellar.evolve(c.m0, t_new)
+    # the anchor tables are f64 constants: under x64 they would promote an
+    # f32 state and break the scan carry
+    mass_new = mass_new.astype(c.pos.dtype)
+    mdot_new = mdot_new.astype(c.pos.dtype)
     # the interloper's mass is pinned (it is an evolved AGB star whose mass
     # track is carried by the AGB table, al26_nbody.py:1448-1490)
     mass_new = jnp.where(c.is_interloper, c.mass, mass_new)

@@ -88,3 +88,45 @@ def test_force_fn_hook_in_integrator():
                               force_fn=ff)
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-10)
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-10)
+
+
+def test_driver_with_mesh_matches_unsharded(tmp_path):
+    """run(cfg) with mesh_shape=(8,) row-shards the whole checkpointed run
+    and matches the single-device trajectory."""
+    import os
+
+    from al26_tpu.sim.driver import run
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        base_cfg = SimConfig(n=64, rc=0.5, final_time=0.5, seed=17,
+                             n_plot=2, steps_per_plot=5)
+        r1 = run(base_cfg.replace(filename="plain"), progress=False)
+        r2 = run(base_cfg.replace(filename="meshed", mesh_shape=(8,)),
+                 progress=False)
+        np.testing.assert_allclose(
+            np.asarray(r1.state.cluster.pos),
+            np.asarray(r2.state.cluster.pos), rtol=1e-9, atol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(r1.state.cluster.slr),
+            np.asarray(r2.state.cluster.slr), rtol=1e-9, atol=1e-30)
+    finally:
+        os.chdir(cwd)
+
+
+def test_driver_mesh_divisibility_error(tmp_path):
+    import os
+
+    from al26_tpu.sim.driver import run
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        cfg = SimConfig(n=30, rc=0.5, final_time=0.5, seed=1,
+                        mesh_shape=(8,), n_plot=2, steps_per_plot=5,
+                        no_massive_star_requirement=True)
+        with pytest.raises(ValueError, match="must divide"):
+            run(cfg, progress=False)
+    finally:
+        os.chdir(cwd)

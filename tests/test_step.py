@@ -192,3 +192,25 @@ def test_vmapped_ensemble():
             np.asarray(stepped.cluster.pos[i]),
             np.asarray(single.cluster.pos), rtol=1e-9, atol=1e-12,
         )
+
+
+def test_f32_f64_statistics_consistency():
+    """Precision guard: f32 and f64 runs of the same cluster agree on the
+    integrated SLR statistics to f32-appropriate tolerance over 1 Myr
+    (the BASELINE reproducibility axis, SURVEY.md §7 hard part 2)."""
+    cfg64 = SimConfig(n=96, rc=0.5, final_time=1.0, seed=23, dtype="f64")
+    cfg32 = cfg64.replace(dtype="f32")
+    s64, a64, c64 = init_cluster(cfg64)
+    s32, a32, c32 = init_cluster(cfg32)
+    o64 = run_steps(s64, a64, c64, 100)
+    o32 = run_steps(s32, a32, c32, 100)
+    sum64 = np.asarray(o64.cluster.slr).sum(axis=0)  # [S,C] totals
+    sum32 = np.asarray(o32.cluster.slr).sum(axis=0)
+    nz = sum64 > 0
+    assert np.allclose(sum32[nz] / sum64[nz], 1.0, atol=0.05), (
+        sum64, sum32)
+    # positions stay close over this horizon (chaotic divergence is slow
+    # with BHTree-parity softening)
+    d = np.linalg.norm(np.asarray(o32.cluster.pos)
+                       - np.asarray(o64.cluster.pos), axis=1)
+    assert np.median(d) < 0.05
