@@ -69,9 +69,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dtype", type=str, default="f64", choices=("f32", "f64"),
                    help="Compute precision (f64 needs jax x64; use f32 on TPU)")
     p.add_argument("--integrator", type=str, default="auto",
-                   choices=("auto", "hermite4", "leapfrog"),
+                   choices=("auto", "hermite4", "hermite4_block", "leapfrog"),
                    help="N-body integrator (auto: hermite4 <= 8192 stars, "
-                        "BHTree-parity leapfrog beyond)")
+                        "BHTree-parity leapfrog beyond; hermite4_block = "
+                        "two-group block timesteps, fastest at large N)")
     p.add_argument("--softening", type=float, default=None,
                    help="Plummer softening length (pc); default: BHTree parity "
                         "sqrt(0.125)*rc")

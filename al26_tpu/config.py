@@ -49,7 +49,8 @@ class SimConfig:
     mass_frac_56fe: float = 1.828e-4   # stable 56Fe per stellar mass (:1567)
 
     # -- gravity ----------------------------------------------------------
-    integrator: str = "auto"           # "auto" | "hermite4" | "leapfrog"
+    integrator: str = "auto"           # "auto" | "hermite4" |
+    #                                     "hermite4_block" | "leapfrog"
     #   auto resolves at init: hermite4 (ph4-parity, shared adaptive
     #   timestep) up to 8192 stars, BHTree-parity leapfrog beyond — the
     #   reference's own default solver is the BHTree leapfrog
@@ -62,6 +63,8 @@ class SimConfig:
     #   BHTree whose default epsilon_squared is 0.125 nbody-length^2, i.e.
     #   eps = sqrt(0.125) * Rc (al26_nbody.py:59,1712-1714).
     eta_hermite: float = 0.14          # Aarseth accuracy parameter (dimensionless)
+    k_fast: Optional[int] = None       # hermite4_block fast-group size;
+    #                                     None = max(128, n // 16)
     substeps_max: int = 4096           # static bound on internal substeps/outer step
     dtype: str = "f64"                 # "f32" | "f64" compute precision
 

@@ -132,16 +132,145 @@ def hermite4_advance(
     return pos, vel
 
 
+def hermite4_block_advance(
+    pos: jax.Array,
+    vel: jax.Array,
+    mass: jax.Array,
+    dt: jax.Array,
+    k_fast: int,
+    eta: float = 0.14,
+    eps2: float | jax.Array = 0.0,
+    g: float = G_INTERNAL,
+    max_substeps: int = 4096,
+    force_fn=None,
+    force_rows_fn=None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Two-group block-timestep Hermite (ph4-style, TPU fixed shapes).
+
+    The classic hierarchical block-timestep scheme (the reference's ph4
+    option, al26_nbody.py:1715-1717) lets each particle pick its own
+    power-of-two substep. A shared adaptive step instead forces EVERY
+    particle onto the smallest step, whose cost explodes with N (the min of
+    |a|/|jerk| over N stars keeps shrinking). This integrator is the
+    fixed-shape two-level version:
+
+      * full force evaluation at the step start; the `k_fast` particles
+        with the smallest |a|/|jerk| timestep criterion form the FAST group
+        (a static-size index set, so shapes never change);
+      * the slow group takes one Hermite P(EC) step across the whole dt,
+        its positions available to the fast group through the standard
+        Hermite predictor polynomial;
+      * the fast group subcycles with a shared adaptive step, each substep
+        evaluating forces only on the K fast rows against all N columns
+        (O(K x N) per substep instead of O(N^2)), with fast columns
+        overwritten by their current subcycled state;
+      * a final full evaluation at t+dt closes the slow corrector.
+
+    Cost per step: 2 full sweeps + S_sub * K * N pairs, versus
+    S_sub * N^2 for the shared-step integrator.
+
+    `force_rows_fn(pos_rows, vel_rows, row_ids, pos_all, vel_all) ->
+    (acc, jerk)` overrides the row-subset force (the Pallas row kernel on
+    TPU); defaults to the dense jnp row block.
+    """
+    dtype = pos.dtype
+    tiny = jnp.asarray(1e-30, dtype)
+    n = pos.shape[0]
+
+    if force_fn is None:
+        def force_fn(p, v):
+            a, j, _ = acc_jerk_pot(p, v, mass, eps2, g)
+            return a, j
+    if force_rows_fn is None:
+        from .nbody import _row_block_acc_jerk_pot
+
+        def force_rows_fn(pr, vr, ids, p_all, v_all):
+            a, j, _ = _row_block_acc_jerk_pot(
+                pr, vr, p_all, v_all, mass, eps2, g, ids
+            )
+            return a, j
+
+    # -- step-start evaluation + fast-group selection -----------------------
+    a0, j0 = force_fn(pos, vel)
+    a2 = jnp.sum(a0 * a0, axis=-1)
+    j2 = jnp.sum(j0 * j0, axis=-1)
+    crit = jnp.sqrt(a2 / jnp.maximum(j2, tiny))      # per-particle h/eta
+    neg_crit, fast_idx = jax.lax.top_k(-crit, k_fast)
+    fast_idx = fast_idx.astype(jnp.int32)
+
+    dt2 = dt * dt
+
+    def predict_all(tau):
+        """Hermite predictor for every particle at step-start + tau."""
+        t2 = tau * tau
+        p = pos + tau * vel + 0.5 * t2 * a0 + (t2 * tau / 6.0) * j0
+        v = vel + tau * a0 + 0.5 * t2 * j0
+        return p, v
+
+    # -- fast-group subcycle -------------------------------------------
+    pf0 = pos[fast_idx]
+    vf0 = vel[fast_idx]
+    af0 = a0[fast_idx]
+    jf0 = j0[fast_idx]
+    h_min = dt / max_substeps
+
+    def cond(carry):
+        return carry[0] < dt
+
+    def body(carry):
+        tau, pf, vf, af, jf = carry
+        fa2 = jnp.sum(af * af, axis=-1)
+        fj2 = jnp.sum(jf * jf, axis=-1)
+        h = eta * jnp.sqrt(jnp.min(fa2 / jnp.maximum(fj2, tiny)))
+        h = jnp.minimum(jnp.maximum(h, h_min), dt - tau)
+        h2 = h * h
+        # predict fast rows
+        pfp = pf + h * vf + 0.5 * h2 * af + (h2 * h / 6.0) * jf
+        vfp = vf + h * af + 0.5 * h2 * jf
+        # columns at tau+h: everyone predicted, fast rows replaced by their
+        # subcycled prediction
+        p_cols, v_cols = predict_all(tau + h)
+        p_cols = p_cols.at[fast_idx].set(pfp)
+        v_cols = v_cols.at[fast_idx].set(vfp)
+        a1, j1 = force_rows_fn(pfp, vfp, fast_idx, p_cols, v_cols)
+        vf1 = vf + 0.5 * h * (af + a1) + (h2 / 12.0) * (jf - j1)
+        pf1 = pf + 0.5 * h * (vf + vf1) + (h2 / 12.0) * (af - a1)
+        return (tau + h, pf1, vf1, a1, j1)
+
+    tau0 = jnp.zeros((), dtype)
+    _, pf, vf, af, jf = jax.lax.while_loop(
+        cond, body, (tau0, pf0, vf0, af0, jf0)
+    )
+
+    # -- slow-group full step ------------------------------------------
+    pos_p, vel_p = predict_all(dt)
+    pos_p = pos_p.at[fast_idx].set(pf)
+    vel_p = vel_p.at[fast_idx].set(vf)
+    a1, j1 = force_fn(pos_p, vel_p)
+    vel_c = vel + 0.5 * dt * (a0 + a1) + (dt2 / 12.0) * (j0 - j1)
+    pos_c = pos + 0.5 * dt * (vel + vel_c) + (dt2 / 12.0) * (a0 - a1)
+    # fast rows keep their subcycled (more accurate) result
+    pos_c = pos_c.at[fast_idx].set(pf)
+    vel_c = vel_c.at[fast_idx].set(vf)
+    return pos_c, vel_c
+
+
 def advance(
     pos, vel, mass, dt, *, integrator: str = "hermite4",
     eta: float = 0.14, n_sub: int = 8, eps2=0.0, g=G_INTERNAL,
     max_substeps: int = 4096, force_block=None, force_fn=None, acc_fn=None,
+    k_fast: int = 0, force_rows_fn=None,
 ):
     """Static dispatch over the configured integrator."""
     if integrator == "hermite4":
         return hermite4_advance(
             pos, vel, mass, dt, eta, eps2, g, max_substeps, force_block,
             force_fn,
+        )
+    if integrator == "hermite4_block":
+        return hermite4_block_advance(
+            pos, vel, mass, dt, k_fast or max(128, pos.shape[0] // 16),
+            eta, eps2, g, max_substeps, force_fn, force_rows_fn,
         )
     if integrator == "leapfrog":
         if acc_fn is None and force_fn is not None:

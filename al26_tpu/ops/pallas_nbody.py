@@ -35,7 +35,10 @@ TILE_J = 512
 
 
 def _nbody_kernel(
-    n_ref,            # [1,2] SMEM: (true source count, global row offset)
+    n_ref,            # [1,1] SMEM: true source count
+    row_ids_ref,      # [TILE_I, 1] VMEM int32: global column index of each
+    #                   row (-1 for padding rows; masks the self pair even
+    #                   for scattered row subsets)
     pos_row,          # [TILE_I, 3] VMEM (this block's rows)
     vel_row,          # [TILE_I, 3]
     pos_t,            # [3, Np] VMEM (all columns, lane-major)
@@ -51,9 +54,7 @@ def _nbody_kernel(
     with_jerk: bool = True,
 ):
     n_true = n_ref[0, 0]
-    row_base = n_ref[0, 1]  # nonzero when rows are a shard of the columns
-    i0 = row_base + pl.program_id(0) * TILE_I
-    row_ids = i0 + jax.lax.broadcasted_iota(jnp.int32, (TILE_I, 1), 0)
+    row_ids = row_ids_ref[:, 0:1]
 
     xi = pos_row[:, 0:1]
     yi = pos_row[:, 1:2]
@@ -145,7 +146,7 @@ def pallas_acc_jerk_pot(
     `interpret=None` auto-selects interpreter mode off-TPU so the kernel is
     testable on the CPU backend."""
     return pallas_acc_jerk_pot_rows(
-        pos, vel, jnp.zeros((), jnp.int32), pos, vel, mass,
+        pos, vel, jnp.arange(pos.shape[0], dtype=jnp.int32), pos, vel, mass,
         eps2=eps2, g=g, interpret=interpret, with_jerk=with_jerk,
     )
 
@@ -153,9 +154,10 @@ def pallas_acc_jerk_pot(
 @functools.partial(jax.jit,
                    static_argnames=("eps2", "g", "interpret", "with_jerk"))
 def pallas_acc_jerk_pot_rows(
-    pos_rows: jax.Array,   # [B,3]  target rows (a shard of the columns)
+    pos_rows: jax.Array,   # [B,3]  target rows (a subset of the columns)
     vel_rows: jax.Array,   # [B,3]
-    row_offset: jax.Array, # scalar int32: global index of pos_rows[0]
+    row_ids: jax.Array,    # [B] int32: global column index of each row
+    #                        (any order/subset; -1 = padding row)
     pos: jax.Array,        # [N,3]  ALL source columns
     vel: jax.Array,        # [N,3]
     mass: jax.Array,       # [N]
@@ -164,11 +166,12 @@ def pallas_acc_jerk_pot_rows(
     interpret: bool | None = None,
     with_jerk: bool = True,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Row-block variant: forces on `pos_rows` from all of `pos`. This is
-    the per-shard kernel of the multi-chip path (parallel.sharded): each
-    chip owns a row block, all_gathers the columns over ICI and runs this.
-    Self-interactions are masked via `row_offset` + local index against the
-    global column index."""
+    """Row-subset variant: forces on `pos_rows` from all of `pos`.
+
+    Used by (a) the multi-chip path (parallel.sharded) with a contiguous
+    row block per chip, and (b) the block-timestep Hermite's fast-group
+    subcycle (ops.integrators) with a SCATTERED row subset. Self pairs are
+    masked by comparing each row's global id against the column index."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if eps2 == 0.0:
@@ -184,6 +187,8 @@ def pallas_acc_jerk_pot_rows(
     f32 = jnp.float32
     rowsp = _pad_rows(pos_rows.astype(f32), b_padded)
     vrowsp = _pad_rows(vel_rows.astype(f32), b_padded)
+    idsp = jnp.pad(row_ids.astype(jnp.int32), (0, b_padded - b),
+                   constant_values=-1)[:, None]
     posp = _pad_rows(pos.astype(f32), n_padded)
     velp = _pad_rows(vel.astype(f32), n_padded)
     massp = _pad_rows(mass.astype(f32), n_padded)
@@ -191,9 +196,7 @@ def pallas_acc_jerk_pot_rows(
     pos_t = posp.T                      # [3, Np]
     vel_t = velp.T
     mass2d = massp[None, :]             # [1, Np]
-    n_arr = jnp.stack([
-        jnp.asarray(n, jnp.int32), row_offset.astype(jnp.int32)
-    ]).reshape(1, 2)
+    n_arr = jnp.full((1, 1), n, jnp.int32)
 
     grid = (b_padded // TILE_I,)
     kernel = functools.partial(
@@ -205,7 +208,9 @@ def pallas_acc_jerk_pot_rows(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((TILE_I, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_I, 3), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_I, 3), lambda i: (i, 0),
@@ -236,7 +241,7 @@ def pallas_acc_jerk_pot_rows(
             transcendentals=b_padded * n_padded,
         ),
         interpret=interpret,
-    )(n_arr, rowsp, vrowsp, pos_t, vel_t, mass2d)
+    )(n_arr, idsp, rowsp, vrowsp, pos_t, vel_t, mass2d)
     return (
         acc[:b].astype(pos_rows.dtype),
         jerk[:b].astype(pos_rows.dtype),
@@ -267,3 +272,17 @@ def make_pallas_acc(mass: jax.Array, eps2: float | jax.Array = 0.0,
         return a
 
     return acc_fn
+
+
+def make_pallas_force_rows(mass: jax.Array, eps2: float | jax.Array = 0.0,
+                           g: float = G_INTERNAL):
+    """`force_rows_fn(pos_rows, vel_rows, row_ids, pos_all, vel_all) ->
+    (acc, jerk)` for the block-timestep fast-group subcycle."""
+
+    def force_rows_fn(pr, vr, ids, p_all, v_all):
+        a, j, _ = pallas_acc_jerk_pot_rows(
+            pr, vr, ids, p_all, v_all, mass, eps2=float(eps2), g=g
+        )
+        return a, j
+
+    return force_rows_fn

@@ -58,16 +58,15 @@ def _local_rows_force(pos_l, vel_l, mass_l, eps2, g, axis,
         use_pallas = (jax.default_backend() == "tpu"
                       and pos.shape[0] >= 4096
                       and pos.dtype == jnp.float32)
+    rows = (start + jnp.arange(block)).astype(jnp.int32)
     if use_pallas:
         from ..ops.pallas_nbody import pallas_acc_jerk_pot_rows
 
         return pallas_acc_jerk_pot_rows(
-            pos_l, vel_l, start.astype(jnp.int32), pos, vel, mass,
-            eps2=float(eps2), g=g,
+            pos_l, vel_l, rows, pos, vel, mass, eps2=float(eps2), g=g,
         )
     from ..ops.nbody import _row_block_acc_jerk_pot
 
-    rows = start + jnp.arange(block)
     return _row_block_acc_jerk_pot(pos_l, vel_l, pos, vel, mass, eps2, g, rows)
 
 

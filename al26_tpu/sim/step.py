@@ -76,6 +76,13 @@ def _build_force_fn(mass, eps2, cfg: SimConfig, mesh, force_impl: str):
     raise ValueError(f"unknown force_impl: {force_impl}")
 
 
+def _build_force_rows_fn(mass, eps2, force_impl_resolved):
+    if force_impl_resolved == "pallas":
+        from ..ops.pallas_nbody import make_pallas_force_rows
+        return make_pallas_force_rows(mass, eps2)
+    return None
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "mesh", "force_impl"))
 def step(state: SimState, aux: SimAux, cfg: SimConfig,
          mesh=None, force_impl: str = "auto") -> SimState:
@@ -120,12 +127,22 @@ def step(state: SimState, aux: SimAux, cfg: SimConfig,
     integ = cfg.integrator
     if integ == "auto":
         integ = "hermite4" if c.n <= 8192 else "leapfrog"
+    force_rows_fn = None
+    if integ == "hermite4_block":
+        import jax as _jax
+        impl = "pallas" if (
+            force_impl in ("pallas",)
+            or (force_impl == "auto" and _jax.default_backend() == "tpu"
+                and c.mass.shape[0] >= 4096 and c.mass.dtype == jnp.float32)
+        ) else "default"
+        force_rows_fn = _build_force_rows_fn(c.mass, cfg.eps2, impl)
     pos, vel = advance(
         c.pos, c.vel, c.mass, dt,
         integrator=integ, eta=cfg.eta_hermite,
         n_sub=cfg.leapfrog_n_sub or 16,
         eps2=eps2, max_substeps=cfg.substeps_max, force_fn=force_fn,
-        acc_fn=acc_fn,
+        acc_fn=acc_fn, k_fast=cfg.k_fast or 0,
+        force_rows_fn=force_rows_fn,
     )
 
     # -- 3. stellar evolution ------------------------------------------

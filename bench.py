@@ -55,12 +55,15 @@ def bench_force_throughput() -> float:
     return N_BENCH * N_BENCH / dt / 1e9
 
 
-def bench_wallclock_per_myr(n: int, repeat_steps: int = 100) -> float:
+def bench_wallclock_per_myr(n: int, repeat_steps: int = 100,
+                            integrator: str = "auto") -> float:
     """Full-physics step cadence at the reference dt (t_f=10 -> dt=0.01)."""
     from al26_tpu.config import SimConfig
     from al26_tpu.sim import init_cluster, run_steps
 
-    cfg = SimConfig(n=n, rc=1.0, final_time=10.0, seed=1, dtype="f32")
+    cfg = SimConfig(n=n, rc=1.0, final_time=10.0, seed=1, dtype="f32",
+                    integrator=integrator,
+                    k_fast=1024 if integrator == "hermite4_block" else None)
     state, aux, cfg = init_cluster(cfg)
     # warm with the SAME scan length (a different length is a new compile)
     s = run_steps(state, aux, cfg, repeat_steps)
@@ -102,6 +105,10 @@ def main() -> None:
             spm = bench_wallclock_per_myr(n, steps)
             print(f"# wall-clock per simulated Myr, N={n}: {spm:.3f} s/Myr",
                   file=sys.stderr)
+        spm = bench_wallclock_per_myr(102400, 10,
+                                      integrator="hermite4_block")
+        print(f"# wall-clock per simulated Myr, N=102400 "
+              f"(hermite4_block): {spm:.3f} s/Myr", file=sys.stderr)
         es = bench_ensemble()
         print(f"# 16-realization vmapped ensemble (N=1024): {es:.3f} "
               f"s/Myr total", file=sys.stderr)

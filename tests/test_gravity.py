@@ -156,3 +156,53 @@ def test_cluster_diagnostics():
     # central density greater than outskirts
     r = np.linalg.norm(pos_np, axis=1)
     assert rho[r < 0.3].mean() > 5 * rho[r > 1.5].mean()
+
+
+def test_hermite_block_matches_shared_adaptive():
+    """Two-group block-timestep Hermite tracks the shared-adaptive
+    integrator on a softened Plummer sphere with an injected tight pair
+    (the case that forces the shared step down)."""
+    from al26_tpu.ops.integrators import hermite4_block_advance
+
+    rng = np.random.default_rng(11)
+    n = 128
+    pos_np, vel_np = plummer_positions_velocities(rng, n, 1.0, n * 0.5)
+    # inject a close fast pair to create a genuine fast group
+    pos_np[1] = pos_np[0] + [5e-3, 0, 0]
+    vel_np[1] = vel_np[0] + [0, 0.5, 0]
+    pos = jnp.asarray(pos_np)
+    vel = jnp.asarray(vel_np)
+    mass = jnp.full(n, 0.5)
+    eps2 = 1e-4
+    dt = jnp.asarray(0.005)
+    p_ref, v_ref = pos, vel
+    p_blk, v_blk = pos, vel
+    for _ in range(10):
+        p_ref, v_ref = hermite4_advance(p_ref, v_ref, mass, dt, eta=0.02,
+                                        eps2=eps2, max_substeps=65536)
+        p_blk, v_blk = hermite4_block_advance(p_blk, v_blk, mass, dt,
+                                              k_fast=16, eta=0.02,
+                                              eps2=eps2, max_substeps=65536)
+    scale = float(jnp.max(jnp.abs(p_ref)))
+    err = float(jnp.max(jnp.abs(p_blk - p_ref))) / scale
+    assert err < 2e-4, err
+    e_ref = float(total_energy(p_ref, v_ref, mass, eps2))
+    e_blk = float(total_energy(p_blk, v_blk, mass, eps2))
+    assert abs((e_blk - e_ref) / e_ref) < 1e-4
+
+
+def test_hermite_block_energy_conservation():
+    from al26_tpu.ops.integrators import hermite4_block_advance
+
+    rng = np.random.default_rng(12)
+    n = 96
+    pos_np, vel_np = plummer_positions_velocities(rng, n, 1.0, n * 0.5)
+    pos, vel = jnp.asarray(pos_np), jnp.asarray(vel_np)
+    mass = jnp.full(n, 0.5)
+    eps2 = 0.125
+    e0 = float(total_energy(pos, vel, mass, eps2))
+    for _ in range(40):
+        pos, vel = hermite4_block_advance(pos, vel, mass, jnp.asarray(0.01),
+                                          k_fast=16, eta=0.1, eps2=eps2)
+    e1 = float(total_energy(pos, vel, mass, eps2))
+    assert abs((e1 - e0) / e0) < 1e-5, (e0, e1)

@@ -69,7 +69,8 @@ def test_pallas_rows_variant_matches_full():
     for start, width in [(0, 128), (128, 256), (384, 128)]:
         a, j, p = pallas_acc_jerk_pot_rows(
             pos[start:start + width], vel[start:start + width],
-            jnp.asarray(start, jnp.int32), pos, vel, mass, eps2=1e-3)
+            jnp.arange(start, start + width, dtype=jnp.int32),
+            pos, vel, mass, eps2=1e-3)
         np.testing.assert_allclose(np.asarray(a),
                                    np.asarray(a_full[start:start + width]),
                                    rtol=2e-5, atol=1e-8)
@@ -111,3 +112,21 @@ def test_sharded_force_pallas_path_matches():
                                rtol=2e-4, atol=1e-7)
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2),
                                rtol=2e-4, atol=1e-7)
+
+
+def test_pallas_scattered_rows():
+    """Arbitrary (non-contiguous, unordered) row subsets mask their self
+    pairs correctly — the block-timestep fast-group path."""
+    from al26_tpu.ops.pallas_nbody import pallas_acc_jerk_pot_rows
+
+    pos, vel, mass = _system(300, seed=9)
+    a_full, j_full, p_full = pallas_acc_jerk_pot(pos, vel, mass, 1e-3)
+    ids = jnp.asarray([7, 3, 299, 150, 42, 0, 255], jnp.int32)
+    a, j, p = pallas_acc_jerk_pot_rows(
+        pos[ids], vel[ids], ids, pos, vel, mass, eps2=1e-3)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(a_full[ids]),
+                               rtol=2e-5, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(j), np.asarray(j_full[ids]),
+                               rtol=2e-5, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(p), np.asarray(p_full[ids]),
+                               rtol=2e-5, atol=1e-8)

@@ -214,3 +214,22 @@ def test_f32_f64_statistics_consistency():
     d = np.linalg.norm(np.asarray(o32.cluster.pos)
                        - np.asarray(o64.cluster.pos), axis=1)
     assert np.median(d) < 0.05
+
+
+def test_step_with_block_integrator():
+    """Full physics step with integrator=hermite4_block stays close to the
+    hermite4 step over a checkpoint interval."""
+    cfg_a = SimConfig(n=96, rc=1.0, final_time=10.0, seed=19,
+                      integrator="hermite4")
+    cfg_b = cfg_a.replace(integrator="hermite4_block", k_fast=16)
+    s_a, aux_a, cfg_a = init_cluster(cfg_a)
+    s_b, aux_b, cfg_b = init_cluster(cfg_b)
+    o_a = run_steps(s_a, aux_a, cfg_a, 10)
+    o_b = run_steps(s_b, aux_b, cfg_b, 10)
+    np.testing.assert_allclose(np.asarray(o_b.cluster.pos),
+                               np.asarray(o_a.cluster.pos),
+                               rtol=1e-5, atol=1e-6)
+    # SLR deposition statistics agree
+    np.testing.assert_allclose(
+        np.asarray(o_b.cluster.slr).sum(0),
+        np.asarray(o_a.cluster.slr).sum(0), rtol=1e-4, atol=1e-30)
