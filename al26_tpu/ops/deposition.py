@@ -99,6 +99,7 @@ def sn_injection(
     r_disk: jax.Array,      # [N]
     lm_mask: jax.Array,     # [N] bool
     hm_idx: jax.Array,      # [H]
+    hm_slot_valid: jax.Array,  # [H] bool: False for padding slots
     hm_mask_now: jax.Array, # [N] bool: mass >= 13 as of step start
     mdot: jax.Array,        # [N] Msun/Myr AFTER the stellar-evolution update
     kicked: jax.Array,      # [N] bool
@@ -108,10 +109,11 @@ def sn_injection(
 
     Returns (injected [N,S], kicked' [N]). Detection matches the reference:
     a star that was high-mass at step start whose wind rate is now exactly
-    zero and which has not been kicked (al26_nbody.py:945-967).
+    zero and which has not been kicked (al26_nbody.py:945-967). Padded slots
+    (repeated indices) are masked so no star injects twice.
     """
     sn_event = hm_mask_now & (mdot == 0.0) & ~kicked        # [N]
-    ev = sn_event[hm_idx]                                   # [H]
+    ev = sn_event[hm_idx] & hm_slot_valid                   # [H]
     d2 = jnp.sum((pos[:, None, :] - pos[hm_idx][None, :, :]) ** 2, axis=-1)
     d2 = jnp.maximum(d2, 1e-30)
     eta = (SN_COS60 * r_disk[:, None] ** 2) / (4.0 * d2) * (SN_ETA_COND * SN_ETA_INJ)

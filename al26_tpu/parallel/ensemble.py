@@ -48,7 +48,11 @@ def init_ensemble(cfg: SimConfig, n_realizations: int,
     width = max(a.hm_idx.shape[0] for a in auxes)
     auxes = [
         dataclasses.replace(
-            a, hm_idx=jnp.pad(a.hm_idx, (0, width - a.hm_idx.shape[0]))
+            a,
+            hm_idx=jnp.pad(a.hm_idx, (0, width - a.hm_idx.shape[0])),
+            hm_slot_valid=jnp.pad(
+                a.hm_slot_valid, (0, width - a.hm_slot_valid.shape[0])
+            ),  # pads with False: padded slots never contribute
         )
         for a in auxes
     ]

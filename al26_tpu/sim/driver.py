@@ -105,6 +105,7 @@ def _rebuild_aux(cfg: SimConfig, cluster, data_dir=None) -> SimAux:
     dtype = cluster.pos.dtype
     return SimAux(
         hm_idx=jnp.asarray(hm_candidates, dtype=jnp.int32),
+        hm_slot_valid=jnp.ones(len(hm_candidates), bool),
         agb_grid_t=jnp.asarray(agb_grid_t, dtype=dtype),
         agb_grid_rates=jnp.asarray(agb_grid_rates, dtype=dtype),
     )

@@ -32,6 +32,10 @@ class SimAux:
     state)."""
 
     hm_idx: jax.Array        # [H] candidate massive-star indices (m0 >= 13)
+    hm_slot_valid: jax.Array  # [H] bool: False for padding slots (ensemble
+    #                           realizations pad to a common width; a padded
+    #                           slot repeats index 0 and MUST be masked or
+    #                           star 0's contribution double-counts)
     agb_grid_t: jax.Array    # [G] Myr (zeros when interloper disabled)
     agb_grid_rates: jax.Array  # [S,G] Msun/Myr
 
@@ -198,6 +202,7 @@ def init_cluster(cfg: SimConfig, data_dir: str | None = None):
     )
     aux = SimAux(
         hm_idx=hm_idx,
+        hm_slot_valid=jnp.ones(hm_idx.shape[0], bool),
         agb_grid_t=f(agb_grid_t),
         agb_grid_rates=f(agb_grid_rates),
     )

@@ -97,7 +97,7 @@ def step(state: SimState, aux: SimAux, cfg: SimConfig,
     # -- 1. masks + cluster radius from step-start state --------------------
     hm_mask_now = c.high_mass_mask(cfg.high_mass_threshold)
     lm_mask = c.low_mass_mask(cfg.low_mass_min, cfg.low_mass_max)
-    hm_valid = hm_mask_now[aux.hm_idx]
+    hm_valid = hm_mask_now[aux.hm_idx] & aux.hm_slot_valid
     from ..units import G_INTERNAL
     if mesh is not None:
         from ..parallel.sharded import sharded_potential_energy
@@ -172,7 +172,7 @@ def step(state: SimState, aux: SimAux, cfg: SimConfig,
 
     # -- 5. supernovae ---------------------------------------------------
     injected, kicked = dep.sn_injection(
-        pos, c.r_disk, lm_mask, aux.hm_idx, hm_mask_now,
+        pos, c.r_disk, lm_mask, aux.hm_idx, aux.hm_slot_valid, hm_mask_now,
         mdot_new, c.kicked, c.sn_yield,
     )
     slr = slr.at[:, :, CH_SNE].add(injected)

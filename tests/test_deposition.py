@@ -84,6 +84,7 @@ def test_sn_injection_matches_reference():
         jnp.asarray(x), jnp.asarray(r_disk),
         jnp.asarray((mass >= 0.1) & (mass <= 3.0)),
         jnp.asarray(hm_id, dtype=jnp.int32),
+        jnp.ones(len(hm_id), bool),
         jnp.asarray(mass >= 13.0),
         jnp.asarray(mdot), jnp.asarray(kicked), jnp.asarray(sn_yield),
     )
@@ -157,3 +158,29 @@ def test_condense_snapshot_and_death():
     # star 3: not low-mass -> untouched
     np.testing.assert_allclose(np.asarray(final2[3]), 0.0)
     assert bool(alive2[0]) and bool(alive2[3])
+
+
+def test_sn_injection_padded_slots_do_not_double_count():
+    """A padded (duplicated-index) slot with hm_slot_valid=False must not
+    inject a second copy of star 0's yield — the ensemble-padding case."""
+    rng = np.random.default_rng(5)
+    x, v, mass, hm_id, lm_id, mdot, ratio, r_disk = _random_system(rng)
+    # make slot list [hm..., 0(pad)] with star hm_id[0] exploding
+    mdot[hm_id[0]] = 0.0
+    kicked = np.zeros(len(x), bool)
+    sn_yield = np.zeros((len(x), 2))
+    sn_yield[hm_id] = 1e-5
+    idx_clean = jnp.asarray(hm_id, jnp.int32)
+    idx_padded = jnp.asarray(list(hm_id) + [hm_id[0]], jnp.int32)
+    valid_padded = jnp.asarray([True] * len(hm_id) + [False])
+    a1, _ = dep.sn_injection(
+        jnp.asarray(x), jnp.asarray(r_disk),
+        jnp.asarray((mass >= 0.1) & (mass <= 3.0)),
+        idx_clean, jnp.ones(len(hm_id), bool), jnp.asarray(mass >= 13.0),
+        jnp.asarray(mdot), jnp.asarray(kicked), jnp.asarray(sn_yield))
+    a2, _ = dep.sn_injection(
+        jnp.asarray(x), jnp.asarray(r_disk),
+        jnp.asarray((mass >= 0.1) & (mass <= 3.0)),
+        idx_padded, valid_padded, jnp.asarray(mass >= 13.0),
+        jnp.asarray(mdot), jnp.asarray(kicked), jnp.asarray(sn_yield))
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(a1), rtol=1e-14)

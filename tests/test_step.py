@@ -94,7 +94,8 @@ def test_supernova_fires_once():
         disk_alive=jnp.asarray((m >= 0.1) & (m <= 3.0)),
     ))
     import dataclasses
-    aux = dataclasses.replace(aux, hm_idx=jnp.asarray([0], jnp.int32))
+    aux = dataclasses.replace(aux, hm_idx=jnp.asarray([0], jnp.int32),
+                              hm_slot_valid=jnp.ones(1, bool))
 
     t_sn = float(st.t_sn(jnp.asarray(60.0)))
     assert t_sn < 6.0
@@ -135,7 +136,8 @@ def test_supernova_injection_with_exploding_star():
         disk_alive=jnp.asarray((m >= 0.1) & (m <= 3.0)),
     ))
     import dataclasses
-    aux = dataclasses.replace(aux, hm_idx=jnp.asarray([0], jnp.int32))
+    aux = dataclasses.replace(aux, hm_idx=jnp.asarray([0], jnp.int32),
+                              hm_slot_valid=jnp.ones(1, bool))
     s = run_steps(state, aux, cfg, cfg.n_steps)
     sne = np.asarray(s.cluster.slr[:, :, CH_SNE])
     lm = (m >= 0.1) & (m <= 3.0)
@@ -178,7 +180,10 @@ def test_vmapped_ensemble():
     import dataclasses
     auxes = [
         dataclasses.replace(
-            a, hm_idx=jnp.pad(a.hm_idx, (0, width - a.hm_idx.shape[0]))
+            a,
+            hm_idx=jnp.pad(a.hm_idx, (0, width - a.hm_idx.shape[0])),
+            hm_slot_valid=jnp.pad(a.hm_slot_valid,
+                                  (0, width - a.hm_slot_valid.shape[0])),
         )
         for a in auxes
     ]
