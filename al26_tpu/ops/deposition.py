@@ -98,21 +98,31 @@ def sn_injection(
     pos: jax.Array,         # [N,3]
     r_disk: jax.Array,      # [N]
     lm_mask: jax.Array,     # [N] bool
-    hm_idx: jax.Array,      # [H]
+    hm_idx: jax.Array,      # [H] candidate slots (INITIAL mass >= 13)
     hm_slot_valid: jax.Array,  # [H] bool: False for padding slots
-    hm_mask_now: jax.Array, # [N] bool: mass >= 13 as of step start
     mdot: jax.Array,        # [N] Msun/Myr AFTER the stellar-evolution update
     kicked: jax.Array,      # [N] bool
     sn_yield: jax.Array,    # [N,S] Msun
 ) -> Tuple[jax.Array, jax.Array]:
     """Detect SNe this step and inject yields onto every disc.
 
-    Returns (injected [N,S], kicked' [N]). Detection matches the reference:
-    a star that was high-mass at step start whose wind rate is now exactly
-    zero and which has not been kicked (al26_nbody.py:945-967). Padded slots
-    (repeated indices) are masked so no star injects twice.
+    Returns (injected [N,S], kicked' [N]). Detection: a massive-star
+    CANDIDATE (initial mass >= 13 Msun) whose wind rate is now exactly zero
+    and which has not been kicked. The reference gates on CURRENT mass
+    (al26_nbody.py:945-948 via get_high_mass_star_indices), which silently
+    drops the SN of any 13-14 Msun star whose strong post-MS wind takes it
+    below the threshold before collapse — the most populous massive-star
+    bin under the IMF. Candidacy here is initial-mass-based (hm_idx is
+    built from m0 at init), fixing that loss; `kicked` still guarantees
+    exactly one injection per star. Padded slots (repeated indices) are
+    masked so no star injects twice.
     """
-    sn_event = hm_mask_now & (mdot == 0.0) & ~kicked        # [N]
+    # scatter-or: a duplicated padding slot (valid=False) must not clobber
+    # the real slot's candidacy at the same index
+    sn_candidate = jnp.zeros(pos.shape[0], bool).at[hm_idx].max(
+        hm_slot_valid
+    )
+    sn_event = sn_candidate & (mdot == 0.0) & ~kicked       # [N]
     ev = sn_event[hm_idx] & hm_slot_valid                   # [H]
     d2 = jnp.sum((pos[:, None, :] - pos[hm_idx][None, :, :]) ** 2, axis=-1)
     d2 = jnp.maximum(d2, 1e-30)

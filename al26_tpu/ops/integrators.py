@@ -268,8 +268,10 @@ def advance(
             force_fn,
         )
     if integrator == "hermite4_block":
+        k = k_fast or max(128, pos.shape[0] // 16)
+        k = min(k, pos.shape[0])  # top_k rejects k > n (tiny clusters)
         return hermite4_block_advance(
-            pos, vel, mass, dt, k_fast or max(128, pos.shape[0] // 16),
+            pos, vel, mass, dt, k,
             eta, eps2, g, max_substeps, force_fn, force_rows_fn,
         )
     if integrator == "leapfrog":

@@ -34,6 +34,17 @@ TILE_I = 256
 TILE_J = 512
 
 
+def use_pallas(n: int, dtype) -> bool:
+    """Single source of truth for 'should the tiled kernel run here':
+    a real TPU backend, f32 data, enough rows to amortise the launch, and
+    x64 DISABLED — Mosaic has no i64 support, and under jax_enable_x64 the
+    pallas grid machinery emits i64 index ops that fail to legalize
+    (observed: 'failed to legalize operation func.return (i64, i64)')."""
+    return (jax.default_backend() == "tpu" and n >= 4096
+            and dtype == jnp.float32
+            and not jax.config.jax_enable_x64)
+
+
 def _nbody_kernel(
     n_ref,            # [1,1] SMEM: true source count
     row_ids_ref,      # [TILE_I, 1] VMEM int32: global column index of each
@@ -67,7 +78,7 @@ def _nbody_kernel(
 
     def body(jt, carry):
         ax, ay, az, jx, jy, jz, pot = carry
-        j0 = jt * TILE_J
+        j0 = jt * TILE_J  # int32: the loop bounds below pin the index dtype
         cols = pos_t[:, pl.ds(j0, TILE_J)]          # [3, TILE_J] -> rows
         xj = cols[0:1, :]
         yj = cols[1:2, :]
@@ -109,8 +120,11 @@ def _nbody_kernel(
         return ax, ay, az, jx, jy, jz, pot
 
     zeros = jnp.zeros((TILE_I, 1), jnp.float32)
+    # int32 loop bounds: under jax_enable_x64 python-int bounds make the
+    # induction variable int64, whose promotion into the int32 column-index
+    # compare sends Mosaic lowering into infinite recursion
     ax, ay, az, jx, jy, jz, pot = jax.lax.fori_loop(
-        0, num_j, body, (zeros,) * 7
+        jnp.int32(0), jnp.int32(num_j), body, (zeros,) * 7
     )
     acc_out[:, 0:1] = g * ax
     acc_out[:, 1:2] = g * ay
@@ -174,6 +188,12 @@ def pallas_acc_jerk_pot_rows(
     masked by comparing each row's global id against the column index."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if not interpret and jax.config.jax_enable_x64:
+        raise RuntimeError(
+            "the Pallas N-body kernel cannot compile with jax_enable_x64 "
+            "(Mosaic has no i64 support); disable x64 or use the jnp "
+            "force path (ops.nbody)"
+        )
     if eps2 == 0.0:
         # eps2 == 0.0 exactly sends the Mosaic compiler into a >10 min hang
         # (observed on v5e); 1e-30 is numerically inert here (self-pairs are

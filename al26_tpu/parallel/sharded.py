@@ -42,7 +42,8 @@ def pad_to_multiple(n: int, d: int) -> int:
 
 
 def _local_rows_force(pos_l, vel_l, mass_l, eps2, g, axis,
-                      use_pallas: bool | None = None):
+                      use_pallas: bool | None = None,
+                      with_jerk: bool = True):
     """Per-shard body: gather all columns, compute this shard's row block.
 
     On a real TPU backend with f32 data and a big enough block, the row
@@ -131,7 +132,8 @@ def sharded_potential_energy(pos, mass, mesh, eps2=0.0, g=G_INTERNAL,
     )
     def _u(pos_l, mass_l):
         zeros = jnp.zeros_like(pos_l)
-        _, _, pot_l = _local_rows_force(pos_l, zeros, mass_l, eps2, g, axis)
+        _, _, pot_l = _local_rows_force(pos_l, zeros, mass_l, eps2, g, axis,
+                                        with_jerk=False)
         return jax.lax.psum(0.5 * jnp.sum(mass_l * pot_l), axis)
 
     return _u(pos, mass)

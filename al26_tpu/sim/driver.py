@@ -62,7 +62,8 @@ def _save(base, metadata, converter, yields, state, cfg,
     if getattr(cfg, "validate", True):
         from ..utils.validate import validate_cluster_dict
 
-        validate_cluster_dict(cluster_np, t_myr)
+        validate_cluster_dict(cluster_np, t_myr,
+                              cfg.low_mass_min, cfg.low_mass_max)
     particles = cluster_to_particles(cluster_np)
     yields.update_state(t_myr, particles)
     ckpt.save_checkpoint(
@@ -188,7 +189,7 @@ def run(cfg: SimConfig, progress: bool = True,
 
     def advance_steps(s, n):
         if write_traj:
-            s, rows = run_steps_traj(s, aux, cfg, n)
+            s, rows = run_steps_traj(s, aux, cfg, n, mesh=mesh)
             _append_trajectory(np.asarray(rows))
             return s
         return run_steps(s, aux, cfg, n, mesh=mesh)
@@ -262,7 +263,8 @@ def run_ensemble(cfg: SimConfig, progress: bool = True,
         md = _metadata_from_cfg(cfgs[k].replace(filename=f"pt-{k}"))
         metas.append(md)
         yieldses.append(Yields(os.path.join(d, md.filename)))
-        converters.append(Converter(cfg.rc, 0.0))
+        m_total_k = float(np.asarray(batch_state.cluster.mass[k]).sum())
+        converters.append(Converter(cfg.rc, m_total_k))
 
     def realization_state(b, k) -> SimState:
         return jax.tree.map(lambda x: x[k], b)

@@ -55,13 +55,12 @@ def _build_force_fn(mass, eps2, cfg: SimConfig, mesh, force_impl: str):
     pallas  -> single-chip Pallas tiled kernel (ops.pallas_nbody).
     sharded -> shard_map row blocks over `mesh` (parallel.sharded).
     """
-    import jax as _jax
+    from ..ops.pallas_nbody import use_pallas
 
     if force_impl == "auto":
         if mesh is not None:
             force_impl = "sharded"
-        elif (_jax.default_backend() == "tpu" and mass.shape[0] >= 4096
-              and mass.dtype == jnp.float32):
+        elif use_pallas(mass.shape[0], mass.dtype):
             force_impl = "pallas"
         else:
             force_impl = "default"
@@ -95,18 +94,23 @@ def step(state: SimState, aux: SimAux, cfg: SimConfig,
     eps2 = jnp.asarray(cfg.eps2, c.pos.dtype)
 
     # -- 1. masks + cluster radius from step-start state --------------------
-    hm_mask_now = c.high_mass_mask(cfg.high_mass_threshold)
     lm_mask = c.low_mass_mask(cfg.low_mass_min, cfg.low_mass_max)
-    hm_valid = hm_mask_now[aux.hm_idx] & aux.hm_slot_valid
+    # wind/SN source validity is INITIAL-mass based (the slots are built
+    # from m0 >= 13 at init): a 13-14 Msun star keeps shedding its strong
+    # post-MS wind after its current mass drops below the threshold, and its
+    # SN must still fire. The reference's current-mass gate silently loses
+    # both for that (most populous) massive bin; mdot == 0 after the SN
+    # zeroes dead sources either way.
+    hm_valid = aux.hm_slot_valid
+    from ..ops.pallas_nbody import use_pallas
     from ..units import G_INTERNAL
     if mesh is not None:
         from ..parallel.sharded import sharded_potential_energy
         u = sharded_potential_energy(c.pos, c.mass, mesh)
-    elif (jax.default_backend() == "tpu" and c.pos.shape[0] >= 4096
-          and c.pos.dtype == jnp.float32):
+    elif use_pallas(c.pos.shape[0], c.pos.dtype):
         from ..ops.pallas_nbody import pallas_acc_jerk_pot
         _, _, pot = pallas_acc_jerk_pot(c.pos, jnp.zeros_like(c.vel),
-                                        c.mass, 0.0)
+                                        c.mass, 0.0, with_jerk=False)
         u = 0.5 * jnp.sum(c.mass * pot)
     else:
         u = None
@@ -129,11 +133,10 @@ def step(state: SimState, aux: SimAux, cfg: SimConfig,
         integ = "hermite4" if c.n <= 8192 else "leapfrog"
     force_rows_fn = None
     if integ == "hermite4_block":
-        import jax as _jax
         impl = "pallas" if (
-            force_impl in ("pallas",)
-            or (force_impl == "auto" and _jax.default_backend() == "tpu"
-                and c.mass.shape[0] >= 4096 and c.mass.dtype == jnp.float32)
+            force_impl == "pallas"
+            or (force_impl == "auto"
+                and use_pallas(c.mass.shape[0], c.mass.dtype))
         ) else "default"
         force_rows_fn = _build_force_rows_fn(c.mass, cfg.eps2, impl)
     pos, vel = advance(
@@ -172,7 +175,7 @@ def step(state: SimState, aux: SimAux, cfg: SimConfig,
 
     # -- 5. supernovae ---------------------------------------------------
     injected, kicked = dep.sn_injection(
-        pos, c.r_disk, lm_mask, aux.hm_idx, aux.hm_slot_valid, hm_mask_now,
+        pos, c.r_disk, lm_mask, aux.hm_idx, aux.hm_slot_valid,
         mdot_new, c.kicked, c.sn_yield,
     )
     slr = slr.at[:, :, CH_SNE].add(injected)
@@ -231,9 +234,10 @@ def run_steps(state: SimState, aux: SimAux, cfg: SimConfig,
     return state
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_steps"))
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "mesh",
+                                              "force_impl"))
 def run_steps_traj(state: SimState, aux: SimAux, cfg: SimConfig,
-                   n_steps: int):
+                   n_steps: int, mesh=None, force_impl: str = "auto"):
     """Like run_steps, additionally collecting the interloper trajectory per
     step: (t_sim, t_interloper, x, y, z, barycentre distance) — the data the
     reference appends to interloper_trajectory.dat each step
@@ -241,7 +245,7 @@ def run_steps_traj(state: SimState, aux: SimAux, cfg: SimConfig,
     from ..ops.nbody import center_of_mass
 
     def body(s, _):
-        s_new = step(s, aux, cfg)
+        s_new = step(s, aux, cfg, mesh, force_impl)
         c = s_new.cluster
         pos_int = c.pos[-1]
         com = center_of_mass(c.pos, c.mass)

@@ -15,9 +15,12 @@ class StateValidationError(RuntimeError):
     pass
 
 
-def validate_cluster_dict(d: dict, t_myr: float) -> None:
+def validate_cluster_dict(d: dict, t_myr: float,
+                          low_mass_min: float = 0.1,
+                          low_mass_max: float = 3.0) -> None:
     """Raise StateValidationError on non-finite or physically impossible
-    values. `d` is the numpy dict from state.cluster_to_numpy."""
+    values. `d` is the numpy dict from state.cluster_to_numpy; the disc-
+    bearing window must match the run's cfg (al26_nbody.py:1213 defaults)."""
     problems = []
     for key in ("pos", "vel", "mass", "mdot", "slr", "slr_final", "agb_raw"):
         a = d[key]
@@ -39,7 +42,8 @@ def validate_cluster_dict(d: dict, t_myr: float) -> None:
     # disc death is monotonic: a dead disc's mask can never resurrect, and
     # only low-mass stars carry live discs
     alive = d["disk_alive"]
-    lm = (d["mass"] >= 0.1) & (d["mass"] <= 3.0) & ~d["is_interloper"]
+    lm = ((d["mass"] >= low_mass_min) & (d["mass"] <= low_mass_max)
+          & ~d["is_interloper"])
     if (alive & ~lm).any():
         problems.append("disk_alive set on a non-disc-bearing star")
     if problems:

@@ -85,7 +85,6 @@ def test_sn_injection_matches_reference():
         jnp.asarray((mass >= 0.1) & (mass <= 3.0)),
         jnp.asarray(hm_id, dtype=jnp.int32),
         jnp.ones(len(hm_id), bool),
-        jnp.asarray(mass >= 13.0),
         jnp.asarray(mdot), jnp.asarray(kicked), jnp.asarray(sn_yield),
     )
     want = np.zeros((len(x), 2))
@@ -176,11 +175,11 @@ def test_sn_injection_padded_slots_do_not_double_count():
     a1, _ = dep.sn_injection(
         jnp.asarray(x), jnp.asarray(r_disk),
         jnp.asarray((mass >= 0.1) & (mass <= 3.0)),
-        idx_clean, jnp.ones(len(hm_id), bool), jnp.asarray(mass >= 13.0),
+        idx_clean, jnp.ones(len(hm_id), bool),
         jnp.asarray(mdot), jnp.asarray(kicked), jnp.asarray(sn_yield))
     a2, _ = dep.sn_injection(
         jnp.asarray(x), jnp.asarray(r_disk),
         jnp.asarray((mass >= 0.1) & (mass <= 3.0)),
-        idx_padded, valid_padded, jnp.asarray(mass >= 13.0),
+        idx_padded, valid_padded,
         jnp.asarray(mdot), jnp.asarray(kicked), jnp.asarray(sn_yield))
     np.testing.assert_allclose(np.asarray(a2), np.asarray(a1), rtol=1e-14)

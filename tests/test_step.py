@@ -238,3 +238,43 @@ def test_step_with_block_integrator():
     np.testing.assert_allclose(
         np.asarray(o_b.cluster.slr).sum(0),
         np.asarray(o_a.cluster.slr).sum(0), rtol=1e-4, atol=1e-30)
+
+
+def test_sn_fires_for_13msun_star_that_thins_below_threshold():
+    """Regression (review finding): a 13.5 Msun star whose post-MS wind
+    drops its current mass below 13 before core collapse must still explode
+    and inject its SN yield (initial-mass-based candidacy)."""
+    cfg = SimConfig(n=32, rc=0.5, final_time=16.0, seed=6,
+                    star_min_mass=0.1, star_max_mass=3.0,
+                    no_massive_star_requirement=True)
+    state, aux, cfg = init_cluster(cfg)
+    c = state.cluster
+    m = np.asarray(c.mass).copy()
+    m[0] = 13.5
+    from al26_tpu.models.stellar import evolution as st
+    from al26_tpu.models.yields import massive_star_yields, read_slrs
+    t_cc = float(st.t_sn(jnp.asarray(13.5)))
+    assert t_cc < 16.0
+    # the pre-SN mass is below the 13 Msun threshold — the failing case
+    assert float(st.m_presn(jnp.asarray(13.5))) < 13.0
+    twl = np.zeros_like(m)
+    twl[0] = float(st.total_wind_loss(jnp.asarray(13.5)))
+    y = massive_star_yields(m, read_slrs(), twl)
+    assert y["sn_yield_26al"][0] > 0
+    state = state.replace(cluster=c.replace(
+        mass=jnp.asarray(m), m0=jnp.asarray(m),
+        sn_yield=jnp.asarray(np.stack([y["sn_yield_26al"],
+                                       y["sn_yield_60fe"]], -1)),
+        wind_ratio=jnp.asarray(np.stack([y["wind_ratio_26al"],
+                                         y["wind_ratio_60fe"]], -1)),
+        total_wind_loss=jnp.asarray(twl),
+        disk_alive=jnp.asarray((m >= 0.1) & (m <= 3.0)),
+    ))
+    import dataclasses
+    aux = dataclasses.replace(aux, hm_idx=jnp.asarray([0], jnp.int32),
+                              hm_slot_valid=jnp.ones(1, bool))
+    s = run_steps(state, aux, cfg, cfg.n_steps)
+    assert bool(s.cluster.kicked[0]), "SN must fire despite mass < 13"
+    sne = np.asarray(s.cluster.slr[:, 0, CH_SNE])
+    lm = (m >= 0.1) & (m <= 3.0)
+    assert sne[lm].sum() > 0, "26Al SN injection expected"
