@@ -20,6 +20,8 @@
 
 #include <cstdint>
 #include <cstring>
+#include <exception>
+#include <new>
 #include <string>
 
 // ---------------------------------------------------------------------------
@@ -37,8 +39,12 @@ static inline bool is_little_endian() {
 // ---------------------------------------------------------------------------
 // encoder
 // ---------------------------------------------------------------------------
+// recursion bound: deeper nesting must raise, not overflow the C stack
+static const int kMaxDepth = 2000;
+
 struct Encoder {
     std::string buf;
+    int depth = 0;
 
     void put(char c) { buf.push_back(c); }
     void put_raw(const void* p, size_t n) {
@@ -75,15 +81,24 @@ struct Encoder {
         put_u64(bits);  // put_u64 performs the big-endian swap
     }
 
-    void put_str_body(PyObject* s) {
-        Py_ssize_t n;
+    // returns 0 on success, -1 with a Python exception set (e.g. a lone
+    // surrogate that cannot encode to UTF-8)
+    int put_str_body(PyObject* s) {
+        Py_ssize_t n = 0;
         const char* data = PyUnicode_AsUTF8AndSize(s, &n);
+        if (data == nullptr) return -1;
         put_int(static_cast<long long>(n));
         put_raw(data, static_cast<size_t>(n));
+        return 0;
     }
 
     // returns 0 on success, -1 with a Python exception set on failure
     int encode(PyObject* obj) {
+        if (depth >= kMaxDepth) {
+            PyErr_SetString(PyExc_RecursionError,
+                            "UBJSON nesting too deep");
+            return -1;
+        }
         if (obj == Py_None) { put('Z'); return 0; }
         if (obj == Py_True) { put('T'); return 0; }
         if (obj == Py_False) { put('F'); return 0; }
@@ -99,14 +114,13 @@ struct Encoder {
             PyObject* s = PyObject_Str(obj);
             if (!s) return -1;
             put('H');
-            put_str_body(s);
+            int rc = put_str_body(s);
             Py_DECREF(s);
-            return 0;
+            return rc;
         }
         if (PyUnicode_CheckExact(obj)) {
             put('S');
-            put_str_body(obj);
-            return 0;
+            return put_str_body(obj);
         }
         if (PyBytes_CheckExact(obj) || PyByteArray_CheckExact(obj)) {
             char* data;
@@ -146,9 +160,11 @@ struct Encoder {
                 return 0;
             }
             put('[');
+            depth++;
             for (Py_ssize_t i = 0; i < n; i++) {
                 if (encode(items[i]) < 0) return -1;
             }
+            depth--;
             put(']');
             return 0;
         }
@@ -162,8 +178,10 @@ struct Encoder {
                                     "UBJSON object keys must be str");
                     return -1;
                 }
-                put_str_body(key);
+                if (put_str_body(key) < 0) return -1;
+                depth++;
                 if (encode(value) < 0) return -1;
+                depth--;
             }
             put('}');
             return 0;
@@ -180,6 +198,7 @@ struct Encoder {
 struct Decoder {
     const uint8_t* p;
     const uint8_t* end;
+    int depth = 0;
 
     bool need(size_t n) {
         if (static_cast<size_t>(end - p) < n) {
@@ -239,6 +258,11 @@ struct Decoder {
     }
 
     PyObject* decode_value(int m) {
+        if (depth >= kMaxDepth) {
+            PyErr_SetString(PyExc_ValueError,
+                            "UBJSON nesting too deep");
+            return nullptr;
+        }
         switch (m) {
             case 'Z': Py_RETURN_NONE;
             case 'T': Py_RETURN_TRUE;
@@ -279,8 +303,18 @@ struct Decoder {
                 Py_DECREF(s);
                 return v;
             }
-            case '[': return decode_array();
-            case '{': return decode_object();
+            case '[': {
+                depth++;
+                PyObject* out = decode_array();
+                depth--;
+                return out;
+            }
+            case '{': {
+                depth++;
+                PyObject* out = decode_object();
+                depth--;
+                return out;
+            }
         }
         PyErr_Format(PyExc_ValueError, "invalid UBJSON marker 0x%02x", m);
         return nullptr;
@@ -429,21 +463,35 @@ struct Decoder {
 // module functions
 // ---------------------------------------------------------------------------
 static PyObject* py_dumpb(PyObject*, PyObject* obj) {
-    Encoder enc;
-    enc.buf.reserve(1 << 12);
-    if (enc.encode(obj) < 0) return nullptr;
-    return PyBytes_FromStringAndSize(enc.buf.data(),
-                                     static_cast<Py_ssize_t>(enc.buf.size()));
+    try {
+        Encoder enc;
+        enc.buf.reserve(1 << 12);
+        if (enc.encode(obj) < 0) return nullptr;
+        return PyBytes_FromStringAndSize(
+            enc.buf.data(), static_cast<Py_ssize_t>(enc.buf.size()));
+    } catch (const std::bad_alloc&) {
+        return PyErr_NoMemory();
+    } catch (const std::exception& e) {
+        PyErr_SetString(PyExc_RuntimeError, e.what());
+        return nullptr;
+    }
 }
 
 static PyObject* py_loadb(PyObject*, PyObject* obj) {
     Py_buffer view;
     if (PyObject_GetBuffer(obj, &view, PyBUF_SIMPLE) < 0) return nullptr;
-    Decoder dec;
-    dec.p = static_cast<const uint8_t*>(view.buf);
-    dec.end = dec.p + view.len;
-    int m = dec.marker();
-    PyObject* out = m < 0 ? nullptr : dec.decode_value(m);
+    PyObject* out = nullptr;
+    try {
+        Decoder dec;
+        dec.p = static_cast<const uint8_t*>(view.buf);
+        dec.end = dec.p + view.len;
+        int m = dec.marker();
+        out = m < 0 ? nullptr : dec.decode_value(m);
+    } catch (const std::bad_alloc&) {
+        PyErr_NoMemory();
+    } catch (const std::exception& e) {
+        PyErr_SetString(PyExc_RuntimeError, e.what());
+    }
     PyBuffer_Release(&view);
     return out;
 }

@@ -17,11 +17,11 @@ def build_payload(n_stars=1000, n_checkpoints=1000) -> bytes:
 
     rng = np.random.default_rng(0)
     series = {
-        f"{ch}_{iso}": [list(rng.uniform(size=n_stars))
+        f"{ch}_{iso}": [rng.uniform(size=n_stars).tolist()
                         for _ in range(n_checkpoints)]
         for iso in ("26al", "60fe") for ch in ("local", "global", "sne")
     }
-    series["time"] = list(np.linspace(0, 10, n_checkpoints))
+    series["time"] = np.linspace(0, 10, n_checkpoints).tolist()
     t0 = time.time()
     raw = ubjson.dumpb(series)
     print(f"ubjson encode: {time.time()-t0:.3f} s, "

@@ -310,3 +310,28 @@ def test_native_speed():
     dec = time.time() - t0
     # the reference quotes ~0.2 s for this payload via py-ubjson
     assert enc < 1.0 and dec < 1.0, (enc, dec)  # wall-clock, slack for loaded CI
+
+
+@natives
+def test_native_codec_robustness():
+    """Review regressions: malformed inputs raise instead of crashing the
+    interpreter (lone surrogates, pathological nesting, corrupt streams)."""
+    # lone surrogate cannot encode to UTF-8 -> catchable exception
+    with pytest.raises((UnicodeEncodeError, TypeError, ValueError)):
+        ubjson._native.dumpb("\ud800")
+    with pytest.raises((UnicodeEncodeError, TypeError, ValueError)):
+        ubjson._native.dumpb({"\ud800": 1})
+    # deep nesting: encoder
+    deep = v = []
+    for _ in range(10_000):
+        inner = []
+        v.append(inner)
+        v = inner
+    with pytest.raises(RecursionError):
+        ubjson._native.dumpb(deep)
+    # deep nesting: decoder (adversarial/corrupt stream)
+    with pytest.raises(ValueError):
+        ubjson._native.loadb(b"[" * 1_000_000)
+    # truncated stream
+    with pytest.raises(ValueError):
+        ubjson._native.loadb(b"[D\x00\x00")
