@@ -67,12 +67,17 @@ def resolve_integrator(cfg: SimConfig, m_total: float) -> SimConfig:
     return cfg.replace(integrator=integ, leapfrog_n_sub=n_sub)
 
 
-def init_cluster(cfg: SimConfig, data_dir: str | None = None):
+def init_cluster(cfg: SimConfig, data_dir: str | None = None,
+                 as_numpy: bool = False):
     """Build the initial SimState/SimAux for a fresh run.
 
     Returns (state, aux, resolved_cfg): interloper parameters with random
     defaults (closest approach, velocity; al26_nbody.py:1666-1676) are
     resolved into the returned config so they are recorded in checkpoints.
+
+    as_numpy=True keeps every array on the host (numpy): ensemble init
+    stacks many realizations and transfers ONCE — per-realization device
+    transfers cost ~45 round-trips each on a tunneled TPU.
     """
     rng = np.random.default_rng(cfg.seed)
     dtype = _dtype(cfg)
@@ -116,9 +121,13 @@ def init_cluster(cfg: SimConfig, data_dir: str | None = None):
     r_disk = np.full(cfg.n, cfg.disk_radius * AU_TO_PC)
 
     # -- per-star yield data for massive stars -----------------------------
-    total_wind_loss = np.where(
-        hm, np.asarray(stellar.total_wind_loss(jnp.asarray(masses))), 0.0
-    )
+    # init-time stellar math runs on the CPU backend: each eager jnp op is a
+    # network round-trip on a tunneled TPU (~1.5 s/realization otherwise)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        total_wind_loss = np.where(
+            hm, np.asarray(stellar.total_wind_loss(jnp.asarray(masses))), 0.0
+        )
     slrs = read_slrs(data_dir)
     ydata = massive_star_yields(masses, slrs, total_wind_loss,
                                 cfg.high_mass_threshold)
@@ -169,40 +178,60 @@ def init_cluster(cfg: SimConfig, data_dir: str | None = None):
     hm_candidates = np.flatnonzero(masses >= cfg.high_mass_threshold)
     if len(hm_candidates) == 0:
         hm_candidates = np.array([0])
-    hm_idx = jnp.asarray(hm_candidates, dtype=jnp.int32)
 
-    mdot0 = np.asarray(stellar.wind_mdot(jnp.asarray(masses),
-                                         jnp.zeros_like(jnp.asarray(masses))))
+    with jax.default_device(cpu):
+        mdot0 = np.asarray(
+            stellar.wind_mdot(jnp.asarray(masses),
+                              jnp.zeros_like(jnp.asarray(masses)))
+        )
 
-    f = lambda a: jnp.asarray(a, dtype=dtype)
+    if as_numpy:
+        np_float = np.float64 if cfg.dtype == "f64" else np.float32
+        f = lambda a: np.asarray(a, dtype=np_float)
+        zeros_f = lambda *shape: np.zeros(shape, np_float)
+        zeros_b = lambda *shape: np.zeros(shape, bool)
+        mk_bool = np.asarray
+        scalar_f = lambda: np.zeros((), np_float)
+        scalar_i = lambda: np.zeros((), np.int32)
+        idx = lambda a: np.asarray(a, dtype=np.int32)
+        ones_b = lambda k: np.ones(k, bool)
+    else:
+        f = lambda a: jnp.asarray(a, dtype=dtype)
+        zeros_f = lambda *shape: jnp.zeros(shape, dtype)
+        zeros_b = lambda *shape: jnp.zeros(shape, bool)
+        mk_bool = jnp.asarray
+        scalar_f = lambda: jnp.zeros((), dtype)
+        scalar_i = lambda: jnp.zeros((), jnp.int32)
+        idx = lambda a: jnp.asarray(a, dtype=jnp.int32)
+        ones_b = lambda k: jnp.ones(k, bool)
     cluster = Cluster(
         pos=f(pos), vel=f(vel), mass=f(masses),
         m0=f(masses), mdot=f(mdot0),
-        kicked=jnp.zeros(n_total, bool),
+        kicked=zeros_b(n_total),
         r_disk=f(r_disk), tau_disk=f(tau_disk),
-        disk_alive=jnp.asarray(lm),
+        disk_alive=mk_bool(lm),
         m_disk_gas=f(0.1 * masses),               # al26_nbody.py:1545
         m_disk_dust=f(0.01 * 0.1 * masses),       # al26_nbody.py:1546
         mass_27al=f(cfg.mass_frac_27al * masses),  # al26_nbody.py:1555
         mass_56fe=f(cfg.mass_frac_56fe * masses),  # al26_nbody.py:1567
-        slr=jnp.zeros((n_total, N_ISO, N_CH), dtype),
-        slr_final=jnp.zeros((n_total, N_ISO, N_CH), dtype),
-        agb_raw=jnp.zeros((n_total, N_ISO), dtype),
+        slr=zeros_f(n_total, N_ISO, N_CH),
+        slr_final=zeros_f(n_total, N_ISO, N_CH),
+        agb_raw=zeros_f(n_total, N_ISO),
         wind_ratio=f(np.stack([ydata["wind_ratio_26al"],
                                ydata["wind_ratio_60fe"]], axis=-1)),
         sn_yield=f(np.stack([ydata["sn_yield_26al"],
                              ydata["sn_yield_60fe"]], axis=-1)),
         total_wind_loss=f(total_wind_loss),
-        is_interloper=jnp.asarray(is_interloper),
+        is_interloper=mk_bool(is_interloper),
     )
     state = SimState(
         cluster=cluster,
-        time=jnp.zeros((), dtype),
-        step_count=jnp.zeros((), jnp.int32),
+        time=scalar_f(),
+        step_count=scalar_i(),
     )
     aux = SimAux(
-        hm_idx=hm_idx,
-        hm_slot_valid=jnp.ones(hm_idx.shape[0], bool),
+        hm_idx=idx(hm_candidates),
+        hm_slot_valid=ones_b(len(hm_candidates)),
         agb_grid_t=f(agb_grid_t),
         agb_grid_rates=f(agb_grid_rates),
     )
