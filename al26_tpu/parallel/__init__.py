@@ -1,1 +1,1 @@
-from . import ensemble, sharded
+from . import ensemble, ring, sharded

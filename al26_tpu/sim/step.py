@@ -53,7 +53,10 @@ def _build_force_fn(mass, eps2, cfg: SimConfig, mesh, force_impl: str):
                TPU backend at N >= 4096 in f32; otherwise the integrator
                default (dense <= 2048, row-chunked above).
     pallas  -> single-chip Pallas tiled kernel (ops.pallas_nbody).
-    sharded -> shard_map row blocks over `mesh` (parallel.sharded).
+    sharded -> shard_map row blocks over `mesh`, all-gathered columns
+               (parallel.sharded).
+    ring    -> shard_map row blocks with ppermute-streamed column blocks
+               (parallel.ring; O(N/D) peak memory per chip).
     """
     from ..ops.pallas_nbody import use_pallas
 
@@ -69,6 +72,9 @@ def _build_force_fn(mass, eps2, cfg: SimConfig, mesh, force_impl: str):
     if force_impl == "sharded":
         from ..parallel.sharded import make_sharded_force
         return make_sharded_force(mesh, mass, eps2), None
+    if force_impl == "ring":
+        from ..parallel.ring import make_ring_force
+        return make_ring_force(mesh, mass, eps2), None
     if force_impl == "pallas":
         from ..ops.pallas_nbody import make_pallas_acc, make_pallas_force
         return make_pallas_force(mass, eps2), make_pallas_acc(mass, eps2)

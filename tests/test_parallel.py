@@ -130,3 +130,46 @@ def test_driver_mesh_divisibility_error(tmp_path):
             run(cfg, progress=False)
     finally:
         os.chdir(cwd)
+
+
+def test_ring_force_matches_allgather():
+    """The ppermute ring-streamed force equals the all-gather sharded force
+    and the dense reference on the 8-device mesh."""
+    from al26_tpu.parallel.ring import make_ring_force, ring_acc_jerk_pot
+
+    rng = np.random.default_rng(8)
+    n = 256
+    pos = jnp.asarray(rng.normal(size=(n, 3)))
+    vel = jnp.asarray(rng.normal(size=(n, 3)))
+    mass = jnp.asarray(rng.uniform(0.1, 2.0, n))
+    mesh = make_mesh(8)
+    a1, j1, p1 = sharded_acc_jerk_pot(pos, vel, mass, mesh, 1e-3)
+    a2, j2, p2 = ring_acc_jerk_pot(pos, vel, mass, mesh, 1e-3)
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(a1), rtol=1e-11)
+    np.testing.assert_allclose(np.asarray(j2), np.asarray(j1), rtol=1e-11)
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(p1), rtol=1e-11)
+    a3, j3, p3 = acc_jerk_pot_dense(pos, vel, mass, 1e-3)
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(a3), rtol=1e-10)
+    # integrator hook
+    from al26_tpu.ops.integrators import hermite4_advance
+
+    ff = make_ring_force(mesh, mass, 1e-3)
+    p_a, v_a = hermite4_advance(pos, vel, mass, jnp.asarray(0.01), eps2=1e-3)
+    p_b, v_b = hermite4_advance(pos, vel, mass, jnp.asarray(0.01), eps2=1e-3,
+                                force_fn=ff)
+    np.testing.assert_allclose(np.asarray(p_b), np.asarray(p_a), rtol=1e-9)
+
+
+def test_step_with_ring_force_matches():
+    cfg = SimConfig(n=64, rc=1.0, final_time=10.0, seed=13)
+    state, aux, cfg = init_cluster(cfg)
+    mesh = make_mesh(8)
+    s_ref = run_steps(state, aux, cfg, 3)
+    from al26_tpu.parallel.sharded import shard_state_rows
+
+    state_sharded = shard_state_rows(state, mesh)
+    s_ring = run_steps(state_sharded, aux, cfg, 3, mesh=mesh,
+                       force_impl="ring")
+    np.testing.assert_allclose(
+        np.asarray(s_ring.cluster.pos), np.asarray(s_ref.cluster.pos),
+        rtol=1e-9, atol=1e-12)
