@@ -185,12 +185,13 @@ class State:
 # ---------------------------------------------------------------------------
 # Cluster pytree <-> reference attribute layout
 # ---------------------------------------------------------------------------
-def cluster_to_particles(c: Cluster | dict) -> Particles:
-    """Map the device Cluster (or its numpy dict) to reference-named
-    columns (al26_nbody.py:1540-1604 attribute set)."""
+def cluster_to_particles(c: "Cluster | dict") -> Particles:
+    """Map the device Cluster (or its numpy dict, or a host-side numpy
+    Cluster) to reference-named columns (al26_nbody.py:1540-1604 attribute
+    set)."""
     from ..state import cluster_to_numpy
 
-    d = cluster_to_numpy(c) if isinstance(c, Cluster) else c
+    d = cluster_to_numpy(c) if not isinstance(c, dict) else c
     n = len(d["mass"])
     cols: dict[str, np.ndarray] = {
         "key": np.arange(1, n + 1, dtype=np.int64),

@@ -266,12 +266,12 @@ def run_ensemble(cfg: SimConfig, progress: bool = True,
         m_total_k = float(np.asarray(batch_state.cluster.mass[k]).sum())
         converters.append(Converter(cfg.rc, m_total_k))
 
-    def realization_state(b, k) -> SimState:
-        return jax.tree.map(lambda x: x[k], b)
-
     def save_all(bs, increment=True):
+        # ONE batched device_get per save: slicing per realization would
+        # issue ~45 x n_real transfers (tunneled-TPU round-trips)
+        host = jax.device_get(bs)
         for k in range(n_real):
-            st = realization_state(bs, k)
+            st = jax.tree.map(lambda x: x[k], host)
             base = os.path.join(sim_dirs[k], metas[k].filename)
             metas[k].update(float(st.time), increment_checkpoint=increment)
             particles = cluster_to_particles(st.cluster)
