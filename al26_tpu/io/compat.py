@@ -25,11 +25,8 @@ from datetime import datetime
 
 import numpy as np
 
-from ..state import CHANNEL_NAMES, ISO_NAMES, Cluster, N_CH, N_ISO
-from ..units import (
-    MSUN_SI, MYR_SI, PC_SI,
-    Quantity, Unit, au, kg, kms, msol, msolyr, myr, pc, pcmyr, yr,
-)
+from ..state import CHANNEL_NAMES, ISO_NAMES, N_CH, N_ISO
+from ..units import Quantity, au, msol, myr, pc, pcmyr
 
 # attribute name -> Unit for the reference's per-star columns
 _UNIT_BY_ATTR = {
@@ -49,12 +46,6 @@ for _iso in ISO_NAMES:
         _UNIT_BY_ATTR[f"mass_{_iso}_{_ch}"] = msol
         _UNIT_BY_ATTR[f"mass_{_iso}_{_ch}_final"] = msol
     _UNIT_BY_ATTR[f"mass_{_iso}_agb_raw"] = msol
-
-_DIMENSIONLESS = {
-    "kicked", "disk_alive", "is_interloper", "key",
-    "wind_ratio_26al", "wind_ratio_60fe",
-}
-
 
 class Star:
     """One row of a Particles table (attribute access per star, as used by

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..state import CHANNEL_NAMES, ISO_NAMES
+from ..state import ISO_NAMES
 from . import ubjson
 from .compression import compress, decompress
 
@@ -55,16 +55,14 @@ class Yields:
             for ch in ("local", "global", "sne", "agb", "agb_raw"):
                 vals = getattr(particles, f"mass_{iso}_{ch}").value_in(msol)
                 getattr(self, f"{ch}_{iso}").append(list(map(float, vals)))
-            for ch in ("local", "global", "sne", "agb"):
-                getattr(self, f"sum_{ch}_{iso}").append(
-                    float(np.sum(getattr(particles, f"mass_{iso}_{ch}").value_in(msol)))
-                )
-                setattr(
-                    self, f"{ch}_{iso}_final",
-                    list(map(float, getattr(
-                        particles, f"mass_{iso}_{ch}_final"
-                    ).value_in(msol))),
-                )
+                if ch != "agb_raw":
+                    getattr(self, f"sum_{ch}_{iso}").append(float(np.sum(vals)))
+                    setattr(
+                        self, f"{ch}_{iso}_final",
+                        list(map(float, getattr(
+                            particles, f"mass_{iso}_{ch}_final"
+                        ).value_in(msol))),
+                    )
         if self.first_write:
             self.write_csv_header()
             self.first_write = False

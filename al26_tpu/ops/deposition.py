@@ -43,7 +43,7 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
-from ..state import CH_AGB, CH_GLOBAL, CH_LOCAL, CH_SNE, ISO_26AL, ISO_60FE
+from ..state import CH_AGB
 from ..units import LN2_REFERENCE
 
 # Lichtenberg+2016 SN injection constants (al26_nbody.py:1327-1329)

@@ -14,7 +14,6 @@ ensemble axis.
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

@@ -20,7 +20,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import SimConfig
-from ..sim.init import SimAux, init_cluster
+from ..sim.init import init_cluster
 from ..sim.step import step
 
 ENS_AXIS = "ens"

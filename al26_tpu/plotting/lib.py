@@ -14,7 +14,7 @@ import numpy as np
 from ..io.checkpoint import load_state
 from ..io.compat import Particles, State
 from ..io.yields_store import Yields
-from ..units import G_INTERNAL, msol, myr, pc
+from ..units import msol, myr, pc, pcmyr
 
 __all__ = [
     "read_state", "read_yields", "read_interloper_trajectory",
@@ -167,8 +167,6 @@ def _pos_vel_mass(cluster: Particles):
         cluster.x.value_in(pc), cluster.y.value_in(pc),
         cluster.z.value_in(pc),
     ], -1)
-    from ..units import pcmyr
-
     vel = np.stack([
         cluster.vx.value_in(pcmyr), cluster.vy.value_in(pcmyr),
         cluster.vz.value_in(pcmyr),

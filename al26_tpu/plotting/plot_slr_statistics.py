@@ -9,7 +9,7 @@ from glob import glob
 import numpy as np
 
 from ..units import msol
-from .lib import calc_cdf, read_state, read_yields
+from .lib import calc_cdf, read_state
 
 SOLAR_26AL_27AL = 5.85e-5   # plot_slr_statistics.py:79
 SOLAR_60FE_56FE = 1e-6      # plot_slr_statistics.py:81

@@ -32,7 +32,7 @@ from ..state import SimState
 from ..units import myr
 from ..utils.timing import PhaseTimers, maybe_start_trace, maybe_stop_trace
 from .init import SimAux, init_cluster
-from .step import run_steps, run_steps_traj, step
+from .step import run_steps, run_steps_traj
 
 
 @dataclass
@@ -89,27 +89,10 @@ def _append_trajectory(rows: np.ndarray,
 
 def _rebuild_aux(cfg: SimConfig, cluster, data_dir=None) -> SimAux:
     """Reconstruct the fixed-shape aux bundle after a reload."""
-    from ..models import agb as agb_mod
-    from ..state import N_ISO
+    from .init import build_aux
 
-    m0 = np.asarray(cluster.m0)
-    hm_candidates = np.flatnonzero(m0 >= cfg.high_mass_threshold)
-    if len(hm_candidates) == 0:
-        hm_candidates = np.array([0])
-    agb_grid_t = np.zeros(1)
-    agb_grid_rates = np.zeros((N_ISO, 1))
-    if cfg.interloper:
-        tables = agb_mod.read_agbs(data_dir)
-        table = agb_mod.find_agb(tables, cfg.interloper_mass)
-        agb_grid_t = table.grid_t
-        agb_grid_rates = np.stack([table.grid_26al, table.grid_60fe])
-    dtype = cluster.pos.dtype
-    return SimAux(
-        hm_idx=jnp.asarray(hm_candidates, dtype=jnp.int32),
-        hm_slot_valid=jnp.ones(len(hm_candidates), bool),
-        agb_grid_t=jnp.asarray(agb_grid_t, dtype=dtype),
-        agb_grid_rates=jnp.asarray(agb_grid_rates, dtype=dtype),
-    )
+    return build_aux(cfg, np.asarray(cluster.m0), cluster.pos.dtype,
+                     data_dir)
 
 
 def load_run(base: str, n_checkpoint: Optional[int] = None,

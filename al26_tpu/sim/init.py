@@ -21,7 +21,7 @@ from ..models.fractal import fractal_positions_velocities
 from ..models.plummer import plummer_positions_velocities
 from ..models.stellar import evolution as stellar
 from ..models.yields import massive_star_yields, read_slrs
-from ..state import Cluster, ISO_26AL, ISO_60FE, N_CH, N_ISO, SimState
+from ..state import Cluster, N_CH, N_ISO, SimState
 from ..units import AU_TO_PC, KMS_TO_PCMYR
 
 
@@ -46,6 +46,29 @@ class SimAux:
 
 def _dtype(cfg: SimConfig):
     return jnp.float64 if cfg.dtype == "f64" else jnp.float32
+
+
+def build_aux(cfg: SimConfig, m0: np.ndarray, dtype,
+              data_dir: str | None = None) -> SimAux:
+    """Fixed-shape aux bundle from the initial masses: massive-star
+    candidate slots (m0 >= threshold) and the AGB rate grids. Shared by
+    cold init and checkpoint resume."""
+    hm_candidates = np.flatnonzero(m0 >= cfg.high_mass_threshold)
+    if len(hm_candidates) == 0:
+        hm_candidates = np.array([0])
+    agb_grid_t = np.zeros(1)
+    agb_grid_rates = np.zeros((N_ISO, 1))
+    if cfg.interloper:
+        tables = agb_mod.read_agbs(data_dir)
+        table = agb_mod.find_agb(tables, cfg.interloper_mass)
+        agb_grid_t = table.grid_t
+        agb_grid_rates = np.stack([table.grid_26al, table.grid_60fe])
+    return SimAux(
+        hm_idx=jnp.asarray(hm_candidates, dtype=jnp.int32),
+        hm_slot_valid=jnp.ones(len(hm_candidates), bool),
+        agb_grid_t=jnp.asarray(agb_grid_t, dtype=dtype),
+        agb_grid_rates=jnp.asarray(agb_grid_rates, dtype=dtype),
+    )
 
 
 def resolve_integrator(cfg: SimConfig, m_total: float) -> SimConfig:

@@ -22,7 +22,6 @@ be vmapped over ensemble realizations or scanned over many steps.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ import os
 import time
 from collections import defaultdict
 from contextlib import contextmanager
-from typing import Dict, List
+from typing import Dict
 
 
 class PhaseTimers:
