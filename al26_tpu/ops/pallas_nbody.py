@@ -63,6 +63,7 @@ def _nbody_kernel(
     g: float,
     n_padded: int,
     with_jerk: bool = True,
+    group_size: int = 0,
 ):
     n_true = n_ref[0, 0]
     row_ids = row_ids_ref[:, 0:1]
@@ -96,6 +97,10 @@ def _nbody_kernel(
 
         col_ids = j0 + jax.lax.broadcasted_iota(jnp.int32, (1, TILE_J), 1)
         valid = (col_ids != row_ids) & (col_ids < n_true)
+        if group_size > 0:
+            # block-diagonal ensembles: interactions only within the same
+            # realization (rows/cols of one group of `group_size` stars)
+            valid &= (col_ids // group_size) == (row_ids // group_size)
 
         inv_r = jax.lax.rsqrt(r2)
         inv_r = jnp.where(valid, inv_r, 0.0)
@@ -143,7 +148,8 @@ def _pad_rows(a: jax.Array, n_padded: int) -> jax.Array:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("eps2", "g", "interpret", "with_jerk"))
+                   static_argnames=("eps2", "g", "interpret", "with_jerk",
+                                    "group_size"))
 def pallas_acc_jerk_pot(
     pos: jax.Array,
     vel: jax.Array,
@@ -152,6 +158,7 @@ def pallas_acc_jerk_pot(
     g: float = G_INTERNAL,
     interpret: bool | None = None,
     with_jerk: bool = True,
+    group_size: int = 0,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """(acc [N,3], jerk [N,3], pot [N]) via the tiled TPU kernel. f32.
 
@@ -162,11 +169,13 @@ def pallas_acc_jerk_pot(
     return pallas_acc_jerk_pot_rows(
         pos, vel, jnp.arange(pos.shape[0], dtype=jnp.int32), pos, vel, mass,
         eps2=eps2, g=g, interpret=interpret, with_jerk=with_jerk,
+        group_size=group_size,
     )
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("eps2", "g", "interpret", "with_jerk"))
+                   static_argnames=("eps2", "g", "interpret", "with_jerk",
+                                    "group_size"))
 def pallas_acc_jerk_pot_rows(
     pos_rows: jax.Array,   # [B,3]  target rows (a subset of the columns)
     vel_rows: jax.Array,   # [B,3]
@@ -179,8 +188,14 @@ def pallas_acc_jerk_pot_rows(
     g: float = G_INTERNAL,
     interpret: bool | None = None,
     with_jerk: bool = True,
+    group_size: int = 0,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Row-subset variant: forces on `pos_rows` from all of `pos`.
+
+    group_size > 0 restricts interactions to stars in the same group
+    (global_index // group_size): a flattened ensemble of B realizations of
+    group_size stars runs as ONE block-diagonal sweep — far faster than a
+    vmapped dense force, which materialises [B,N,N,3] temporaries.
 
     Used by (a) the multi-chip path (parallel.sharded) with a contiguous
     row block per chip, and (b) the block-timestep Hermite's fast-group
@@ -221,7 +236,7 @@ def pallas_acc_jerk_pot_rows(
     grid = (b_padded // TILE_I,)
     kernel = functools.partial(
         _nbody_kernel, eps2=float(eps2), g=float(g), n_padded=n_padded,
-        with_jerk=with_jerk,
+        with_jerk=with_jerk, group_size=group_size,
     )
     flops_per_pair = 50 if with_jerk else 30
     acc, jerk, pot = pl.pallas_call(

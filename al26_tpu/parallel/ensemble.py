@@ -84,8 +84,105 @@ def ensemble_step(batch_state, batch_aux, cfg: SimConfig):
     return jax.vmap(lambda s, a: step(s, a, cfg))(batch_state, batch_aux)
 
 
-def ensemble_run_steps(batch_state, batch_aux, cfg: SimConfig, n_steps: int):
+def ensemble_step_flat(batch_state, batch_aux, cfg: SimConfig):
+    """One physics step for the whole ensemble with a FLATTENED, block-
+    diagonal N-body advance.
+
+    A vmapped dense force materialises [B, N, N, 3] temporaries and runs
+    ~100x below kernel speed; instead the B x N stars are flattened into one
+    system and the Pallas kernel's group mask (global_index // N) restricts
+    interactions to each realization. The shared Hermite substep becomes the
+    min over ALL realizations — the same wall-clock the vmapped while_loop
+    pays (every lane runs until the slowest finishes), so only summation
+    order differs. The pairwise-light physics (deposition, decay,
+    condensation) stays vmapped per realization.
+    """
+    from ..ops.integrators import advance
+    from ..ops.pallas_nbody import (
+        make_pallas_acc, make_pallas_force, use_pallas,
+    )
+    from ..ops.nbody import potential_chunked
+    from ..sim.step import physics_after_advance
+    from ..units import G_INTERNAL
+
+    c = batch_state.cluster
+    b, n = c.mass.shape
+    dtype = c.pos.dtype
+    flat = lambda x: x.reshape((b * n,) + x.shape[2:])
+    pos_f, vel_f, mass_f = flat(c.pos), flat(c.vel), flat(c.mass)
+    dt = jnp.asarray(cfg.dt, dtype)
+    eps2 = jnp.asarray(cfg.eps2, dtype)
+
+    if use_pallas(b * n, dtype):
+        from ..ops.pallas_nbody import pallas_acc_jerk_pot
+
+        def force_fn(p, v):
+            a, j, _ = pallas_acc_jerk_pot(p, v, mass_f, cfg.eps2,
+                                          group_size=n)
+            return a, j
+
+        def acc_fn(p):
+            a, _, _ = pallas_acc_jerk_pot(p, jnp.zeros_like(p), mass_f,
+                                          cfg.eps2, with_jerk=False,
+                                          group_size=n)
+            return a
+
+        _, _, pot_f = pallas_acc_jerk_pot(
+            pos_f, jnp.zeros_like(vel_f), mass_f, 0.0, with_jerk=False,
+            group_size=n,
+        )
+    else:
+        # CPU/test fallback: group-masked dense sweep per realization via
+        # vmap (small sizes only)
+        from ..ops.nbody import acc_jerk_pot_dense, acc_pot_dense
+
+        def force_fn(p, v):
+            a, j, _ = jax.vmap(
+                lambda pp, vv, mm: acc_jerk_pot_dense(pp, vv, mm, eps2)
+            )(p.reshape(b, n, 3), v.reshape(b, n, 3), c.mass)
+            return a.reshape(b * n, 3), j.reshape(b * n, 3)
+
+        acc_fn = None
+        pot_f = jax.vmap(
+            lambda pp, mm: acc_pot_dense(pp, mm, 0.0)[1]
+        )(c.pos, c.mass).reshape(b * n)
+
+    # per-realization virial radius from the group-masked potential
+    u = 0.5 * jnp.sum((mass_f * pot_f).reshape(b, n), axis=1)      # [B]
+    mtot = jnp.sum(c.mass, axis=1)                                  # [B]
+    r_vir = -G_INTERNAL * mtot * mtot / (2.0 * u)
+
+    integ = cfg.integrator
+    if integ == "auto":
+        integ = "hermite4" if n <= 8192 else "leapfrog"
+    pos_new, vel_new = advance(
+        pos_f, vel_f, mass_f, dt,
+        integrator=integ, eta=cfg.eta_hermite,
+        n_sub=cfg.leapfrog_n_sub or 16,
+        eps2=eps2, max_substeps=cfg.substeps_max,
+        force_fn=force_fn, acc_fn=acc_fn, k_fast=cfg.k_fast or 0,
+    )
+    unflat = lambda x: x.reshape((b, n) + x.shape[1:])
+    return jax.vmap(
+        lambda s, a, po, p, v, rv: physics_after_advance(
+            s, a, cfg, po, p, v, rv)
+    )(batch_state, batch_aux, c.pos, unflat(pos_new), unflat(vel_new), r_vir)
+
+
+def ensemble_run_steps(batch_state, batch_aux, cfg: SimConfig, n_steps: int,
+                       flat: bool | None = None):
+    """Scan n_steps over the ensemble. `flat=None` auto-selects the
+    block-diagonal flattened advance when the Pallas kernel is usable."""
+    if flat is None:
+        from ..ops.pallas_nbody import use_pallas
+
+        b, n = batch_state.cluster.mass.shape
+        flat = (use_pallas(b * n, batch_state.cluster.pos.dtype)
+                and cfg.integrator != "hermite4_block")
+
     def body(s, _):
+        if flat:
+            return ensemble_step_flat(s, batch_aux, cfg), None
         return ensemble_step(s, batch_aux, cfg), None
 
     out, _ = jax.lax.scan(body, batch_state, None, length=n_steps)
@@ -93,5 +190,5 @@ def ensemble_run_steps(batch_state, batch_aux, cfg: SimConfig, n_steps: int):
 
 
 ensemble_run_steps = jax.jit(
-    ensemble_run_steps, static_argnames=("cfg", "n_steps")
+    ensemble_run_steps, static_argnames=("cfg", "n_steps", "flat")
 )

@@ -152,6 +152,23 @@ def step(state: SimState, aux: SimAux, cfg: SimConfig,
         acc_fn=acc_fn, k_fast=cfg.k_fast or 0,
         force_rows_fn=force_rows_fn,
     )
+    return physics_after_advance(state, aux, cfg, pos_old, pos, vel, r_vir)
+
+
+def physics_after_advance(state: SimState, aux: SimAux, cfg: SimConfig,
+                          pos_old, pos, vel, r_vir) -> SimState:
+    """Steps 3-8 of the physics (everything after the N-body advance):
+    stellar evolution, wind/SN/AGB deposition, decay, condensation.
+
+    Split out so the flattened-ensemble fast path (parallel.ensemble) can
+    run the O(N^2) advance as ONE block-diagonal Pallas sweep and vmap only
+    this (pairwise-light) part per realization."""
+    c = state.cluster
+    t = state.time
+    dt = jnp.asarray(cfg.dt, c.pos.dtype)
+    t_new = (state.step_count + 1).astype(c.pos.dtype) * dt
+    lm_mask = c.low_mass_mask(cfg.low_mass_min, cfg.low_mass_max)
+    hm_valid = aux.hm_slot_valid
 
     # -- 3. stellar evolution ------------------------------------------
     mass_new, mdot_new = stellar.evolve(c.m0, t_new)

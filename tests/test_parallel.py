@@ -173,3 +173,42 @@ def test_step_with_ring_force_matches():
     np.testing.assert_allclose(
         np.asarray(s_ring.cluster.pos), np.asarray(s_ref.cluster.pos),
         rtol=1e-9, atol=1e-12)
+
+
+def test_ensemble_flat_matches_vmapped():
+    """The flattened block-diagonal ensemble step produces trajectories and
+    deposition equal to the vmapped per-realization step over a short
+    horizon (same physics, different substep sharing/summation order)."""
+    from al26_tpu.parallel.ensemble import ensemble_run_steps
+
+    cfg = SimConfig(n=32, rc=1.0, final_time=10.0, seed=100,
+                    integrator="leapfrog", leapfrog_n_sub=4,
+                    no_massive_star_requirement=True)
+    bs, ba, cfgs = init_ensemble(cfg, 4)
+    out_v = ensemble_run_steps(bs, ba, cfgs[0], 5, flat=False)
+    out_f = ensemble_run_steps(bs, ba, cfgs[0], 5, flat=True)
+    np.testing.assert_allclose(np.asarray(out_f.cluster.pos),
+                               np.asarray(out_v.cluster.pos),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(out_f.cluster.slr),
+                               np.asarray(out_v.cluster.slr),
+                               rtol=1e-6, atol=1e-30)
+
+
+def test_ensemble_flat_no_cross_talk():
+    """Block-diagonal masking: realizations must not feel each other's
+    gravity — a realization's trajectory is identical whether it runs alone
+    or flattened with others."""
+    from al26_tpu.parallel.ensemble import ensemble_run_steps
+
+    cfg = SimConfig(n=32, rc=1.0, final_time=10.0, seed=200,
+                    integrator="leapfrog", leapfrog_n_sub=4,
+                    no_massive_star_requirement=True)
+    bs, ba, cfgs = init_ensemble(cfg, 3)
+    out = ensemble_run_steps(bs, ba, cfgs[0], 5, flat=True)
+    s1, a1, c1 = init_cluster(cfg.replace(seed=201))
+    ref = run_steps(s1, a1, c1.replace(integrator="leapfrog",
+                                       leapfrog_n_sub=4), 5)
+    np.testing.assert_allclose(np.asarray(out.cluster.pos[1]),
+                               np.asarray(ref.cluster.pos),
+                               rtol=1e-8, atol=1e-10)
