@@ -38,6 +38,57 @@ BASELINE_GPAIRS = 50.0
 ITERS = 5
 
 
+def pallas_device_healthy(timeout_s: float = 300.0) -> bool:
+    """Probe (in a subprocess, so a hang cannot take this process down)
+    whether Pallas kernels currently execute on the device. The tunneled
+    TPU worker intermittently wedges: programs load from the compile cache
+    but device execution never completes."""
+    import subprocess
+
+    code = (
+        "import os, sys; os.environ.pop('JAX_PLATFORMS', None);"
+        "sys.path.insert(0, %r);"
+        "import numpy as np, jax.numpy as jnp;"
+        "from al26_tpu.ops.pallas_nbody import pallas_acc_jerk_pot;"
+        "x = jnp.asarray(np.random.default_rng(0).normal(size=(4096,3)),"
+        "jnp.float32);"
+        "a,_,_ = pallas_acc_jerk_pot(x, x, jnp.ones(4096, jnp.float32), 1e-3);"
+        "print(float(jnp.sum(a)))"
+    ) % os.path.dirname(os.path.abspath(__file__))
+    try:
+        subprocess.run(["python", "-c", code], timeout=timeout_s,
+                       check=True, capture_output=True)
+        return True
+    except Exception as e:
+        print(f"# pallas health probe failed ({type(e).__name__}); "
+              f"falling back to the XLA force path", file=sys.stderr)
+        return False
+
+
+def bench_force_throughput_xla(n: int = 32768) -> float:
+    """Fallback headline measurement through the plain-XLA chunked force
+    (used when the device cannot run Pallas kernels)."""
+    from al26_tpu.ops.nbody import acc_jerk_pot_chunked
+
+    rng = np.random.default_rng(0)
+    pos = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    vel = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    mass = jnp.asarray(rng.uniform(0.1, 2.0, n), jnp.float32)
+    f = jax.jit(lambda p, v, m: acc_jerk_pot_chunked(p, v, m, 1e-3))
+    a, _, _ = f(pos, vel, mass)
+    float(jnp.sum(a))
+    best = float("inf")
+    t_budget0 = time.time()
+    for _ in range(ITERS):
+        t0 = time.time()
+        a, j, p = f(pos, vel, mass)
+        float(jnp.sum(a))
+        best = min(best, time.time() - t0)
+        if time.time() - t_budget0 > 120.0:
+            break
+    return n * n / best / 1e9
+
+
 def bench_force_throughput() -> float:
     rng = np.random.default_rng(0)
     pos = jnp.asarray(rng.normal(size=(N_BENCH, 3)), jnp.float32)
@@ -108,24 +159,35 @@ def bench_ensemble(n_real: int = 16, n: int = 1024,
 
 
 def main() -> None:
-    gpairs = bench_force_throughput()
-    try:
-        for n, steps in ((1024, 100), (10240, 50), (102400, 10)):
-            spm = bench_wallclock_per_myr(n, steps)
-            print(f"# wall-clock per simulated Myr, N={n}: {spm:.3f} s/Myr",
-                  file=sys.stderr)
-        spm = bench_wallclock_per_myr(102400, 10,
-                                      integrator="hermite4_block")
-        print(f"# wall-clock per simulated Myr, N=102400 "
-              f"(hermite4_block): {spm:.3f} s/Myr", file=sys.stderr)
-        es = bench_ensemble()
-        print(f"# 16-realization vmapped ensemble (N=1024): {es:.3f} "
-              f"s/Myr total", file=sys.stderr)
-    except Exception as e:  # diagnostics must not break the headline metric
-        print(f"# secondary bench failed: {e}", file=sys.stderr)
+    healthy = pallas_device_healthy()
+    if healthy:
+        gpairs = bench_force_throughput()
+        metric = (f"pairwise force throughput (acc+jerk+pot, N={N_BENCH}, "
+                  f"{len(jax.devices())} chip(s))")
+        try:
+            for n, steps in ((1024, 100), (10240, 50), (102400, 10)):
+                spm = bench_wallclock_per_myr(n, steps)
+                print(f"# wall-clock per simulated Myr, N={n}: "
+                      f"{spm:.3f} s/Myr", file=sys.stderr)
+            spm = bench_wallclock_per_myr(102400, 10,
+                                          integrator="hermite4_block")
+            print(f"# wall-clock per simulated Myr, N=102400 "
+                  f"(hermite4_block): {spm:.3f} s/Myr", file=sys.stderr)
+            es = bench_ensemble()
+            print(f"# 16-realization ensemble (N=1024, auto flat/vmapped): {es:.3f} "
+                  f"s/Myr total", file=sys.stderr)
+        except Exception as e:  # diagnostics must not break the headline
+            print(f"# secondary bench failed: {e}", file=sys.stderr)
+    else:
+        # degraded device window: pallas execution wedged — measure through
+        # XLA so the round still records a metric (healthy-window numbers:
+        # 52 Gpairs/s, see README/docs/validation.md)
+        gpairs = bench_force_throughput_xla()
+        metric = ("pairwise force throughput (XLA fallback, N=32768; "
+                  "pallas path wedged this window — healthy-window "
+                  "kernel: 52 Gpairs/s)")
     print(json.dumps({
-        "metric": f"pairwise force throughput (acc+jerk+pot, N={N_BENCH}, "
-                  f"{len(jax.devices())} chip(s))",
+        "metric": metric,
         "value": round(gpairs, 2),
         "unit": "Gpairs/s",
         "vs_baseline": round(gpairs / BASELINE_GPAIRS, 3),
