@@ -153,14 +153,54 @@ def ensemble_step_flat(batch_state, batch_aux, cfg: SimConfig):
     r_vir = -G_INTERNAL * mtot * mtot / (2.0 * u)
 
     integ = cfg.integrator
+    force_rows_fn = None
     if integ == "auto":
-        integ = "hermite4" if n <= 8192 else "leapfrog"
+        # shared-adaptive Hermite collapses on flattened ensembles: ONE
+        # tight pair in ANY realization drives the global-min substep for
+        # all B*N stars (observed ~100 substeps/step by t~2 Myr). The
+        # two-group block scheme isolates the tight pairs in the fast group
+        # (the group-masked row kernel keeps realizations independent).
+        integ = "hermite4_block"
+    if integ == "hermite4_block":
+        if use_pallas(b * n, dtype):
+            def force_rows_fn(pr, vr, ids, p_all, v_all):
+                from ..ops.pallas_nbody import pallas_acc_jerk_pot_rows
+
+                a, j, _ = pallas_acc_jerk_pot_rows(
+                    pr, vr, ids, p_all, v_all, mass_f, eps2=cfg.eps2,
+                    group_size=n,
+                )
+                return a, j
+        else:
+            def force_rows_fn(pr, vr, ids, p_all, v_all):
+                # jnp fallback with the SAME group masking (fast rows must
+                # not feel other realizations)
+                dx = p_all[None, :, :] - pr[:, None, :]
+                dv = v_all[None, :, :] - vr[:, None, :]
+                r2 = jnp.sum(dx * dx, -1) + eps2
+                inv_r = jax.lax.rsqrt(r2)
+                cols = jnp.arange(b * n)
+                bad = (cols[None, :] == ids[:, None]) | (
+                    (cols[None, :] // n) != (ids[:, None] // n))
+                inv_r = jnp.where(bad, 0.0, inv_r)
+                inv_r3 = inv_r * inv_r * inv_r
+                r2s = jnp.where(bad, 1.0, r2)
+                xv = jnp.sum(dx * dv, -1)
+                from ..units import G_INTERNAL as G
+                mj3 = mass_f[None, :] * inv_r3
+                a = G * jnp.einsum("ij,ijk->ik", mj3, dx)
+                j = G * (jnp.einsum("ij,ijk->ik", mj3, dv)
+                         - 3.0 * jnp.einsum("ij,ijk->ik", mj3 * xv / r2s, dx))
+                return a, j
+
     pos_new, vel_new = advance(
         pos_f, vel_f, mass_f, dt,
         integrator=integ, eta=cfg.eta_hermite,
         n_sub=cfg.leapfrog_n_sub or 16,
         eps2=eps2, max_substeps=cfg.substeps_max,
-        force_fn=force_fn, acc_fn=acc_fn, k_fast=cfg.k_fast or 0,
+        force_fn=force_fn, acc_fn=acc_fn,
+        k_fast=cfg.k_fast or max(256, (b * n) // 64),
+        force_rows_fn=force_rows_fn,
     )
     unflat = lambda x: x.reshape((b, n) + x.shape[1:])
     return jax.vmap(
@@ -177,8 +217,7 @@ def ensemble_run_steps(batch_state, batch_aux, cfg: SimConfig, n_steps: int,
         from ..ops.pallas_nbody import use_pallas
 
         b, n = batch_state.cluster.mass.shape
-        flat = (use_pallas(b * n, batch_state.cluster.pos.dtype)
-                and cfg.integrator != "hermite4_block")
+        flat = use_pallas(b * n, batch_state.cluster.pos.dtype)
 
     def body(s, _):
         if flat:

@@ -212,3 +212,21 @@ def test_ensemble_flat_no_cross_talk():
     np.testing.assert_allclose(np.asarray(out.cluster.pos[1]),
                                np.asarray(ref.cluster.pos),
                                rtol=1e-8, atol=1e-10)
+
+
+def test_ensemble_flat_block_integrator_isolated():
+    """Flat + hermite4_block (the TPU auto path): realizations stay
+    gravitationally isolated and close to vmapped hermite4 trajectories."""
+    from al26_tpu.parallel.ensemble import ensemble_run_steps
+
+    cfg = SimConfig(n=32, rc=1.0, final_time=10.0, seed=300, k_fast=8,
+                    integrator="hermite4_block",
+                    no_massive_star_requirement=True)
+    bs, ba, cfgs = init_ensemble(cfg, 3)
+    out = ensemble_run_steps(bs, ba, cfgs[0], 5, flat=True)
+    # against the single-realization hermite4_block run
+    s1, a1, c1 = init_cluster(cfg.replace(seed=301))
+    ref = run_steps(s1, a1, c1, 5)
+    np.testing.assert_allclose(np.asarray(out.cluster.pos[1]),
+                               np.asarray(ref.cluster.pos),
+                               rtol=1e-4, atol=1e-7)
