@@ -155,12 +155,14 @@ def ensemble_step_flat(batch_state, batch_aux, cfg: SimConfig):
     integ = cfg.integrator
     force_rows_fn = None
     if integ == "auto":
-        # shared-adaptive Hermite collapses on flattened ensembles: ONE
-        # tight pair in ANY realization drives the global-min substep for
-        # all B*N stars (observed ~100 substeps/step by t~2 Myr). The
-        # two-group block scheme isolates the tight pairs in the fast group
-        # (the group-masked row kernel keeps realizations independent).
-        integ = "hermite4_block"
+        # Adaptive Hermite (shared OR block) collapses on evolved
+        # ensembles: hardened softened binaries legitimately demand ~dt/1000
+        # substeps, and with 16 realizations one such pair always exists by
+        # t ~ 2 Myr (observed: ~160 s/Myr either way). The reference's own
+        # default solver is BHTree — a FIXED-substep leapfrog that does not
+        # resolve binary orbits (al26_nbody.py:59) — so ensembles default to
+        # exactly that: BHTree-parity leapfrog.
+        integ = "leapfrog"
     if integ == "hermite4_block":
         if use_pallas(b * n, dtype):
             def force_rows_fn(pr, vr, ids, p_all, v_all):
