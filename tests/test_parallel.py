@@ -230,3 +230,26 @@ def test_ensemble_flat_block_integrator_isolated():
     np.testing.assert_allclose(np.asarray(out.cluster.pos[1]),
                                np.asarray(ref.cluster.pos),
                                rtol=1e-4, atol=1e-7)
+
+
+def test_traj_run_carries_mesh():
+    """run_steps_traj with a mesh (review regression: the trajectory path
+    silently dropped the sharded force) matches run_steps."""
+    from al26_tpu.sim import run_steps_traj
+    from al26_tpu.parallel.sharded import shard_state_rows
+
+    cfg = SimConfig(n=64, rc=0.5, final_time=2.0, seed=5, interloper=True,
+                    interloper_mass=3.0, interloper_velocity=20.0,
+                    interloper_radius=0.05,
+                    no_massive_star_requirement=True)
+    state, aux, cfg = init_cluster(cfg)
+    # n_total = 65 (interloper): not divisible by 8 -> use 5-device mesh
+    mesh = make_mesh(5)
+    s_ref, rows_ref = run_steps_traj(state, aux, cfg, 4)
+    state_sh = shard_state_rows(state, mesh)
+    s_mesh, rows_mesh = run_steps_traj(state_sh, aux, cfg, 4, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(s_mesh.cluster.pos),
+                               np.asarray(s_ref.cluster.pos),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(rows_mesh), np.asarray(rows_ref),
+                               rtol=1e-9, atol=1e-12)
