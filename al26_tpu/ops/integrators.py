@@ -34,6 +34,7 @@ def leapfrog_advance(
     eps2: float | jax.Array = 0.0,
     g: float = G_INTERNAL,
     acc_fn=None,
+    init_acc=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Kick-drift-kick leapfrog with `n_sub` fixed substeps.
 
@@ -50,7 +51,9 @@ def leapfrog_advance(
             return a
 
     h = dt / n_sub
-    a0 = acc_fn(pos)
+    # init_acc: the caller's step-start evaluation (which also produced the
+    # virial-radius potential) — skips one full O(N^2) sweep per outer step
+    a0 = acc_fn(pos) if init_acc is None else init_acc
 
     def body(_, carry):
         p, v, a = carry
@@ -75,6 +78,7 @@ def hermite4_advance(
     max_substeps: int = 4096,
     force_block: int | None = None,
     force_fn=None,
+    init_eval=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Advance (pos, vel) by dt with shared adaptive-timestep Hermite4.
 
@@ -97,7 +101,7 @@ def hermite4_advance(
             return a, j
     forces = force_fn
 
-    a0, j0 = forces(pos, vel)
+    a0, j0 = forces(pos, vel) if init_eval is None else init_eval
     h_min = dt / max_substeps
 
     def timestep(a, j, t_left):
@@ -144,6 +148,7 @@ def hermite4_block_advance(
     max_substeps: int = 4096,
     force_fn=None,
     force_rows_fn=None,
+    init_eval=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Two-group block-timestep Hermite (ph4-style, TPU fixed shapes).
 
@@ -191,7 +196,7 @@ def hermite4_block_advance(
             return a, j
 
     # -- step-start evaluation + fast-group selection -----------------------
-    a0, j0 = force_fn(pos, vel)
+    a0, j0 = force_fn(pos, vel) if init_eval is None else init_eval
     a2 = jnp.sum(a0 * a0, axis=-1)
     j2 = jnp.sum(j0 * j0, axis=-1)
     crit = jnp.sqrt(a2 / jnp.maximum(j2, tiny))      # per-particle h/eta
@@ -259,25 +264,31 @@ def advance(
     pos, vel, mass, dt, *, integrator: str = "hermite4",
     eta: float = 0.14, n_sub: int = 8, eps2=0.0, g=G_INTERNAL,
     max_substeps: int = 4096, force_block=None, force_fn=None, acc_fn=None,
-    k_fast: int = 0, force_rows_fn=None,
+    k_fast: int = 0, force_rows_fn=None, init_eval=None,
 ):
-    """Static dispatch over the configured integrator."""
+    """Static dispatch over the configured integrator.
+
+    `init_eval=(a0, j0)` (or `(a0, None)` for leapfrog) injects the caller's
+    step-start force evaluation so the sweep that produced the virial-radius
+    potential is not repeated."""
     if integrator == "hermite4":
         return hermite4_advance(
             pos, vel, mass, dt, eta, eps2, g, max_substeps, force_block,
-            force_fn,
+            force_fn, init_eval,
         )
     if integrator == "hermite4_block":
         k = k_fast or max(128, pos.shape[0] // 16)
         k = min(k, pos.shape[0])  # top_k rejects k > n (tiny clusters)
         return hermite4_block_advance(
             pos, vel, mass, dt, k,
-            eta, eps2, g, max_substeps, force_fn, force_rows_fn,
+            eta, eps2, g, max_substeps, force_fn, force_rows_fn, init_eval,
         )
     if integrator == "leapfrog":
         if acc_fn is None and force_fn is not None:
             def acc_fn(p):
                 a, _ = force_fn(p, jnp.zeros_like(p))
                 return a
-        return leapfrog_advance(pos, vel, mass, dt, n_sub, eps2, g, acc_fn)
+        init_acc = init_eval[0] if init_eval is not None else None
+        return leapfrog_advance(pos, vel, mass, dt, n_sub, eps2, g, acc_fn,
+                                init_acc)
     raise ValueError(f"unknown integrator: {integrator}")

@@ -64,6 +64,7 @@ def _nbody_kernel(
     n_padded: int,
     with_jerk: bool = True,
     group_size: int = 0,
+    pot_eps2: float | None = None,
 ):
     n_true = n_ref[0, 0]
     row_ids = row_ids_ref[:, 0:1]
@@ -76,7 +77,23 @@ def _nbody_kernel(
     vzi = vel_row[:, 2:3]
 
     num_j = n_padded // TILE_J
-
+    if group_size > 0:
+        # block-diagonal column window: a row tile only interacts with the
+        # column tiles overlapping its own group(s), so a B-realization
+        # flattened ensemble costs O(B*N^2) pair work instead of O((B*N)^2).
+        # The window is derived from the tile's row ids (works for the
+        # contiguous flat-ensemble layout AND scattered block-timestep row
+        # subsets); the in-loop group mask stays, handling partial overlap.
+        ids1d = row_ids_ref[:, 0]
+        big = jnp.int32(2**30)
+        id_min = jnp.min(jnp.where(ids1d >= 0, ids1d, big))
+        id_max = jnp.max(ids1d)  # padding rows are -1, never the max
+        g_lo = id_min // group_size
+        g_hi = id_max // group_size
+        jt_lo = jnp.minimum((g_lo * group_size) // TILE_J, num_j)
+        jt_hi = jnp.minimum(-(-((g_hi + 1) * group_size) // TILE_J), num_j)
+        # all-padding tile: id_min=big, id_max=-1 -> jt_lo >= jt_hi -> no work
+        jt_lo = jnp.minimum(jt_lo, jt_hi)
     def body(jt, carry):
         ax, ay, az, jx, jy, jz, pot = carry
         j0 = jt * TILE_J  # int32: the loop bounds below pin the index dtype
@@ -121,15 +138,28 @@ def _nbody_kernel(
             jy = jy + jnp.sum(w * (dvy - s * dy), axis=1, keepdims=True)
             jz = jz + jnp.sum(w * (dvz - s * dz), axis=1, keepdims=True)
 
-        pot = pot - jnp.sum(mj * inv_r, axis=1, keepdims=True)
+        if pot_eps2 is None:
+            pot = pot - jnp.sum(mj * inv_r, axis=1, keepdims=True)
+        else:
+            # separately-softened potential (pot_eps2=1e-30 ~ unsoftened):
+            # lets ONE sweep return BHTree-softened forces AND the raw
+            # potential the virial radius needs (al26_nbody.py:770), instead
+            # of a second full O(N^2) pass per step
+            inv_rp = jax.lax.rsqrt(r2 - eps2 + pot_eps2)
+            inv_rp = jnp.where(valid, inv_rp, 0.0)
+            pot = pot - jnp.sum(mj * inv_rp, axis=1, keepdims=True)
         return ax, ay, az, jx, jy, jz, pot
 
     zeros = jnp.zeros((TILE_I, 1), jnp.float32)
     # int32 loop bounds: under jax_enable_x64 python-int bounds make the
     # induction variable int64, whose promotion into the int32 column-index
     # compare sends Mosaic lowering into infinite recursion
+    if group_size > 0:
+        bounds = (jt_lo.astype(jnp.int32), jt_hi.astype(jnp.int32))
+    else:
+        bounds = (jnp.int32(0), jnp.int32(num_j))
     ax, ay, az, jx, jy, jz, pot = jax.lax.fori_loop(
-        jnp.int32(0), jnp.int32(num_j), body, (zeros,) * 7
+        bounds[0], bounds[1], body, (zeros,) * 7
     )
     acc_out[:, 0:1] = g * ax
     acc_out[:, 1:2] = g * ay
@@ -149,7 +179,7 @@ def _pad_rows(a: jax.Array, n_padded: int) -> jax.Array:
 
 @functools.partial(jax.jit,
                    static_argnames=("eps2", "g", "interpret", "with_jerk",
-                                    "group_size"))
+                                    "group_size", "pot_eps2"))
 def pallas_acc_jerk_pot(
     pos: jax.Array,
     vel: jax.Array,
@@ -159,23 +189,26 @@ def pallas_acc_jerk_pot(
     interpret: bool | None = None,
     with_jerk: bool = True,
     group_size: int = 0,
+    pot_eps2: float | None = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """(acc [N,3], jerk [N,3], pot [N]) via the tiled TPU kernel. f32.
 
     `with_jerk=False` skips the jerk accumulation (~40% of the pair work) —
     the leapfrog/BHTree-parity path needs only accelerations.
-    `interpret=None` auto-selects interpreter mode off-TPU so the kernel is
-    testable on the CPU backend."""
+    `pot_eps2` softens the potential separately from the forces (1e-30 ~
+    unsoftened) so one sweep serves both the integrator and the virial
+    radius. `interpret=None` auto-selects interpreter mode off-TPU so the
+    kernel is testable on the CPU backend."""
     return pallas_acc_jerk_pot_rows(
         pos, vel, jnp.arange(pos.shape[0], dtype=jnp.int32), pos, vel, mass,
         eps2=eps2, g=g, interpret=interpret, with_jerk=with_jerk,
-        group_size=group_size,
+        group_size=group_size, pot_eps2=pot_eps2,
     )
 
 
 @functools.partial(jax.jit,
                    static_argnames=("eps2", "g", "interpret", "with_jerk",
-                                    "group_size"))
+                                    "group_size", "pot_eps2"))
 def pallas_acc_jerk_pot_rows(
     pos_rows: jax.Array,   # [B,3]  target rows (a subset of the columns)
     vel_rows: jax.Array,   # [B,3]
@@ -189,6 +222,7 @@ def pallas_acc_jerk_pot_rows(
     interpret: bool | None = None,
     with_jerk: bool = True,
     group_size: int = 0,
+    pot_eps2: float | None = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Row-subset variant: forces on `pos_rows` from all of `pos`.
 
@@ -237,6 +271,7 @@ def pallas_acc_jerk_pot_rows(
     kernel = functools.partial(
         _nbody_kernel, eps2=float(eps2), g=float(g), n_padded=n_padded,
         with_jerk=with_jerk, group_size=group_size,
+        pot_eps2=None if pot_eps2 is None else float(pot_eps2),
     )
     flops_per_pair = 50 if with_jerk else 30
     acc, jerk, pot = pl.pallas_call(

@@ -130,3 +130,62 @@ def test_pallas_scattered_rows():
                                rtol=2e-5, atol=1e-8)
     np.testing.assert_allclose(np.asarray(p), np.asarray(p_full[ids]),
                                rtol=2e-5, atol=1e-8)
+
+
+def test_pallas_group_window_matches_per_group_dense():
+    """group_size > 0 (flattened ensembles): the block-diagonal column
+    window + mask must reproduce the per-group dense forces exactly, for a
+    group size that straddles TILE_J boundaries."""
+    gs, b = 700, 3  # 2100 rows: groups cross the 512-wide column tiles
+    pos, vel, mass = _system(gs * b, seed=11)
+    a, j, p = pallas_acc_jerk_pot(pos, vel, mass, 1e-3, group_size=gs)
+    for k in range(b):
+        sl = slice(k * gs, (k + 1) * gs)
+        a_ref, j_ref, p_ref = acc_jerk_pot_dense(
+            pos[sl].astype(jnp.float64), vel[sl].astype(jnp.float64),
+            mass[sl].astype(jnp.float64), 1e-3,
+        )
+        np.testing.assert_allclose(np.asarray(a[sl]), np.asarray(a_ref),
+                                   rtol=2e-4, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(j[sl]), np.asarray(j_ref),
+                                   rtol=2e-4, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(p[sl]), np.asarray(p_ref),
+                                   rtol=2e-4, atol=1e-7)
+
+
+def test_pallas_group_window_scattered_rows():
+    """The column window derives from row ids, so a SCATTERED fast-group row
+    subset (block-timestep subcycle) with group masking stays correct even
+    when its rows span several groups."""
+    from al26_tpu.ops.pallas_nbody import pallas_acc_jerk_pot_rows
+
+    gs, b = 600, 3
+    pos, vel, mass = _system(gs * b, seed=13)
+    a_full, j_full, p_full = pallas_acc_jerk_pot(pos, vel, mass, 1e-3,
+                                                 group_size=gs)
+    ids = jnp.asarray([5, 1700, 599, 600, 1234, 0, 1799], jnp.int32)
+    a, j, p = pallas_acc_jerk_pot_rows(
+        pos[ids], vel[ids], ids, pos, vel, mass, eps2=1e-3, group_size=gs)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(a_full[ids]),
+                               rtol=2e-5, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(j), np.asarray(j_full[ids]),
+                               rtol=2e-5, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(p), np.asarray(p_full[ids]),
+                               rtol=2e-5, atol=1e-8)
+
+
+def test_pallas_pot_eps2_fused_sweep():
+    """pot_eps2 decouples the potential's softening from the forces': one
+    sweep returns BHTree-softened acc/jerk AND the unsoftened potential
+    (what sim.step feeds the virial radius)."""
+    pos, vel, mass = _system(400, seed=15)
+    eps2 = 0.125
+    a_s, j_s, _ = pallas_acc_jerk_pot(pos, vel, mass, eps2)
+    _, _, p_u = pallas_acc_jerk_pot(pos, vel, mass, 0.0)
+    a, j, p = pallas_acc_jerk_pot(pos, vel, mass, eps2, pot_eps2=1e-30)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(a_s),
+                               rtol=1e-6, atol=0)
+    np.testing.assert_allclose(np.asarray(j), np.asarray(j_s),
+                               rtol=1e-6, atol=0)
+    np.testing.assert_allclose(np.asarray(p), np.asarray(p_u),
+                               rtol=2e-5, atol=1e-8)
