@@ -47,14 +47,24 @@ class SimConfig:
     #                                     we preserve that behaviour)
     mass_frac_27al: float = 8.500e-6   # stable 27Al per stellar mass (:1555)
     mass_frac_56fe: float = 1.828e-4   # stable 56Fe per stellar mass (:1567)
+    sn_parity_mode: bool = False       # True: gate wind/SN sources on
+    #   CURRENT mass >= high_mass_threshold exactly like the reference
+    #   (al26_nbody.py:945-948 via get_high_mass_star_indices:1194-1216) —
+    #   needed for reference-matching statistics. Default False: candidacy
+    #   is INITIAL-mass based, so a 13-14 Msun star whose strong post-MS
+    #   wind drops it below 13 Msun still sheds wind and still explodes
+    #   (the reference silently loses both for that most-populous massive
+    #   bin; see docs/deviations in ops/deposition.py:sn_injection).
 
     # -- gravity ----------------------------------------------------------
     integrator: str = "auto"           # "auto" | "hermite4" |
     #                                     "hermite4_block" | "leapfrog"
-    #   auto resolves at init: hermite4 (ph4-parity, shared adaptive
-    #   timestep) up to 8192 stars, BHTree-parity leapfrog beyond — the
-    #   reference's own default solver is the BHTree leapfrog
-    #   (al26_nbody.py:59); a shared adaptive step collapses at large N.
+    #   auto resolves at init (sim.init.resolve_integrator): hermite4
+    #   (ph4-parity, shared adaptive timestep) up to 8192 stars,
+    #   hermite4_block beyond (more accurate than the reference's default
+    #   BHTree leapfrog AND the fastest large-N path); flattened ensembles
+    #   resolve to BHTree-parity leapfrog at the ensemble boundary
+    #   (parallel.ensemble.init_ensemble) — see docs/precision.md.
     leapfrog_n_sub: Optional[int] = None  # substeps per outer step; None =
     #   BHTree parity: internal dt = 1/64 N-body time unit, resolved at
     #   init from the realised cluster mass (rounded to a power of two).
@@ -93,7 +103,11 @@ class SimConfig:
 
     # -- parallel ----------------------------------------------------
     ensemble: int = 1                  # vmapped cluster realizations
-    mesh_shape: Optional[tuple] = None # device mesh (auto if None)
+    mesh_shape: Optional[tuple] = None # device mesh for row-sharding a
+    #                                     single large run (None = one chip)
+    force_impl: str = "auto"           # pairwise force backend:
+    #   "auto" (sharded if mesh, Pallas on TPU at N >= 4096/f32, else XLA),
+    #   "pallas" | "sharded" | "ring" | "default" — see sim.step._build_force_fn
 
     @property
     def eps2(self) -> float:

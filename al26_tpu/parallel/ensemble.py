@@ -38,8 +38,20 @@ def init_ensemble(cfg: SimConfig, n_realizations: int,
     """Initialise `n_realizations` independent clusters (seeds
     cfg.seed, cfg.seed+1, ...) and stack them into one batched
     (SimState, SimAux). Massive-star slot arrays are padded to a common
-    width so shapes match."""
+    width so shapes match.
+
+    integrator="auto" is resolved HERE, at the ensemble boundary, to
+    BHTree-parity leapfrog for every realization (per-realization
+    init_cluster would resolve it to hermite4 for n <= 8192, which
+    collapses on flattened evolved ensembles: one hardened softened binary
+    anywhere in the batch drags every realization onto ~dt/1000 substeps —
+    the reference's own default solver is the fixed-substep BHTree
+    leapfrog, al26_nbody.py:59). The shared resolution also guarantees all
+    realizations record the SAME integrator/substep config in their
+    checkpoints as the one that actually stepped them (run_ensemble steps
+    with cfgs[0])."""
     states, auxes, cfgs = [], [], []
+    m_totals = []
     for k in range(n_realizations):
         # host-side init: one batched device transfer at the end instead of
         # ~45 per realization (matters on a tunneled TPU)
@@ -48,6 +60,29 @@ def init_ensemble(cfg: SimConfig, n_realizations: int,
         states.append(s)
         auxes.append(a)
         cfgs.append(c)
+        m_totals.append(float(np.asarray(s.cluster.mass).sum()))
+    if cfg.integrator == "auto":
+        from ..sim.init import resolve_integrator
+
+        shared = resolve_integrator(
+            cfg.replace(integrator="leapfrog"), float(np.mean(m_totals))
+        )
+        cfgs = [
+            c.replace(integrator="leapfrog",
+                      leapfrog_n_sub=shared.leapfrog_n_sub)
+            for c in cfgs
+        ]
+    batch_state, batch_aux = stack_ensemble(states, auxes)
+    return batch_state, batch_aux, cfgs
+
+
+def stack_ensemble(states, auxes):
+    """Stack per-realization (SimState, SimAux) lists into one batched
+    pytree pair: massive-star slot arrays are padded to a common width
+    (with False validity, so padded slots never contribute), then every
+    array is stacked on the host and transferred once."""
+    states = [jax.device_get(s) for s in states]
+    auxes = [jax.device_get(a) for a in auxes]
     width = max(a.hm_idx.shape[0] for a in auxes)
     auxes = [
         dataclasses.replace(
@@ -57,15 +92,14 @@ def init_ensemble(cfg: SimConfig, n_realizations: int,
             hm_slot_valid=np.pad(
                 np.asarray(a.hm_slot_valid),
                 (0, width - a.hm_slot_valid.shape[0])
-            ),  # pads with False: padded slots never contribute
+            ),
         )
         for a in auxes
     ]
     # AGB grids may differ in length only if data files differ; they don't.
-    # stack on host, transfer each stacked array once
     batch_state = jax.tree.map(lambda *xs: jnp.asarray(np.stack(xs)), *states)
     batch_aux = jax.tree.map(lambda *xs: jnp.asarray(np.stack(xs)), *auxes)
-    return batch_state, batch_aux, cfgs
+    return batch_state, batch_aux
 
 
 def shard_ensemble(batch_state, batch_aux, mesh: Mesh):
@@ -113,6 +147,18 @@ def ensemble_step_flat(batch_state, batch_aux, cfg: SimConfig):
     dt = jnp.asarray(cfg.dt, dtype)
     eps2 = jnp.asarray(cfg.eps2, dtype)
 
+    integ = cfg.integrator
+    if integ == "auto":
+        # fallback for callers that bypass init_ensemble's ensemble-boundary
+        # resolution: adaptive Hermite (shared OR block) collapses on
+        # evolved ensembles — one hardened softened binary anywhere in the
+        # batch demands ~dt/1000 substeps (observed: ~160 s/Myr either
+        # way). The reference's default solver is the fixed-substep BHTree
+        # leapfrog (al26_nbody.py:59); ensembles default to exactly that.
+        integ = "leapfrog"
+    needs_jerk = integ in ("hermite4", "hermite4_block")
+
+    init_eval = None
     if use_pallas(b * n, dtype):
         from ..ops.pallas_nbody import pallas_acc_jerk_pot
 
@@ -127,10 +173,13 @@ def ensemble_step_flat(batch_state, batch_aux, cfg: SimConfig):
                                           group_size=n)
             return a
 
-        _, _, pot_f = pallas_acc_jerk_pot(
-            pos_f, jnp.zeros_like(vel_f), mass_f, 0.0, with_jerk=False,
-            group_size=n,
+        # ONE block-diagonal sweep: step-start forces (softened) + the
+        # unsoftened potential for the per-realization virial radius
+        a0, j0, pot_f = pallas_acc_jerk_pot(
+            pos_f, vel_f, mass_f, cfg.eps2, with_jerk=needs_jerk,
+            group_size=n, pot_eps2=1e-30,
         )
+        init_eval = (a0, j0) if needs_jerk else (a0, None)
     else:
         # CPU/test fallback: group-masked dense sweep per realization via
         # vmap (small sizes only)
@@ -152,17 +201,7 @@ def ensemble_step_flat(batch_state, batch_aux, cfg: SimConfig):
     mtot = jnp.sum(c.mass, axis=1)                                  # [B]
     r_vir = -G_INTERNAL * mtot * mtot / (2.0 * u)
 
-    integ = cfg.integrator
     force_rows_fn = None
-    if integ == "auto":
-        # Adaptive Hermite (shared OR block) collapses on evolved
-        # ensembles: hardened softened binaries legitimately demand ~dt/1000
-        # substeps, and with 16 realizations one such pair always exists by
-        # t ~ 2 Myr (observed: ~160 s/Myr either way). The reference's own
-        # default solver is BHTree — a FIXED-substep leapfrog that does not
-        # resolve binary orbits (al26_nbody.py:59) — so ensembles default to
-        # exactly that: BHTree-parity leapfrog.
-        integ = "leapfrog"
     if integ == "hermite4_block":
         if use_pallas(b * n, dtype):
             def force_rows_fn(pr, vr, ids, p_all, v_all):
@@ -202,7 +241,7 @@ def ensemble_step_flat(batch_state, batch_aux, cfg: SimConfig):
         eps2=eps2, max_substeps=cfg.substeps_max,
         force_fn=force_fn, acc_fn=acc_fn,
         k_fast=cfg.k_fast or max(256, (b * n) // 64),
-        force_rows_fn=force_rows_fn,
+        force_rows_fn=force_rows_fn, init_eval=init_eval,
     )
     unflat = lambda x: x.reshape((b, n) + x.shape[1:])
     return jax.vmap(

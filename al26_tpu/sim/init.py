@@ -72,14 +72,23 @@ def build_aux(cfg: SimConfig, m0: np.ndarray, dtype,
 
 
 def resolve_integrator(cfg: SimConfig, m_total: float) -> SimConfig:
-    """Resolve integrator="auto" and the BHTree-parity leapfrog substep
-    count (internal dt = 1/64 N-body time unit, the AMUSE BHTree default;
-    al26_nbody.py:59,1712-1714)."""
+    """Resolve integrator="auto", the BHTree-parity leapfrog substep count
+    (internal dt = 1/64 N-body time unit, the AMUSE BHTree default;
+    al26_nbody.py:59,1712-1714), and the block-timestep fast-group size.
+
+    auto -> hermite4 (ph4-parity shared adaptive step) up to 8192 stars,
+    hermite4_block above: the two-group block-timestep Hermite is BOTH more
+    accurate than the reference's default BHTree leapfrog (4th order +
+    adaptive close-encounter group vs 2nd order fixed substeps) and ~3.4x
+    faster at N=102400 on a v5e chip (54.5 vs 187.2 s/Myr, BENCH_r01) —
+    the shared adaptive step is the one that collapses at large N, because
+    the min over N of the Aarseth criterion forces every star onto the
+    tightest binary's substep."""
     from ..units import G_INTERNAL
 
     integ = cfg.integrator
     if integ == "auto":
-        integ = "hermite4" if cfg.n <= 8192 else "leapfrog"
+        integ = "hermite4" if cfg.n <= 8192 else "hermite4_block"
     n_sub = cfg.leapfrog_n_sub
     if integ == "leapfrog" and n_sub is None:
         t_nbody = float(np.sqrt(cfg.rc**3 / (G_INTERNAL * m_total)))
@@ -87,7 +96,16 @@ def resolve_integrator(cfg: SimConfig, m_total: float) -> SimConfig:
         n_sub = int(max(1, 2 ** int(np.ceil(np.log2(max(raw, 1.0))))))
     elif n_sub is None:
         n_sub = 8
-    return cfg.replace(integrator=integ, leapfrog_n_sub=n_sub)
+    k_fast = cfg.k_fast
+    if integ == "hermite4_block" and k_fast is None:
+        # the fast group only needs to hold the close encounters that set
+        # the shared-step minimum; n/128 bounded to [256, 512] keeps the
+        # subcycle cost (S_sub * K * N pairs) well under the two full
+        # sweeps. Measured at N=102400/f32/v5e: k=256 -> 41.7 s/Myr with
+        # |dE/E| = 4.1e-6/Myr, k=512 -> 43.3, k=1024 -> 46.4 with 2.8e-6 —
+        # drift is flat in k, so small k wins (docs/precision.md).
+        k_fast = int(max(256, min(512, cfg.n // 128)))
+    return cfg.replace(integrator=integ, leapfrog_n_sub=n_sub, k_fast=k_fast)
 
 
 def init_cluster(cfg: SimConfig, data_dir: str | None = None,

@@ -91,32 +91,39 @@ def _build_force_rows_fn(mass, eps2, force_impl_resolved):
 def step(state: SimState, aux: SimAux, cfg: SimConfig,
          mesh=None, force_impl: str = "auto") -> SimState:
     c = state.cluster
-    t = state.time
     dt = jnp.asarray(cfg.dt, c.pos.dtype)
-    # derive the new time from the step counter rather than accumulating:
-    # in f32 on TPU, 1000 accumulated roundings drift t_f by ~1e-4 Myr
-    t_new = (state.step_count + 1).astype(c.pos.dtype) * dt
     eps2 = jnp.asarray(cfg.eps2, c.pos.dtype)
 
-    # -- 1. masks + cluster radius from step-start state --------------------
-    lm_mask = c.low_mass_mask(cfg.low_mass_min, cfg.low_mass_max)
-    # wind/SN source validity is INITIAL-mass based (the slots are built
-    # from m0 >= 13 at init): a 13-14 Msun star keeps shedding its strong
-    # post-MS wind after its current mass drops below the threshold, and its
-    # SN must still fire. The reference's current-mass gate silently loses
-    # both for that (most populous) massive bin; mdot == 0 after the SN
-    # zeroes dead sources either way.
-    hm_valid = aux.hm_slot_valid
     from ..ops.pallas_nbody import use_pallas
     from ..units import G_INTERNAL
+
+    # defensive "auto" resolution for callers that bypass init_cluster's
+    # resolve_integrator (e.g. a cfg recreated from a dict)
+    integ = cfg.integrator
+    if integ == "auto":
+        integ = "hermite4" if c.n <= 8192 else "hermite4_block"
+    pallas_here = force_impl == "pallas" or (
+        force_impl == "auto" and mesh is None
+        and use_pallas(c.pos.shape[0], c.pos.dtype)
+    )
+
+    # -- 1. cluster virial radius from the step-start state (:767-770) ------
+    # On the Pallas path the SAME sweep yields the integrator's step-start
+    # forces (softened, cfg.eps2) and the UNsoftened potential the virial
+    # radius needs — no second O(N^2) pass.
+    init_eval = None
     if mesh is not None:
         from ..parallel.sharded import sharded_potential_energy
         u = sharded_potential_energy(c.pos, c.mass, mesh)
-    elif use_pallas(c.pos.shape[0], c.pos.dtype):
+    elif pallas_here:
         from ..ops.pallas_nbody import pallas_acc_jerk_pot
-        _, _, pot = pallas_acc_jerk_pot(c.pos, jnp.zeros_like(c.vel),
-                                        c.mass, 0.0, with_jerk=False)
+        needs_jerk = integ in ("hermite4", "hermite4_block")
+        a0, j0, pot = pallas_acc_jerk_pot(
+            c.pos, c.vel, c.mass, cfg.eps2, with_jerk=needs_jerk,
+            pot_eps2=1e-30,
+        )
         u = 0.5 * jnp.sum(c.mass * pot)
+        init_eval = (a0, j0) if needs_jerk else (a0, None)
     else:
         u = None
     if u is not None:
@@ -131,26 +138,18 @@ def step(state: SimState, aux: SimAux, cfg: SimConfig,
     # it into the kernel as a compile-time constant
     force_fn, acc_fn = _build_force_fn(c.mass, cfg.eps2, cfg, mesh,
                                        force_impl)
-    # defensive "auto" resolution for callers that bypass init_cluster's
-    # resolve_integrator (e.g. a cfg recreated from a dict)
-    integ = cfg.integrator
-    if integ == "auto":
-        integ = "hermite4" if c.n <= 8192 else "leapfrog"
     force_rows_fn = None
     if integ == "hermite4_block":
-        impl = "pallas" if (
-            force_impl == "pallas"
-            or (force_impl == "auto"
-                and use_pallas(c.mass.shape[0], c.mass.dtype))
-        ) else "default"
-        force_rows_fn = _build_force_rows_fn(c.mass, cfg.eps2, impl)
+        force_rows_fn = _build_force_rows_fn(
+            c.mass, cfg.eps2, "pallas" if pallas_here else "default"
+        )
     pos, vel = advance(
         c.pos, c.vel, c.mass, dt,
         integrator=integ, eta=cfg.eta_hermite,
         n_sub=cfg.leapfrog_n_sub or 16,
         eps2=eps2, max_substeps=cfg.substeps_max, force_fn=force_fn,
         acc_fn=acc_fn, k_fast=cfg.k_fast or 0,
-        force_rows_fn=force_rows_fn,
+        force_rows_fn=force_rows_fn, init_eval=init_eval,
     )
     return physics_after_advance(state, aux, cfg, pos_old, pos, vel, r_vir)
 
@@ -168,7 +167,6 @@ def physics_after_advance(state: SimState, aux: SimAux, cfg: SimConfig,
     dt = jnp.asarray(cfg.dt, c.pos.dtype)
     t_new = (state.step_count + 1).astype(c.pos.dtype) * dt
     lm_mask = c.low_mass_mask(cfg.low_mass_min, cfg.low_mass_max)
-    hm_valid = aux.hm_slot_valid
 
     # -- 3. stellar evolution ------------------------------------------
     mass_new, mdot_new = stellar.evolve(c.m0, t_new)
@@ -180,6 +178,17 @@ def physics_after_advance(state: SimState, aux: SimAux, cfg: SimConfig,
     # track is carried by the AGB table, al26_nbody.py:1448-1490)
     mass_new = jnp.where(c.is_interloper, c.mass, mass_new)
     mdot_new = jnp.where(c.is_interloper, 0.0, mdot_new)
+
+    # wind/SN source validity: INITIAL-mass based by default (a 13-14 Msun
+    # star keeps its strong post-MS wind and its SN after its current mass
+    # drops below the threshold; mdot == 0 after the SN zeroes dead sources
+    # either way). sn_parity_mode restores the reference's CURRENT-mass
+    # gate (al26_nbody.py:945-948) for reference-matching statistics.
+    hm_valid = aux.hm_slot_valid
+    if cfg.sn_parity_mode:
+        hm_valid = hm_valid & (
+            mass_new[aux.hm_idx] >= cfg.high_mass_threshold
+        )
 
     # -- 4. wind deposition (both isotopes, both mixing models) -------------
     slr = c.slr
@@ -197,7 +206,7 @@ def physics_after_advance(state: SimState, aux: SimAux, cfg: SimConfig,
 
     # -- 5. supernovae ---------------------------------------------------
     injected, kicked = dep.sn_injection(
-        pos, c.r_disk, lm_mask, aux.hm_idx, aux.hm_slot_valid,
+        pos, c.r_disk, lm_mask, aux.hm_idx, hm_valid,
         mdot_new, c.kicked, c.sn_yield,
     )
     slr = slr.at[:, :, CH_SNE].add(injected)

@@ -253,3 +253,51 @@ def test_traj_run_carries_mesh():
                                rtol=1e-9, atol=1e-12)
     np.testing.assert_allclose(np.asarray(rows_mesh), np.asarray(rows_ref),
                                rtol=1e-9, atol=1e-12)
+
+
+def test_ensemble_auto_resolves_to_leapfrog_at_boundary():
+    """integrator="auto" must resolve at the ENSEMBLE boundary to the
+    BHTree-parity leapfrog for every realization (per-realization init
+    would pick hermite4 at n <= 8192, which collapses on flattened evolved
+    ensembles), with one shared substep count recorded in every
+    realization's config (what run_ensemble actually steps with)."""
+    cfg = SimConfig(n=32, rc=1.0, final_time=10.0, seed=2, dtype="f32",
+                    no_massive_star_requirement=True)
+    assert cfg.integrator == "auto"
+    _, _, cfgs = init_ensemble(cfg, 3)
+    assert all(c.integrator == "leapfrog" for c in cfgs)
+    n_subs = {c.leapfrog_n_sub for c in cfgs}
+    assert len(n_subs) == 1 and n_subs.pop() >= 1
+    # an explicit integrator choice is NOT overridden
+    cfg_h = cfg.replace(integrator="hermite4")
+    _, _, cfgs_h = init_ensemble(cfg_h, 2)
+    assert all(c.integrator == "hermite4" for c in cfgs_h)
+
+
+def test_ensemble_resume_roundtrip(tmp_path):
+    """Ensemble reload: every pt-<k> realization resumes from its own
+    checkpoint and continues to the SAME final state as the uninterrupted
+    run (reference resume semantics, al26_nbody.py:1647-1656, extended
+    across the ensemble axis)."""
+    import os
+
+    import numpy as np
+
+    from al26_tpu.sim.driver import run_ensemble
+
+    cfg = SimConfig(n=24, rc=0.5, final_time=0.5, seed=77, ensemble=2,
+                    n_plot=2, steps_per_plot=5,
+                    no_massive_star_requirement=True)
+    full, sim_dirs, _ = run_ensemble(cfg, progress=False,
+                                     root=str(tmp_path))
+    # resume each realization from checkpoint #1 (t = 1 step) and re-run
+    cfg_r = cfg.replace(reload=os.path.join(str(tmp_path), "pt-0.5-24"),
+                        n_checkpoint=1)
+    resumed, sim_dirs_r, _ = run_ensemble(cfg_r, progress=False)
+    assert [os.path.normpath(d) for d in sim_dirs_r] == [
+        os.path.normpath(d) for d in sim_dirs]
+    assert float(resumed.time[0]) == cfg.final_time
+    np.testing.assert_array_equal(np.asarray(resumed.cluster.pos),
+                                  np.asarray(full.cluster.pos))
+    np.testing.assert_array_equal(np.asarray(resumed.cluster.slr),
+                                  np.asarray(full.cluster.slr))
