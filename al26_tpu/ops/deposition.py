@@ -115,7 +115,9 @@ def sn_injection(
     bin under the IMF. Candidacy here is initial-mass-based (hm_idx is
     built from m0 at init), fixing that loss; `kicked` still guarantees
     exactly one injection per star. Padded slots (repeated indices) are
-    masked so no star injects twice.
+    masked so no star injects twice. SimConfig.sn_parity_mode restores the
+    reference's current-mass gate by folding `mass >= threshold` into
+    `hm_slot_valid` (sim/step.py) for reference-matching statistics.
     """
     # scatter-or: a duplicated padding slot (valid=False) must not clobber
     # the real slot's candidacy at the same index

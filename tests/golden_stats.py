@@ -1,0 +1,67 @@
+"""Shared helper for the golden N=1k end-to-end statistics (the concrete
+form of the BASELINE 'bit-reproducible SLR abundance statistics at N=1k'
+row): one seeded CPU/float64 run, summarised into a small dict of exact
+float values.
+
+Used by tests/test_golden_stats.py (exact-match assertions) and
+scripts/gen_golden_stats.py (regeneration after an INTENDED physics
+change — regenerating to paper over an unintended diff defeats the test).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+N_GOLDEN = 1000
+SEED_GOLDEN = 20260816
+
+
+def run_golden(sn_parity_mode: bool = False):
+    """The pinned configuration: N=1000, rc=1.0 pc, t_f=10 Myr (the
+    reference's dt = t_f/1000, al26_nbody.py:786), hermite4 + dense f64
+    forces on CPU — the deterministic 'science precision' path
+    (docs/precision.md)."""
+    import jax
+
+    assert jax.config.jax_enable_x64, "golden stats require x64 (conftest)"
+    from al26_tpu.config import SimConfig
+    from al26_tpu.sim import init_cluster, run_steps
+
+    cfg = SimConfig(n=N_GOLDEN, rc=1.0, final_time=10.0, seed=SEED_GOLDEN,
+                    dtype="f64", sn_parity_mode=sn_parity_mode)
+    state, aux, cfg = init_cluster(cfg)
+    state = run_steps(state, aux, cfg, cfg.n_steps)
+    return state, cfg
+
+
+def summarize(state, cfg) -> dict:
+    """Summary statistics, matching the reference's observables: the
+    per-channel cluster sums the CSV rows carry (al26_nbody.py:221-241) and
+    the final-enrichment ratio percentiles postprocess.py derives
+    (plotting/postprocess.py:90-118)."""
+    from al26_tpu.state import CHANNEL_NAMES, ISO_NAMES
+
+    c = state.cluster
+    slr = np.asarray(c.slr, np.float64)
+    slr_final = np.asarray(c.slr_final, np.float64)
+    out = {
+        "time": float(state.time),
+        "n_kicked": int(np.asarray(c.kicked).sum()),
+        "n_disk_alive": int(np.asarray(c.disk_alive).sum()),
+    }
+    for s, iso in enumerate(ISO_NAMES):
+        for ci, ch in enumerate(CHANNEL_NAMES[:3]):   # local, global, sne
+            out[f"sum_{ch}_{iso}"] = float(slr[:, s, ci].sum())
+    # final (disc-death) enrichment ratios over disc-bearing stars
+    lm = (np.asarray(c.mass) >= cfg.low_mass_min) & \
+         (np.asarray(c.mass) <= cfg.low_mass_max) & \
+         ~np.asarray(c.is_interloper)
+    stable = {
+        "26al": np.asarray(c.mass_27al, np.float64),
+        "60fe": np.asarray(c.mass_56fe, np.float64),
+    }
+    for s, iso in enumerate(ISO_NAMES):
+        tot = slr_final[:, s, 0] + slr_final[:, s, 2]   # local + sne
+        ratio = tot[lm] / stable[iso][lm]
+        for q in (10, 50, 90):
+            out[f"ratio_{iso}_p{q}"] = float(np.percentile(ratio, q))
+    return out

@@ -1,0 +1,49 @@
+"""Golden end-to-end statistics at N=1k (BASELINE 'bit-reproducible'
+row): a seeded CPU/float64 run must reproduce the checked-in summary
+statistics EXACTLY — any refactor that changes summation order, RNG
+consumption, or physics on the science-precision path fails here.
+
+Regenerate after an INTENDED physics change:
+    python scripts/gen_golden_stats.py
+"""
+import json
+import os
+
+import pytest
+
+from golden_stats import run_golden, summarize
+
+GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "golden",
+                           "n1k_stats.json")
+
+
+@pytest.fixture(scope="module")
+def golden():
+    with open(GOLDEN_PATH) as f:
+        return json.load(f)
+
+
+@pytest.mark.parametrize("mode", ["default", "sn_parity"])
+def test_golden_n1k_bit_reproducible(golden, mode):
+    state, cfg = run_golden(sn_parity_mode=(mode == "sn_parity"))
+    got = summarize(state, cfg)
+    want = golden[mode]
+    assert set(got) == set(want)
+    for k in sorted(want):
+        assert got[k] == want[k], (
+            f"{mode}/{k}: got {got[k]!r}, golden {want[k]!r} — exact-match "
+            "regression on the deterministic f64 path"
+        )
+
+
+def test_golden_records_the_sn_gate_deviation(golden):
+    """The checked-in goldens themselves document the deliberate physics
+    deviation (ops/deposition.py:sn_injection): with this seed a 13-14 Msun
+    star's post-MS wind takes it below the 13 Msun threshold before core
+    collapse, so the reference's current-mass gate (sn_parity_mode=True,
+    al26_nbody.py:945-948) loses its supernova while the default
+    initial-mass gate keeps it."""
+    assert golden["default"]["n_kicked"] == 1
+    assert golden["sn_parity"]["n_kicked"] == 0
+    assert golden["default"]["sum_sne_26al"] > 0.0
+    assert golden["sn_parity"]["sum_sne_26al"] == 0.0
