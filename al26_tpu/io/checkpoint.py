@@ -16,7 +16,9 @@ import pickle
 import re
 import time
 
-from .compat import Metadata, Particles, State, tolerant_loads
+from .compat import (
+    Metadata, Particles, State, normalize_loaded_state, tolerant_loads,
+)
 from .compression import compress, decompress
 from .yields_store import Yields
 
@@ -63,13 +65,16 @@ def save_checkpoint(
 
 def load_state(path: str) -> State:
     """Load one state file — ours or one written by the reference
-    (read_state, al26_plot.py:41-50)."""
+    (read_state, al26_plot.py:41-50). Reference files embed AMUSE classes;
+    they unpickle through the tolerant stub loader and the cluster table /
+    metadata quantities are rebuilt from the AMUSE object graph
+    (compat.particles_from_amuse_stub)."""
     with open(path, "rb") as f:
         data = decompress(f.read())
     try:
         return pickle.loads(data)
     except (ImportError, AttributeError, ModuleNotFoundError):
-        return tolerant_loads(data)
+        return normalize_loaded_state(tolerant_loads(data))
 
 
 def load_checkpoint(base: str, nfile: int):

@@ -26,7 +26,7 @@ from datetime import datetime
 import numpy as np
 
 from ..state import CHANNEL_NAMES, ISO_NAMES, N_CH, N_ISO
-from ..units import Quantity, au, msol, myr, pc, pcmyr
+from ..units import Quantity, Unit, au, msol, myr, pc, pcmyr
 
 # attribute name -> Unit for the reference's per-star columns
 _UNIT_BY_ATTR = {
@@ -271,6 +271,12 @@ class _Stub:
     def __setstate__(self, state):
         if isinstance(state, dict):
             self.__dict__.update(state)
+        elif (isinstance(state, tuple) and len(state) == 2
+              and all(s is None or isinstance(s, dict) for s in state)):
+            # protocol-2 state of a __slots__ class: (dict_state, slots_state)
+            for s in state:
+                if s:
+                    self.__dict__.update(s)
         else:
             self._stub_state = state
 
@@ -301,3 +307,171 @@ class _TolerantUnpickler(pickle.Unpickler):
 
 def tolerant_loads(data: bytes):
     return _TolerantUnpickler(_io.BytesIO(data)).load()
+
+
+# ---------------------------------------------------------------------------
+# Mining the AMUSE object graph out of the stubs
+#
+# A reference-written state file embeds AMUSE classes (al26_nbody.py:281-293);
+# the tolerant unpickler turns each into a `_Stub` carrying the original
+# instance payload. The functions below rebuild working objects from those
+# payloads, following AMUSE's documented internal layout:
+#
+#   amuse.datamodel.particles.Particles
+#     ._private.attribute_storage          (amuse/datamodel/particles.py)
+#   amuse.datamodel.memory.InMemoryAttributeStorage
+#     .mapping_from_attribute_to_quantities: {name: attribute}
+#     .particle_keys: ndarray              (amuse/datamodel/memory.py)
+#   InMemoryVectorQuantityAttribute.quantity -> VectorQuantity
+#   InMemoryUnitlessAttribute.values     -> ndarray
+#   amuse.units.quantities.{Scalar,Vector}Quantity: .number, .unit
+#   amuse.units.core unit algebra:
+#     base_unit(.quantity in 'mass'|'length'|'time'), named_unit(.local_unit),
+#     factor_unit(.local_factor, .local_unit), mul_unit/div_unit
+#     (.left_hand, .right_hand), pow_unit(.local_unit, .power), none_unit
+#
+# Attribute spellings vary slightly across AMUSE versions, so every lookup
+# tries the known alternatives and the walk is duck-typed on stub payloads.
+# ---------------------------------------------------------------------------
+def _stub_attrs(obj) -> dict:
+    """All payload attributes recorded on a stub (or a real object)."""
+    if obj is None:
+        return {}
+    d = dict(getattr(obj, "__dict__", {}) or {})
+    d.pop("_stub_args", None)
+    kw = d.pop("_stub_kw", None)
+    if kw:
+        d.update(kw)
+    st = d.pop("_stub_state", None)
+    if isinstance(st, dict):
+        d.update(st)
+    return d
+
+
+def _first(d: dict, *names):
+    for n in names:
+        if n in d:
+            return d[n]
+    return None
+
+
+def unit_from_stub(u) -> Unit:
+    """Evaluate a (stubbed) AMUSE unit expression tree into our `Unit`
+    (SI factor + (mass, length, time) exponent signature)."""
+    if isinstance(u, Unit):
+        return u
+    cls = getattr(u, "_stub_class", type(u).__name__)
+    d = _stub_attrs(u)
+    # base_unit: dimension named by .quantity
+    if "system" in d or cls.endswith("base_unit"):
+        q = str(_first(d, "quantity") or "")
+        sig = {"mass": (1, 0, 0), "length": (0, 1, 0),
+               "time": (0, 0, 1)}.get(q)
+        if sig is None:
+            raise ValueError(f"unsupported base unit dimension: {q!r}")
+        return Unit(str(_first(d, "symbol", "name") or q), 1.0, sig)
+    # factor_unit: factor * unit
+    factor = _first(d, "local_factor", "factor")
+    if factor is not None:
+        inner = unit_from_stub(_first(d, "local_unit", "unit"))
+        return Unit(inner.name, float(factor) * inner.si_factor, inner.sig)
+    # pow_unit
+    power = _first(d, "power", "exponent")
+    if power is not None:
+        inner = unit_from_stub(_first(d, "local_unit", "unit"))
+        return inner ** int(power)
+    # mul/div
+    left = _first(d, "left_hand", "lhs")
+    right = _first(d, "right_hand", "rhs")
+    if left is not None and right is not None:
+        lu, ru = unit_from_stub(left), unit_from_stub(right)
+        return lu / ru if ("div" in cls) else lu * ru
+    # named_unit: alias for .local_unit
+    inner = _first(d, "local_unit", "unit")
+    if inner is not None:
+        base = unit_from_stub(inner)
+        return Unit(str(_first(d, "symbol", "name") or base.name),
+                    base.si_factor, base.sig)
+    if "none_unit" in cls or "zero_unit" in cls or not d:
+        return Unit("none", 1.0, (0, 0, 0))
+    raise ValueError(f"cannot evaluate AMUSE unit stub {cls}: {sorted(d)}")
+
+
+def quantity_from_stub(q) -> Quantity:
+    """(stubbed) amuse ScalarQuantity/VectorQuantity -> our Quantity."""
+    if isinstance(q, Quantity):
+        return q
+    d = _stub_attrs(q)
+    number = _first(d, "number", "_number")
+    if number is None:
+        raise ValueError(
+            f"stub {getattr(q, '_stub_class', '?')} has no .number: "
+            f"{sorted(d)}"
+        )
+    return Quantity(np.asarray(number) if np.ndim(number) else number,
+                    unit_from_stub(d.get("unit")))
+
+
+def particles_from_amuse_stub(p) -> Particles:
+    """Rebuild a `Particles` table from a stubbed AMUSE Particles graph.
+
+    Values are converted into this framework's canonical column units
+    (`_UNIT_BY_ATTR`) regardless of the units the reference stored them in
+    (e.g. SI metres from the nbody converter vs parsec)."""
+    private = _first(_stub_attrs(p), "_private")
+    storage = _first(_stub_attrs(private), "attribute_storage", "storage")
+    if storage is None:
+        raise ValueError(
+            "not an AMUSE Particles payload (no _private.attribute_storage)"
+        )
+    st = _stub_attrs(storage)
+    mapping = _first(st, "mapping_from_attribute_to_quantities",
+                     "mapping_from_attribute_to_values")
+    if not isinstance(mapping, dict):
+        # fall back: the only dict-of-stubs payload in the storage
+        dicts = [v for v in st.values() if isinstance(v, dict) and v]
+        mapping = dicts[0] if dicts else None
+    if not isinstance(mapping, dict):
+        raise ValueError("AMUSE attribute storage has no attribute mapping")
+    cols: dict[str, np.ndarray] = {}
+    keys = _first(st, "particle_keys", "keys")
+    if keys is not None:
+        cols["key"] = np.asarray(keys)
+    for name, attr in mapping.items():
+        a = _stub_attrs(attr)
+        qstub = _first(a, "quantity")
+        if qstub is not None:
+            q = quantity_from_stub(qstub)
+            target = _UNIT_BY_ATTR.get(name)
+            if target is not None:
+                cols[name] = np.asarray(q.value_in(target))
+            elif q.unit.sig == (0, 0, 0):
+                cols[name] = np.asarray(q.value) * q.unit.si_factor
+            else:
+                # united attribute we do not track: keep SI magnitudes
+                cols[name] = np.asarray(q.value) * q.unit.si_factor
+        else:
+            values = _first(a, "values", "_values")
+            if values is None:
+                continue
+            cols[name] = np.asarray(values)
+    if not cols:
+        raise ValueError("AMUSE attribute mapping yielded no columns")
+    return Particles(cols)
+
+
+def normalize_loaded_state(state):
+    """Post-process a tolerant-loaded State: rebuild the cluster table from
+    an AMUSE stub graph and re-tag the metadata's unit-carrying fields so
+    downstream code (`metadata.time.value_in(myr)`, postprocess) works on
+    reference-written files exactly as on ours."""
+    cluster = getattr(state, "cluster", None)
+    if isinstance(cluster, _Stub):
+        state.cluster = particles_from_amuse_stub(cluster)
+    md = getattr(state, "metadata", None)
+    if md is not None:
+        for field in ("time", "t_f"):
+            v = getattr(md, field, None)
+            if isinstance(v, _Stub):
+                setattr(md, field, quantity_from_stub(v))
+    return state

@@ -108,6 +108,12 @@ def load_run(base: str, n_checkpoint: Optional[int] = None,
     cfg = override_cfg or SimConfig.from_dict(vars(metadata.args))
     dtype = jnp.float64 if cfg.dtype == "f64" else jnp.float32
     cluster = particles_to_cluster(particles, dtype=dtype)
+    if not isinstance(converter, Converter):
+        # reference-written file: the AMUSE nbody_to_si converter loads as
+        # an opaque stub — rebuild ours so the next save can re-pickle it
+        converter = Converter(
+            cfg.rc, float(np.asarray(cluster.mass).sum())
+        )
     t_myr = float(metadata.time.value_in(myr))
     state = SimState(
         cluster=cluster,
@@ -172,10 +178,12 @@ def run(cfg: SimConfig, progress: bool = True,
 
     def advance_steps(s, n):
         if write_traj:
-            s, rows = run_steps_traj(s, aux, cfg, n, mesh=mesh)
+            s, rows = run_steps_traj(s, aux, cfg, n, mesh=mesh,
+                                     force_impl=cfg.force_impl)
             _append_trajectory(np.asarray(rows))
             return s
-        return run_steps(s, aux, cfg, n, mesh=mesh)
+        return run_steps(s, aux, cfg, n, mesh=mesh,
+                         force_impl=cfg.force_impl)
 
     k = n_done
     while k < n_steps:
@@ -213,6 +221,46 @@ def run(cfg: SimConfig, progress: bool = True,
     )
 
 
+def load_ensemble(tag_root: str, n_checkpoint: Optional[int] = None):
+    """Reload every realization of a pt-grid ensemble (the directories
+    run_ensemble writes): returns (states, auxes, cfgs, metas, yieldses,
+    converters, sim_dirs), realizations sorted by their pt-<k> index.
+
+    Extends the reference's single-run resume semantics
+    (al26_nbody.py:1647-1656) across the ensemble axis."""
+    import glob
+    import os
+    import re
+
+    cand = sorted(glob.glob(os.path.join(tag_root, "**", "pt-*", ""),
+                            recursive=True))
+    rx = re.compile(r"pt-(\d+)[/\\]?$")
+    sim_dirs = sorted(
+        (d for d in cand
+         if rx.search(d) and glob.glob(os.path.join(d, "*-state-*"))),
+        key=lambda d: int(rx.search(d).group(1)),
+    )
+    if not sim_dirs:
+        raise IOError(f"no pt-<k> realization folders under {tag_root!r}")
+    states, auxes, cfgs, metas, yieldses, converters = [], [], [], [], [], []
+    for d in sim_dirs:
+        state_file = sorted(glob.glob(os.path.join(d, "*-state-*")))[0]
+        base = re.sub(r"-state-\d+\.pkl\.zst$", "", state_file)
+        s, a, c, md, ys, conv = load_run(base, n_checkpoint)
+        states.append(s)
+        auxes.append(a)
+        cfgs.append(c)
+        metas.append(md)
+        yieldses.append(ys)
+        converters.append(conv)
+    integs = {(c.integrator, c.leapfrog_n_sub) for c in cfgs}
+    if len(integs) != 1:
+        raise ValueError(
+            f"ensemble realizations disagree on integrator config: {integs}"
+        )
+    return states, auxes, cfgs, metas, yieldses, converters, sim_dirs
+
+
 def run_ensemble(cfg: SimConfig, progress: bool = True,
                  data_dir: Optional[str] = None, root: str = "."):
     """Run `cfg.ensemble` independent cluster realizations as ONE vmapped
@@ -220,34 +268,48 @@ def run_ensemble(cfg: SimConfig, progress: bool = True,
     realization's checkpoint files into the reference's grid folder layout
     `pt-<rc>-<n>/pt-<rc>-<n>/pt-<k>/` (the layout plotting/postprocess.py
     walks; the reference runs these as separate shell jobs instead,
-    SURVEY.md §2c item 4)."""
+    SURVEY.md §2c item 4). With cfg.reload set (a tag directory or any root
+    containing the pt-<k> folders), every realization resumes from its most
+    recent checkpoint (or cfg.n_checkpoint)."""
     import os
 
     import jax
 
     from ..parallel.ensemble import (
-        ensemble_run_steps, init_ensemble, make_ensemble_mesh, shard_ensemble,
+        ensemble_run_steps, init_ensemble, make_ensemble_mesh,
+        shard_ensemble, stack_ensemble,
     )
 
     t_wall0 = time.time()
-    n_real = cfg.ensemble
-    batch_state, batch_aux, cfgs = init_ensemble(cfg, n_real, data_dir)
-    cfg = cfgs[0]
+    if cfg.reload:
+        states, auxes, cfgs, metas, yieldses, converters, sim_dirs = (
+            load_ensemble(cfg.reload, cfg.n_checkpoint)
+        )
+        n_real = len(sim_dirs)
+        batch_state, batch_aux = stack_ensemble(states, auxes)
+        cfg = cfgs[0]
+        k_step = int(round(float(np.asarray(batch_state.time[0])) / cfg.dt))
+        save_initial = False
+    else:
+        n_real = cfg.ensemble
+        batch_state, batch_aux, cfgs = init_ensemble(cfg, n_real, data_dir)
+        cfg = cfgs[0]
+        tag = f"pt-{cfg.rc}-{cfg.n}"
+        sim_dirs, metas, yieldses, converters = [], [], [], []
+        for k in range(n_real):
+            d = os.path.join(root, tag, tag, f"pt-{k}")
+            os.makedirs(d, exist_ok=True)
+            sim_dirs.append(d)
+            md = _metadata_from_cfg(cfgs[k].replace(filename=f"pt-{k}"))
+            metas.append(md)
+            yieldses.append(Yields(os.path.join(d, md.filename)))
+            m_total_k = float(np.asarray(batch_state.cluster.mass[k]).sum())
+            converters.append(Converter(cfg.rc, m_total_k))
+        k_step = 0
+        save_initial = True
     if n_real % len(jax.devices()) == 0:
         mesh = make_ensemble_mesh()
         batch_state, batch_aux = shard_ensemble(batch_state, batch_aux, mesh)
-
-    tag = f"pt-{cfg.rc}-{cfg.n}"
-    sim_dirs, metas, yieldses, converters = [], [], [], []
-    for k in range(n_real):
-        d = os.path.join(root, tag, tag, f"pt-{k}")
-        os.makedirs(d, exist_ok=True)
-        sim_dirs.append(d)
-        md = _metadata_from_cfg(cfgs[k].replace(filename=f"pt-{k}"))
-        metas.append(md)
-        yieldses.append(Yields(os.path.join(d, md.filename)))
-        m_total_k = float(np.asarray(batch_state.cluster.mass[k]).sum())
-        converters.append(Converter(cfg.rc, m_total_k))
 
     def save_all(bs, increment=True):
         # ONE batched device_get per save: slicing per realization would
@@ -257,26 +319,34 @@ def run_ensemble(cfg: SimConfig, progress: bool = True,
             st = jax.tree.map(lambda x: x[k], host)
             base = os.path.join(sim_dirs[k], metas[k].filename)
             metas[k].update(float(st.time), increment_checkpoint=increment)
-            particles = cluster_to_particles(st.cluster)
+            from ..state import cluster_to_numpy
+
+            cluster_np = cluster_to_numpy(st.cluster)
+            if getattr(cfg, "validate", True):
+                from ..utils.validate import validate_cluster_dict
+
+                validate_cluster_dict(cluster_np, float(st.time),
+                                      cfg.low_mass_min, cfg.low_mass_max)
+            particles = cluster_to_particles(cluster_np)
             yieldses[k].update_state(float(st.time), particles)
             ckpt.save_checkpoint(
                 base, metas[k].most_recent_checkpoint, particles,
                 converters[k], yieldses[k], metas[k],
             )
 
-    save_all(batch_state, increment=False)
+    if save_initial:
+        save_all(batch_state, increment=False)
 
     bar = None
     if progress:
         try:
             from tqdm import tqdm
             bar = tqdm(total=cfg.final_time, desc=f"Ensemble x{n_real}",
-                       unit="Myr")
+                       unit="Myr", initial=round(k_step * cfg.dt, 6))
         except ImportError:
             pass
 
     spp = cfg.steps_per_plot
-    k_step = 0
     while k_step < cfg.n_steps:
         if k_step % spp == 0:
             batch_state = ensemble_run_steps(batch_state, batch_aux, cfg, 1)
