@@ -11,6 +11,15 @@ import argparse
 import sys
 
 
+def _mesh_shape(text: str) -> tuple:
+    try:
+        return tuple(int(x) for x in text.split(","))
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            f"mesh_shape must be comma-separated ints, got {text!r}"
+        )
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         description="Calculate orbital trajectories and Al26 enrichment of "
@@ -71,13 +80,27 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--integrator", type=str, default="auto",
                    choices=("auto", "hermite4", "hermite4_block", "leapfrog"),
                    help="N-body integrator (auto: hermite4 <= 8192 stars, "
-                        "BHTree-parity leapfrog beyond; hermite4_block = "
-                        "two-group block timesteps, fastest at large N)")
+                        "hermite4_block two-group block timesteps beyond — "
+                        "the fastest AND most accurate large-N path; "
+                        "ensembles auto-resolve to BHTree-parity leapfrog)")
     p.add_argument("--softening", type=float, default=None,
                    help="Plummer softening length (pc); default: BHTree parity "
                         "sqrt(0.125)*rc")
     p.add_argument("--ensemble", type=int, default=1,
-                   help="Number of vmapped cluster realizations")
+                   help="Number of vmapped cluster realizations (with "
+                        "--reload: resume every pt-<k> realization found "
+                        "under the reload directory)")
+    p.add_argument("--mesh_shape", type=_mesh_shape, default=None,
+                   metavar="D[,D...]",
+                   help="Device mesh for row-sharding ONE large run across "
+                        "chips, e.g. '8' or '2,4' (star count must divide "
+                        "across the devices)")
+    p.add_argument("--force_impl", type=str, default="auto",
+                   choices=("auto", "pallas", "sharded", "ring", "default"),
+                   help="Pairwise force backend (auto: sharded when a mesh "
+                        "is set, Pallas tiled kernel on TPU at N >= 4096 in "
+                        "f32, plain XLA otherwise; ring = ppermute-streamed "
+                        "columns, O(N/D) memory per chip)")
     p.add_argument("--eta", dest="eta_hermite", type=float, default=0.14,
                    help="Hermite accuracy parameter (smaller = more "
                         "substeps)")
@@ -104,6 +127,10 @@ def config_from_args(args: argparse.Namespace):
 
 
 def main(argv=None) -> int:
+    # a stale JAX_PLATFORMS naming an unavailable plugin (e.g. the `axon`
+    # tunnel outside its venv hook) breaks backend init; let jax auto-pick
+    import os
+    os.environ.pop("JAX_PLATFORMS", None)
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
     if cfg.dtype == "f64":
