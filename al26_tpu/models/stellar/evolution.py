@@ -19,12 +19,15 @@ anchor table, fully `vmap`-able and usable inside `jit`:
   * `total_wind_loss(m0)` — m0 - m_remnant, matching the reference's
     normalisation of wind_ratio (al26_nbody.py:1583-1594)
 
-Model: anchors are calibrated to published solar-metallicity massive-star
-evolution (lifetimes and pre-SN masses in the spirit of Limongi & Chieffi
-2018 / Schaller et al. 1992; NS remnants ~1.4 Msun for 13-25 Msun, direct
-BH collapse above ~25-30 Msun — consistent with the reference's own yield
-tables, which carry SN yields only for 13-25 Msun and wind-only yields for
-30-120 Msun, limongi-chieffi-2018/fit-data.py:72-79). The wind history is
+Model: massive-star LIFETIMES are closed-form Hurley, Pols & Tout (2000)
+solar-Z fits (models.stellar.hurley2000; t_sn = t_ms * 1.11, validated
+against the Schaller et al. 1992 and Limongi & Chieffi 2018 grids in
+tests/test_stellar_yields.py with the grid spread documented in
+docs/stellar_model.md). Pre-SN and remnant masses remain anchor tables
+(NS remnants ~1.4 Msun for 13-25 Msun, direct BH collapse above ~25-30
+Msun — consistent with the reference's own yield tables, which carry SN
+yields only for 13-25 Msun and wind-only yields for 30-120 Msun,
+limongi-chieffi-2018/fit-data.py:72-79). The wind history is
 a two-phase piecewise-constant rate: a weak main-sequence wind for
 t < f_ms_t * t_sn releasing a fraction f_ms_m of the lifetime wind loss,
 then a strong post-MS (RSG/WR) wind releasing the rest. The phase split is
@@ -48,8 +51,10 @@ import numpy as np
 # mass grid (Msun)
 _M = np.array([0.8, 3.0, 8.0, 13.0, 15.0, 20.0, 25.0,
                30.0, 40.0, 60.0, 85.0, 120.0, 150.0])
-# total stellar lifetime to core collapse (Myr); below 8 Msun no SN occurs,
-# the "lifetime" is the end of nuclear burning (used only for AGB phases).
+# end-of-burning anchors (Myr) for stars BELOW the SN cut (AGB phase timing
+# only; cross-checked against Hurley+2000 t_bgb: 380 Myr at 3 Msun, 37 Myr
+# at 8). At and above 8 Msun `t_end` uses the closed-form Hurley fits
+# (hurley2000.t_sn_solar) instead of this table.
 _T_END = np.array([2.5e4, 4.0e2, 4.0e1, 14.8, 12.1, 8.6, 7.0,
                    6.0, 5.0, 3.9, 3.4, 3.0, 2.8])
 # pre-supernova mass (Msun): weak RSG winds for 13-25, heavy WR stripping
@@ -85,8 +90,18 @@ def _loglin_interp(m0: jax.Array, ytab: np.ndarray) -> jax.Array:
 
 
 def t_end(m0: jax.Array) -> jax.Array:
-    """End of nuclear burning (Myr); equals the SN time for m0 >= 8 Msun."""
-    return _loglog_interp(m0, _T_END)
+    """End of nuclear burning (Myr); equals the SN time for m0 >= 8 Msun.
+
+    Massive stars use the published Hurley+2000 closed-form solar-Z
+    lifetime fits (hurley2000.t_sn_solar); below the SN cut the anchor
+    table times the AGB phases."""
+    from . import hurley2000
+
+    return jnp.where(
+        m0 >= SN_MIN_MASS,
+        hurley2000.t_sn_solar(m0),
+        _loglog_interp(m0, _T_END),
+    )
 
 
 def t_sn(m0: jax.Array) -> jax.Array:

@@ -182,12 +182,16 @@ def physics_after_advance(state: SimState, aux: SimAux, cfg: SimConfig,
     # wind/SN source validity: INITIAL-mass based by default (a 13-14 Msun
     # star keeps its strong post-MS wind and its SN after its current mass
     # drops below the threshold; mdot == 0 after the SN zeroes dead sources
-    # either way). sn_parity_mode restores the reference's CURRENT-mass
-    # gate (al26_nbody.py:945-948) for reference-matching statistics.
+    # either way). sn_parity_mode restores the reference's current-mass
+    # gate: the reference builds its high-mass list from the STEP-START
+    # masses (get_high_mass_star_indices at al26_nbody.py:767, before the
+    # stellar update) and reads the post-update wind rate (:886-895,
+    # :945-948) — so at the collapse step the gate sees the pre-SN mass,
+    # and an SN fires iff m_presn >= threshold.
     hm_valid = aux.hm_slot_valid
     if cfg.sn_parity_mode:
         hm_valid = hm_valid & (
-            mass_new[aux.hm_idx] >= cfg.high_mass_threshold
+            c.mass[aux.hm_idx] >= cfg.high_mass_threshold
         )
 
     # -- 4. wind deposition (both isotopes, both mixing models) -------------

@@ -36,14 +36,15 @@ def test_golden_n1k_bit_reproducible(golden, mode):
         )
 
 
-def test_golden_records_the_sn_gate_deviation(golden):
-    """The checked-in goldens themselves document the deliberate physics
-    deviation (ops/deposition.py:sn_injection): with this seed a 13-14 Msun
-    star's post-MS wind takes it below the 13 Msun threshold before core
-    collapse, so the reference's current-mass gate (sn_parity_mode=True,
-    al26_nbody.py:945-948) loses its supernova while the default
-    initial-mass gate keeps it."""
+def test_golden_modes_coincide_at_10myr(golden):
+    """At t_f = 10 Myr the two SN gates agree for this seed: the one star
+    that collapses (t_sn < 10 requires m0 >~ 19 Msun) has m_presn above the
+    13 Msun threshold, so the reference's step-start current-mass gate and
+    our initial-mass gate fire the same SN. The gates only diverge for the
+    13-14.5 Msun bin (m_presn < 13), whose lifetimes exceed 10 Myr — see
+    test_step.py::test_sn_parity_gate_loses_low_bin_sn for that case."""
     assert golden["default"]["n_kicked"] == 1
-    assert golden["sn_parity"]["n_kicked"] == 0
+    assert golden["sn_parity"]["n_kicked"] == 1
     assert golden["default"]["sum_sne_26al"] > 0.0
-    assert golden["sn_parity"]["sum_sne_26al"] == 0.0
+    assert (golden["sn_parity"]["sum_sne_26al"]
+            == golden["default"]["sum_sne_26al"])

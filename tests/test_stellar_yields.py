@@ -138,3 +138,47 @@ def test_agb_tables():
     assert np.isclose(host, grid, rtol=1e-3, atol=1e-25)
     with pytest.raises(ValueError):
         find_agb(tables, 4.0)
+
+
+def test_hurley2000_formula_exactness():
+    """The Hurley+2000 eq. (4)-(7) implementation reproduces hand-evaluated
+    values of the published formulae (zeta = 0 coefficients) to float
+    precision — guards the coefficient table against typos/regressions."""
+    from al26_tpu.models.stellar import hurley2000 as h
+
+    # independently hand-evaluated t_bgb (Myr): (a1 + a2 M^4 + a3 M^5.5 +
+    # M^7) / (a4 M^2 + a5 M^7)
+    expect_tbgb = {1.0: 11581.8, 13.0: 15.642, 15.0: 12.624,
+                   40.0: 4.733, 120.0: 3.248}
+    for m, want in expect_tbgb.items():
+        got = float(h.t_bgb(jnp.asarray(m)))
+        assert abs(got - want) / want < 2e-3, (m, got, want)
+    # at solar Z massive stars have mu ~ 1 > x: t_ms = mu * t_bgb ~ t_bgb
+    for m in (13.0, 40.0, 120.0):
+        tms = float(h.t_ms(jnp.asarray(m)))
+        tbg = float(h.t_bgb(jnp.asarray(m)))
+        assert 0.99 * tbg < tms <= tbg
+
+
+def test_t_sn_matches_published_solar_grids():
+    """t_sn within the documented grid spread of PUBLISHED solar-Z total
+    (H+He) lifetimes: Schaller et al. (1992, A&AS 96, 269) non-overshoot
+    grid values below; Hurley's underlying Pols et al. (1998) models
+    include core overshooting, which systematically lengthens lifetimes,
+    so the comparison allows +30%/-10% (docs/stellar_model.md)."""
+    schaller_total = {15.0: 12.9, 25.0: 7.1, 40.0: 4.8, 60.0: 3.9,
+                      120.0: 2.9}
+    for m, t_grid in schaller_total.items():
+        t = float(st.t_sn(jnp.asarray(m)))
+        assert 0.9 * t_grid < t < 1.30 * t_grid, (m, t, t_grid)
+    # absolute sanity anchors independent of any one grid
+    assert 14.0 < float(st.t_sn(jnp.asarray(13.0))) < 19.0
+    assert 2.5 < float(st.t_sn(jnp.asarray(120.0))) < 4.0
+
+
+def test_t_end_continuous_at_sn_cut():
+    """The hand-anchored low-mass branch and the Hurley branch meet at the
+    8 Msun SN cut without a physically-meaningful jump (< 15%)."""
+    lo = float(st.t_end(jnp.asarray(7.999)))
+    hi = float(st.t_end(jnp.asarray(8.001)))
+    assert abs(hi - lo) / lo < 0.15, (lo, hi)

@@ -244,7 +244,7 @@ def test_sn_fires_for_13msun_star_that_thins_below_threshold():
     """Regression (review finding): a 13.5 Msun star whose post-MS wind
     drops its current mass below 13 before core collapse must still explode
     and inject its SN yield (initial-mass-based candidacy)."""
-    cfg = SimConfig(n=32, rc=0.5, final_time=16.0, seed=6,
+    cfg = SimConfig(n=32, rc=0.5, final_time=20.0, seed=6,
                     star_min_mass=0.1, star_max_mass=3.0,
                     no_massive_star_requirement=True)
     state, aux, cfg = init_cluster(cfg)
@@ -253,8 +253,8 @@ def test_sn_fires_for_13msun_star_that_thins_below_threshold():
     m[0] = 13.5
     from al26_tpu.models.stellar import evolution as st
     from al26_tpu.models.yields import massive_star_yields, read_slrs
-    t_cc = float(st.t_sn(jnp.asarray(13.5)))
-    assert t_cc < 16.0
+    t_cc = float(st.t_sn(jnp.asarray(13.5)))   # ~16.6 Myr (Hurley+2000)
+    assert t_cc < 20.0
     # the pre-SN mass is below the 13 Msun threshold — the failing case
     assert float(st.m_presn(jnp.asarray(13.5))) < 13.0
     twl = np.zeros_like(m)
@@ -278,3 +278,52 @@ def test_sn_fires_for_13msun_star_that_thins_below_threshold():
     sne = np.asarray(s.cluster.slr[:, 0, CH_SNE])
     lm = (m >= 0.1) & (m <= 3.0)
     assert sne[lm].sum() > 0, "26Al SN injection expected"
+
+
+def test_sn_parity_gate_loses_low_bin_sn():
+    """The deliberate physics deviation, demonstrated at the step level:
+    a 13.5 Msun star's pre-SN mass (~12.6) sits BELOW the 13 Msun
+    threshold, so the reference's step-start current-mass gate
+    (sn_parity_mode=True, al26_nbody.py:767,945-948) never fires its
+    supernova, while the default initial-mass candidacy does."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from al26_tpu.models.stellar import evolution as st
+    from al26_tpu.sim.init import build_aux
+    from al26_tpu.sim.step import step
+
+    base = SimConfig(n=8, rc=1.0, final_time=20.0, seed=4, dtype="f64",
+                     no_massive_star_requirement=True)
+    state, aux, cfg = init_cluster(base)
+    m0 = np.asarray(state.cluster.m0).copy()
+    m0[0] = 13.5                      # pre-SN mass ~12.6 < threshold
+    m0[1] = 1.0                       # a disc star to receive the yields
+    t_sn = float(st.t_sn(jnp.asarray(13.5)))
+    assert float(st.m_presn(jnp.asarray(13.5))) < cfg.high_mass_threshold
+    k = int(t_sn / cfg.dt)            # step whose t_new crosses t_sn
+    t_start = k * cfg.dt
+    mass_now, mdot_now = st.evolve(jnp.asarray(m0), jnp.asarray(t_start))
+    sn_yield = np.zeros((8, 2))
+    sn_yield[0] = 1e-4
+    cluster = dataclasses.replace(
+        state.cluster,
+        m0=jnp.asarray(m0), mass=mass_now.astype(jnp.float64),
+        mdot=mdot_now.astype(jnp.float64),
+        sn_yield=jnp.asarray(sn_yield),
+        wind_ratio=jnp.zeros((8, 2)),
+    )
+    st0 = dataclasses.replace(state, cluster=cluster,
+                              time=jnp.asarray(t_start, jnp.float64),
+                              step_count=jnp.asarray(k, jnp.int32))
+    aux = build_aux(cfg, m0, jnp.float64)
+    assert bool(mass_now[0] < cfg.high_mass_threshold)  # step-start gate
+
+    out_default = step(st0, aux, cfg)
+    out_parity = step(st0, aux, cfg.replace(sn_parity_mode=True))
+    assert bool(out_default.cluster.kicked[0])
+    assert not bool(out_parity.cluster.kicked[0])
+    assert float(out_default.cluster.slr[1, 0, 2]) > 0.0   # SNe channel
+    assert float(out_parity.cluster.slr[1, 0, 2]) == 0.0
