@@ -89,6 +89,34 @@ def bench_force_throughput_xla(n: int = 32768) -> float:
     return n * n / best / 1e9
 
 
+def bench_force_throughput_sharded(n: int = N_BENCH) -> float:
+    """Multi-chip headline: the row-sharded force sweep over ALL attached
+    devices (parallel.sharded: all_gathered columns + local Pallas rows).
+    Only called when more than one device is attached — produces the
+    v5e-8 BASELINE numbers the moment a slice is available."""
+    from al26_tpu.parallel.sharded import make_mesh, sharded_acc_jerk_pot
+
+    n_dev = len(jax.devices())
+    n = pad = -(-n // n_dev) * n_dev
+    rng = np.random.default_rng(0)
+    pos = jnp.asarray(rng.normal(size=(pad, 3)), jnp.float32)
+    vel = jnp.asarray(rng.normal(size=(pad, 3)), jnp.float32)
+    mass = jnp.asarray(rng.uniform(0.1, 2.0, pad), jnp.float32)
+    mesh = make_mesh(n_dev)
+    a, _, _ = sharded_acc_jerk_pot(pos, vel, mass, mesh, 1e-3)
+    float(jnp.sum(a))
+    best = float("inf")
+    t_budget0 = time.time()
+    for _ in range(ITERS):
+        t0 = time.time()
+        a, j, p = sharded_acc_jerk_pot(pos, vel, mass, mesh, 1e-3)
+        float(jnp.sum(a))
+        best = min(best, time.time() - t0)
+        if time.time() - t_budget0 > 120.0:
+            break
+    return n * n / best / 1e9
+
+
 def bench_force_throughput() -> float:
     rng = np.random.default_rng(0)
     pos = jnp.asarray(rng.normal(size=(N_BENCH, 3)), jnp.float32)
@@ -122,8 +150,7 @@ def bench_wallclock_per_myr(n: int, repeat_steps: int = 100,
     from al26_tpu.sim import init_cluster, run_steps
 
     cfg = SimConfig(n=n, rc=1.0, final_time=10.0, seed=1, dtype="f32",
-                    integrator=integrator,
-                    k_fast=1024 if integrator == "hermite4_block" else None)
+                    integrator=integrator)
     state, aux, cfg = init_cluster(cfg)
     # warm with the SAME scan length (a different length is a new compile)
     s = run_steps(state, aux, cfg, repeat_steps)
@@ -160,22 +187,26 @@ def bench_ensemble(n_real: int = 16, n: int = 1024,
 
 def main() -> None:
     healthy = pallas_device_healthy()
+    n_dev = len(jax.devices())
     if healthy:
-        gpairs = bench_force_throughput()
-        metric = (f"pairwise force throughput (acc+jerk+pot, N={N_BENCH}, "
-                  f"{len(jax.devices())} chip(s))")
+        if n_dev > 1:
+            gpairs = bench_force_throughput_sharded()
+            metric = (f"pairwise force throughput (row-sharded acc+jerk+pot,"
+                      f" N={N_BENCH}, {n_dev} chips)")
+        else:
+            gpairs = bench_force_throughput()
+            metric = (f"pairwise force throughput (acc+jerk+pot, "
+                      f"N={N_BENCH}, 1 chip)")
         try:
+            # defaults: hermite4 <= 8192 stars, hermite4_block above
             for n, steps in ((1024, 100), (10240, 50), (102400, 10)):
                 spm = bench_wallclock_per_myr(n, steps)
-                print(f"# wall-clock per simulated Myr, N={n}: "
-                      f"{spm:.3f} s/Myr", file=sys.stderr)
-            spm = bench_wallclock_per_myr(102400, 10,
-                                          integrator="hermite4_block")
-            print(f"# wall-clock per simulated Myr, N=102400 "
-                  f"(hermite4_block): {spm:.3f} s/Myr", file=sys.stderr)
+                print(f"# wall-clock per simulated Myr, N={n} (auto "
+                      f"defaults): {spm:.3f} s/Myr", file=sys.stderr)
             es = bench_ensemble()
-            print(f"# 16-realization ensemble (N=1024, auto flat/vmapped): {es:.3f} "
-                  f"s/Myr total", file=sys.stderr)
+            print(f"# 16-realization ensemble (N=1024, block-diagonal "
+                  f"flattened leapfrog): {es:.3f} s/Myr total",
+                  file=sys.stderr)
         except Exception as e:  # diagnostics must not break the headline
             print(f"# secondary bench failed: {e}", file=sys.stderr)
     else:
