@@ -1,0 +1,39 @@
+"""The dtype policy's load-bearing claim (docs/precision.md): an f32 run
+reproduces the f64 golden end-state statistics at N=1k within stated
+tolerances — the fast (TPU) path and the reproducible (CPU/f64 golden)
+path describe the same physics."""
+import json
+import os
+
+import numpy as np
+
+from al26_tpu.config import SimConfig
+from al26_tpu.sim import init_cluster, run_steps
+from golden_stats import N_GOLDEN, SEED_GOLDEN, summarize
+
+GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "golden",
+                           "n1k_stats.json")
+
+# measured f32-vs-f64 disagreement is ~3e-5 relative (docs/precision.md);
+# pinned with ~30x margin
+RTOL = 3e-3
+
+
+def test_f32_matches_f64_golden_statistics():
+    cfg = SimConfig(n=N_GOLDEN, rc=1.0, final_time=10.0, seed=SEED_GOLDEN,
+                    dtype="f32")
+    state, aux, cfg = init_cluster(cfg)
+    state = run_steps(state, aux, cfg, cfg.n_steps)
+    got = summarize(state, cfg)
+    with open(GOLDEN_PATH) as f:
+        want = json.load(f)["default"]
+    assert got["n_kicked"] == want["n_kicked"]
+    assert got["n_disk_alive"] == want["n_disk_alive"]
+    for k, w in want.items():
+        if not isinstance(w, float):
+            continue
+        g = got[k]
+        if w == 0.0:
+            assert g == 0.0, (k, g)
+        else:
+            assert abs(g - w) / abs(w) < RTOL, (k, g, w)
