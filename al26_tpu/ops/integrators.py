@@ -35,8 +35,15 @@ def leapfrog_advance(
     g: float = G_INTERNAL,
     acc_fn=None,
     init_acc=None,
+    final_eval_fn=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Kick-drift-kick leapfrog with `n_sub` fixed substeps.
+
+    `final_eval_fn(pos) -> (acc, pot)`: when given, the LAST substep's
+    force evaluation goes through it and the function returns
+    (pos, vel, (acc, None, pot)) — the closing evaluation is at the FINAL
+    positions exactly, so the caller can reuse it as the next outer step's
+    opening evaluation (sim/step.py force cache).
 
     This is the BHTree-parity path: the reference's default gravity code is
     a leapfrog tree integrator with a FIXED internal timestep (1/64 of an
@@ -63,8 +70,17 @@ def leapfrog_advance(
         v_new = v_half + 0.5 * h * a_new
         return (p_new, v_new, a_new)
 
-    pos, vel, _ = jax.lax.fori_loop(0, n_sub, body, (pos, vel, a0))
-    return pos, vel
+    if final_eval_fn is None:
+        pos, vel, _ = jax.lax.fori_loop(0, n_sub, body, (pos, vel, a0))
+        return pos, vel
+    # all but the last substep in the loop; the last one unrolled so its
+    # evaluation can also produce the potential for the cache
+    pos, vel, a = jax.lax.fori_loop(0, n_sub - 1, body, (pos, vel, a0))
+    v_half = vel + 0.5 * h * a
+    pos = pos + h * v_half
+    a_new, pot = final_eval_fn(pos)
+    vel = v_half + 0.5 * h * a_new
+    return pos, vel, (a_new, None, pot)
 
 
 def hermite4_advance(
@@ -149,8 +165,17 @@ def hermite4_block_advance(
     force_fn=None,
     force_rows_fn=None,
     init_eval=None,
+    final_eval_fn=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Two-group block-timestep Hermite (ph4-style, TPU fixed shapes).
+
+    `final_eval_fn(pos, vel) -> (acc, jerk, pot)`: when given, the closing
+    full evaluation goes through it and a third element (acc, jerk, pot) is
+    returned for reuse as the next step's opening evaluation. The closing
+    evaluation is at the PREDICTED end state (pos_p, vel_p) — standard
+    Hermite P(EC) semantics; the corrector displacement it ignores is
+    O(dt^2/12 |a1 - a0|), measured to leave the energy drift unchanged at
+    the default dt (docs/precision.md).
 
     The classic hierarchical block-timestep scheme (the reference's ph4
     option, al26_nbody.py:1715-1717) lets each particle pick its own
@@ -251,27 +276,39 @@ def hermite4_block_advance(
     pos_p, vel_p = predict_all(dt)
     pos_p = pos_p.at[fast_idx].set(pf)
     vel_p = vel_p.at[fast_idx].set(vf)
-    a1, j1 = force_fn(pos_p, vel_p)
+    pot1 = None
+    if final_eval_fn is None:
+        a1, j1 = force_fn(pos_p, vel_p)
+    else:
+        a1, j1, pot1 = final_eval_fn(pos_p, vel_p)
     vel_c = vel + 0.5 * dt * (a0 + a1) + (dt2 / 12.0) * (j0 - j1)
     pos_c = pos + 0.5 * dt * (vel + vel_c) + (dt2 / 12.0) * (a0 - a1)
     # fast rows keep their subcycled (more accurate) result
     pos_c = pos_c.at[fast_idx].set(pf)
     vel_c = vel_c.at[fast_idx].set(vf)
-    return pos_c, vel_c
+    if final_eval_fn is None:
+        return pos_c, vel_c
+    return pos_c, vel_c, (a1, j1, pot1)
 
 
 def advance(
     pos, vel, mass, dt, *, integrator: str = "hermite4",
     eta: float = 0.14, n_sub: int = 8, eps2=0.0, g=G_INTERNAL,
     max_substeps: int = 4096, force_block=None, force_fn=None, acc_fn=None,
-    k_fast: int = 0, force_rows_fn=None, init_eval=None,
+    k_fast: int = 0, force_rows_fn=None, init_eval=None, final_eval_fn=None,
 ):
     """Static dispatch over the configured integrator.
 
     `init_eval=(a0, j0)` (or `(a0, None)` for leapfrog) injects the caller's
     step-start force evaluation so the sweep that produced the virial-radius
-    potential is not repeated."""
+    potential is not repeated. `final_eval_fn` (leapfrog / hermite4_block
+    only) makes the advance also return its closing (acc, jerk, pot)
+    evaluation for reuse as the NEXT step's opening one."""
     if integrator == "hermite4":
+        assert final_eval_fn is None, (
+            "hermite4 (shared adaptive while_loop) has no distinct closing "
+            "evaluation; the force cache supports leapfrog/hermite4_block"
+        )
         return hermite4_advance(
             pos, vel, mass, dt, eta, eps2, g, max_substeps, force_block,
             force_fn, init_eval,
@@ -282,6 +319,7 @@ def advance(
         return hermite4_block_advance(
             pos, vel, mass, dt, k,
             eta, eps2, g, max_substeps, force_fn, force_rows_fn, init_eval,
+            final_eval_fn,
         )
     if integrator == "leapfrog":
         if acc_fn is None and force_fn is not None:
@@ -289,6 +327,11 @@ def advance(
                 a, _ = force_fn(p, jnp.zeros_like(p))
                 return a
         init_acc = init_eval[0] if init_eval is not None else None
+        final_acc_fn = None
+        if final_eval_fn is not None:
+            def final_acc_fn(p):
+                a, _, pot = final_eval_fn(p, None)
+                return a, pot
         return leapfrog_advance(pos, vel, mass, dt, n_sub, eps2, g, acc_fn,
-                                init_acc)
+                                init_acc, final_acc_fn)
     raise ValueError(f"unknown integrator: {integrator}")

@@ -253,3 +253,45 @@ def local_densities(pos, mass, k: int = 10) -> jax.Array:
     d_k = jnp.sqrt(d2[jnp.arange(pos.shape[0])[:, None], nbr[:, -1:]])[:, 0]
     four_thirds_pi = 4.18879020479  # constant as written in al26_plot.py:327
     return m_sum / (four_thirds_pi * d_k**3)
+
+
+def mass_delta_correction(acc, jerk, pot, pos, vel, src_idx, dm,
+                          eps2, g=G_INTERNAL, group_size: int = 0):
+    """Exact update of a cached force evaluation for SOURCE-MASS changes at
+    fixed positions.
+
+    Pairwise gravity is linear in the source masses, so when only the M
+    mass-evolving stars (m0 >= 8 Msun; SimAux.msrc_idx) change between
+    steps, the previous step's closing (acc, jerk, pot) evaluation becomes
+    this step's opening one after adding the delta-mass contributions —
+    O(N*M) work instead of a fresh O(N^2) sweep (sim/step.py force cache).
+    The reference instead re-evaluates the full force in its gravity worker
+    every step after the stellar->gravity mass copy (al26_nbody.py:871-876).
+
+    Conventions match ops/pallas_nbody._nbody_kernel exactly: acc/jerk
+    softened by eps2, pot unsoftened (the pot_eps2=1e-30 path). `jerk=None`
+    skips the jerk update (leapfrog cache). `dm` must already be zero for
+    padding slots. group_size > 0 restricts pairs to the same realization
+    (flattened ensembles)."""
+    xs = pos[src_idx]                           # [M,3]
+    vs = vel[src_idx]
+    dx = xs[None, :, :] - pos[:, None, :]       # [N,M,3]
+    r2 = jnp.sum(dx * dx, axis=-1) + eps2       # [N,M]
+    r2 = jnp.maximum(r2, 1e-30)
+    targets = jnp.arange(pos.shape[0], dtype=src_idx.dtype)
+    invalid = targets[:, None] == src_idx[None, :]          # self pairs
+    if group_size > 0:
+        invalid = invalid | ((targets[:, None] // group_size)
+                             != (src_idx[None, :] // group_size))
+    invr = jnp.where(invalid, 0.0, jax.lax.rsqrt(r2))
+    w = dm[None, :] * invr * invr * invr        # [N,M]
+    acc = acc + g * jnp.einsum("nm,nmk->nk", w, dx)
+    if jerk is not None:
+        dv = vs[None, :, :] - vel[:, None, :]
+        s = 3.0 * jnp.sum(dx * dv, axis=-1) / r2
+        jerk = jerk + g * (jnp.einsum("nm,nmk->nk", w, dv)
+                           - jnp.einsum("nm,nmk->nk", w * s, dx))
+    invr_u = jnp.where(invalid, 0.0,
+                       jax.lax.rsqrt(jnp.maximum(r2 - eps2, 0.0) + 1e-30))
+    pot = pot - g * (invr_u @ dm)
+    return acc, jerk, pot

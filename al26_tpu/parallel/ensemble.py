@@ -84,6 +84,7 @@ def stack_ensemble(states, auxes):
     states = [jax.device_get(s) for s in states]
     auxes = [jax.device_get(a) for a in auxes]
     width = max(a.hm_idx.shape[0] for a in auxes)
+    width_m = max(a.msrc_idx.shape[0] for a in auxes)
     auxes = [
         dataclasses.replace(
             a,
@@ -92,6 +93,12 @@ def stack_ensemble(states, auxes):
             hm_slot_valid=np.pad(
                 np.asarray(a.hm_slot_valid),
                 (0, width - a.hm_slot_valid.shape[0])
+            ),
+            msrc_idx=np.pad(np.asarray(a.msrc_idx),
+                            (0, width_m - a.msrc_idx.shape[0])),
+            msrc_valid=np.pad(
+                np.asarray(a.msrc_valid),
+                (0, width_m - a.msrc_valid.shape[0])
             ),
         )
         for a in auxes
@@ -118,7 +125,8 @@ def ensemble_step(batch_state, batch_aux, cfg: SimConfig):
     return jax.vmap(lambda s, a: step(s, a, cfg))(batch_state, batch_aux)
 
 
-def ensemble_step_flat(batch_state, batch_aux, cfg: SimConfig):
+def ensemble_step_flat(batch_state, batch_aux, cfg: SimConfig,
+                       cache=None, want_cache: bool = False):
     """One physics step for the whole ensemble with a FLATTENED, block-
     diagonal N-body advance.
 
@@ -157,9 +165,13 @@ def ensemble_step_flat(batch_state, batch_aux, cfg: SimConfig):
         # leapfrog (al26_nbody.py:59); ensembles default to exactly that.
         integ = "leapfrog"
     needs_jerk = integ in ("hermite4", "hermite4_block")
+    pallas_on = use_pallas(b * n, dtype)
+    cache_ok = (want_cache and pallas_on
+                and integ in ("leapfrog", "hermite4_block"))
 
     init_eval = None
-    if use_pallas(b * n, dtype):
+    final_eval_fn = None
+    if pallas_on:
         from ..ops.pallas_nbody import pallas_acc_jerk_pot
 
         def force_fn(p, v):
@@ -174,12 +186,24 @@ def ensemble_step_flat(batch_state, batch_aux, cfg: SimConfig):
             return a
 
         # ONE block-diagonal sweep: step-start forces (softened) + the
-        # unsoftened potential for the per-realization virial radius
-        a0, j0, pot_f = pallas_acc_jerk_pot(
-            pos_f, vel_f, mass_f, cfg.eps2, with_jerk=needs_jerk,
-            group_size=n, pot_eps2=1e-30,
-        )
+        # unsoftened potential for the per-realization virial radius —
+        # or, with a cache, the previous step's closing evaluation
+        if cache is not None:
+            a0, j0, pot_f = cache
+        else:
+            a0, j0, pot_f = pallas_acc_jerk_pot(
+                pos_f, vel_f, mass_f, cfg.eps2, with_jerk=needs_jerk,
+                group_size=n, pot_eps2=1e-30,
+            )
         init_eval = (a0, j0) if needs_jerk else (a0, None)
+        if cache_ok:
+            def final_eval_fn(p, v):
+                a, j, pot = pallas_acc_jerk_pot(
+                    p, jnp.zeros_like(p) if v is None else v, mass_f,
+                    cfg.eps2, with_jerk=(integ == "hermite4_block"),
+                    group_size=n, pot_eps2=1e-30,
+                )
+                return a, (j if integ == "hermite4_block" else None), pot
     else:
         # CPU/test fallback: group-masked dense sweep per realization via
         # vmap (small sizes only)
@@ -234,7 +258,7 @@ def ensemble_step_flat(batch_state, batch_aux, cfg: SimConfig):
                          - 3.0 * jnp.einsum("ij,ijk->ik", mj3 * xv / r2s, dx))
                 return a, j
 
-    pos_new, vel_new = advance(
+    out = advance(
         pos_f, vel_f, mass_f, dt,
         integrator=integ, eta=cfg.eta_hermite,
         n_sub=cfg.leapfrog_n_sub or 16,
@@ -242,23 +266,80 @@ def ensemble_step_flat(batch_state, batch_aux, cfg: SimConfig):
         force_fn=force_fn, acc_fn=acc_fn,
         k_fast=cfg.k_fast or max(256, (b * n) // 64),
         force_rows_fn=force_rows_fn, init_eval=init_eval,
+        final_eval_fn=final_eval_fn,
     )
+    if cache_ok:
+        pos_new, vel_new, (a1, j1, pot1) = out
+    else:
+        pos_new, vel_new = out
     unflat = lambda x: x.reshape((b, n) + x.shape[1:])
-    return jax.vmap(
+    out_state = jax.vmap(
         lambda s, a, po, p, v, rv: physics_after_advance(
             s, a, cfg, po, p, v, rv)
     )(batch_state, batch_aux, c.pos, unflat(pos_new), unflat(vel_new), r_vir)
+    if not cache_ok:
+        return out_state
+    # mass-delta correction over the flattened mass-evolving sources (same
+    # linearity argument as sim/step.py, with the same-realization mask)
+    from ..ops.nbody import mass_delta_correction
+
+    src_global = (batch_aux.msrc_idx
+                  + (jnp.arange(b, dtype=jnp.int32) * n)[:, None]
+                  ).reshape(-1)
+    valid = batch_aux.msrc_valid.reshape(-1)
+    mass_new_f = flat(out_state.cluster.mass)
+    dm = (mass_new_f[src_global] - mass_f[src_global]) * valid
+    a1, j1, pot1 = mass_delta_correction(
+        a1, j1, pot1, pos_new, vel_new, src_global, dm, eps2,
+        group_size=n,
+    )
+    new_cache = (a1, jnp.zeros_like(a1) if j1 is None else j1, pot1)
+    return out_state, new_cache
+
+
+def _ensemble_fresh_cache(batch_state, cfg: SimConfig, integ: str):
+    """Opening block-diagonal (acc, jerk, pot) sweep to seed the flat
+    ensemble's force cache."""
+    from ..ops.pallas_nbody import pallas_acc_jerk_pot
+
+    c = batch_state.cluster
+    b, n = c.mass.shape
+    flat = lambda x: x.reshape((b * n,) + x.shape[2:])
+    a, j, pot = pallas_acc_jerk_pot(
+        flat(c.pos), flat(c.vel), flat(c.mass), cfg.eps2,
+        with_jerk=(integ == "hermite4_block"), group_size=n,
+        pot_eps2=1e-30,
+    )
+    return a, j, pot
 
 
 def ensemble_run_steps(batch_state, batch_aux, cfg: SimConfig, n_steps: int,
                        flat: bool | None = None):
     """Scan n_steps over the ensemble. `flat=None` auto-selects the
-    block-diagonal flattened advance when the Pallas kernel is usable."""
-    if flat is None:
-        from ..ops.pallas_nbody import use_pallas
+    block-diagonal flattened advance when the Pallas kernel is usable; the
+    flat leapfrog/hermite4_block paths carry the force cache between steps
+    (ONE block-diagonal sweep per step, sim/step.py semantics)."""
+    from ..ops.pallas_nbody import use_pallas
 
-        b, n = batch_state.cluster.mass.shape
-        flat = use_pallas(b * n, batch_state.cluster.pos.dtype)
+    b, n = batch_state.cluster.mass.shape
+    pallas_on = use_pallas(b * n, batch_state.cluster.pos.dtype)
+    if flat is None:
+        flat = pallas_on
+
+    integ = cfg.integrator
+    if integ == "auto":
+        integ = "leapfrog"
+    if flat and pallas_on and integ in ("leapfrog", "hermite4_block"):
+        cache = _ensemble_fresh_cache(batch_state, cfg, integ)
+
+        def body_cached(carry, _):
+            s, ch = carry
+            return ensemble_step_flat(s, batch_aux, cfg, ch,
+                                      want_cache=True), None
+
+        (out, _), _ = jax.lax.scan(body_cached, (batch_state, cache),
+                                   None, length=n_steps)
+        return out
 
     def body(s, _):
         if flat:

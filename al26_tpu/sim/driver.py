@@ -92,7 +92,7 @@ def _rebuild_aux(cfg: SimConfig, cluster, data_dir=None) -> SimAux:
     from .init import build_aux
 
     return build_aux(cfg, np.asarray(cluster.m0), cluster.pos.dtype,
-                     data_dir)
+                     data_dir, np.asarray(cluster.is_interloper))
 
 
 def load_run(base: str, n_checkpoint: Optional[int] = None,
@@ -176,11 +176,27 @@ def run(cfg: SimConfig, progress: bool = True,
         mesh = make_mesh(n_dev)
         state = shard_state_rows(state, mesh)
 
+    # thread the force cache across checkpoint chunks so even a chunk's
+    # first step reuses the previous chunk's closing O(N^2) evaluation
+    from .step import _cacheable, _resolve_integ, fresh_cache, run_steps_cached
+
+    use_cache = (not write_traj) and _cacheable(
+        cfg, state.cluster.n, state.cluster.pos.dtype, mesh, cfg.force_impl
+    )
+    cache = [None]
+
     def advance_steps(s, n):
         if write_traj:
             s, rows = run_steps_traj(s, aux, cfg, n, mesh=mesh,
                                      force_impl=cfg.force_impl)
             _append_trajectory(np.asarray(rows))
+            return s
+        if use_cache:
+            if cache[0] is None:
+                cache[0] = fresh_cache(s, cfg,
+                                       _resolve_integ(cfg, s.cluster.n))
+            s, cache[0] = run_steps_cached(s, cache[0], aux, cfg, n,
+                                           mesh, cfg.force_impl)
             return s
         return run_steps(s, aux, cfg, n, mesh=mesh,
                          force_impl=cfg.force_impl)

@@ -36,6 +36,11 @@ class SimAux:
     #                           realizations pad to a common width; a padded
     #                           slot repeats index 0 and MUST be masked or
     #                           star 0's contribution double-counts)
+    msrc_idx: jax.Array      # [M] indices of every star whose mass evolves
+    #                           (m0 >= stellar.SN_MIN_MASS): the sources of
+    #                           the force-cache mass-delta correction
+    #                           (sim.step), a superset of hm_idx
+    msrc_valid: jax.Array    # [M] bool: False for padding slots
     agb_grid_t: jax.Array    # [G] Myr (zeros when interloper disabled)
     agb_grid_rates: jax.Array  # [S,G] Msun/Myr
 
@@ -48,14 +53,31 @@ def _dtype(cfg: SimConfig):
     return jnp.float64 if cfg.dtype == "f64" else jnp.float32
 
 
+def _mass_source_slots(cfg: SimConfig, m0: np.ndarray,
+                       is_interloper: np.ndarray | None = None):
+    """Indices of stars whose mass evolves in time (m0 >= the SN cut,
+    excluding the interloper, whose mass is pinned) — the sources of the
+    force-cache mass-delta correction."""
+    sel = m0 >= stellar.SN_MIN_MASS
+    if is_interloper is not None:
+        sel = sel & ~is_interloper
+    idx = np.flatnonzero(sel)
+    if len(idx) == 0:
+        idx = np.array([0])
+        return idx, np.zeros(1, bool)
+    return idx, np.ones(len(idx), bool)
+
+
 def build_aux(cfg: SimConfig, m0: np.ndarray, dtype,
-              data_dir: str | None = None) -> SimAux:
+              data_dir: str | None = None,
+              is_interloper: np.ndarray | None = None) -> SimAux:
     """Fixed-shape aux bundle from the initial masses: massive-star
     candidate slots (m0 >= threshold) and the AGB rate grids. Shared by
     cold init and checkpoint resume."""
     hm_candidates = np.flatnonzero(m0 >= cfg.high_mass_threshold)
     if len(hm_candidates) == 0:
         hm_candidates = np.array([0])
+    msrc_idx, msrc_valid = _mass_source_slots(cfg, m0, is_interloper)
     agb_grid_t = np.zeros(1)
     agb_grid_rates = np.zeros((N_ISO, 1))
     if cfg.interloper:
@@ -66,6 +88,8 @@ def build_aux(cfg: SimConfig, m0: np.ndarray, dtype,
     return SimAux(
         hm_idx=jnp.asarray(hm_candidates, dtype=jnp.int32),
         hm_slot_valid=jnp.ones(len(hm_candidates), bool),
+        msrc_idx=jnp.asarray(msrc_idx, dtype=jnp.int32),
+        msrc_valid=jnp.asarray(msrc_valid),
         agb_grid_t=jnp.asarray(agb_grid_t, dtype=dtype),
         agb_grid_rates=jnp.asarray(agb_grid_rates, dtype=dtype),
     )
@@ -270,9 +294,12 @@ def init_cluster(cfg: SimConfig, data_dir: str | None = None,
         time=scalar_f(),
         step_count=scalar_i(),
     )
+    msrc_idx, msrc_valid = _mass_source_slots(cfg, masses, is_interloper)
     aux = SimAux(
         hm_idx=idx(hm_candidates),
         hm_slot_valid=ones_b(len(hm_candidates)),
+        msrc_idx=idx(msrc_idx),
+        msrc_valid=mk_bool(msrc_valid),
         agb_grid_t=f(agb_grid_t),
         agb_grid_rates=f(agb_grid_rates),
     )

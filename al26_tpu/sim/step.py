@@ -87,41 +87,70 @@ def _build_force_rows_fn(mass, eps2, force_impl_resolved):
     return None
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "mesh", "force_impl"))
-def step(state: SimState, aux: SimAux, cfg: SimConfig,
-         mesh=None, force_impl: str = "auto") -> SimState:
+def _resolve_integ(cfg: SimConfig, n: int) -> str:
+    """Defensive "auto" resolution for callers that bypass init_cluster's
+    resolve_integrator (e.g. a cfg recreated from a dict)."""
+    if cfg.integrator == "auto":
+        return "hermite4" if n <= 8192 else "hermite4_block"
+    return cfg.integrator
+
+
+def _pallas_here(cfg: SimConfig, n, dtype, mesh, force_impl) -> bool:
+    from ..ops.pallas_nbody import use_pallas
+
+    return force_impl == "pallas" or (
+        force_impl == "auto" and mesh is None and use_pallas(n, dtype)
+    )
+
+
+def _cacheable(cfg: SimConfig, n, dtype, mesh, force_impl) -> bool:
+    """Can the closing force evaluation be carried to the next step?
+    (leapfrog's closing eval is at the final positions exactly;
+    hermite4_block's under P(EC) semantics; the shared-adaptive hermite4
+    has no distinct closing call inside its while_loop)."""
+    return (
+        mesh is None
+        and _resolve_integ(cfg, n) in ("leapfrog", "hermite4_block")
+        and _pallas_here(cfg, n, dtype, mesh, force_impl)
+    )
+
+
+def _step_impl(state: SimState, aux: SimAux, cfg: SimConfig,
+               mesh, force_impl: str, cache, want_cache: bool = True):
+    """One physics step; `cache` (acc, jerk, pot at the state's positions,
+    with the PREVIOUS step's source masses already corrected to the current
+    ones) replaces the opening O(N^2) sweep, and when caching is possible a
+    new cache is returned with the step's closing evaluation."""
     c = state.cluster
     dt = jnp.asarray(cfg.dt, c.pos.dtype)
     eps2 = jnp.asarray(cfg.eps2, c.pos.dtype)
 
-    from ..ops.pallas_nbody import use_pallas
     from ..units import G_INTERNAL
 
-    # defensive "auto" resolution for callers that bypass init_cluster's
-    # resolve_integrator (e.g. a cfg recreated from a dict)
-    integ = cfg.integrator
-    if integ == "auto":
-        integ = "hermite4" if c.n <= 8192 else "hermite4_block"
-    pallas_here = force_impl == "pallas" or (
-        force_impl == "auto" and mesh is None
-        and use_pallas(c.pos.shape[0], c.pos.dtype)
-    )
+    integ = _resolve_integ(cfg, c.n)
+    pallas_here = _pallas_here(cfg, c.n, c.pos.dtype, mesh, force_impl)
+    cache_ok = want_cache and _cacheable(cfg, c.n, c.pos.dtype, mesh,
+                                         force_impl)
 
     # -- 1. cluster virial radius from the step-start state (:767-770) ------
     # On the Pallas path the SAME sweep yields the integrator's step-start
     # forces (softened, cfg.eps2) and the UNsoftened potential the virial
-    # radius needs — no second O(N^2) pass.
+    # radius needs — no second O(N^2) pass. With a cache, even that sweep
+    # is the previous step's closing evaluation.
     init_eval = None
+    needs_jerk = integ in ("hermite4", "hermite4_block")
     if mesh is not None:
         from ..parallel.sharded import sharded_potential_energy
         u = sharded_potential_energy(c.pos, c.mass, mesh)
     elif pallas_here:
-        from ..ops.pallas_nbody import pallas_acc_jerk_pot
-        needs_jerk = integ in ("hermite4", "hermite4_block")
-        a0, j0, pot = pallas_acc_jerk_pot(
-            c.pos, c.vel, c.mass, cfg.eps2, with_jerk=needs_jerk,
-            pot_eps2=1e-30,
-        )
+        if cache is not None:
+            a0, j0, pot = cache
+        else:
+            from ..ops.pallas_nbody import pallas_acc_jerk_pot
+            a0, j0, pot = pallas_acc_jerk_pot(
+                c.pos, c.vel, c.mass, cfg.eps2, with_jerk=needs_jerk,
+                pot_eps2=1e-30,
+            )
         u = 0.5 * jnp.sum(c.mass * pot)
         init_eval = (a0, j0) if needs_jerk else (a0, None)
     else:
@@ -143,15 +172,67 @@ def step(state: SimState, aux: SimAux, cfg: SimConfig,
         force_rows_fn = _build_force_rows_fn(
             c.mass, cfg.eps2, "pallas" if pallas_here else "default"
         )
-    pos, vel = advance(
+    final_eval_fn = None
+    if cache_ok:
+        from ..ops.pallas_nbody import pallas_acc_jerk_pot
+
+        def final_eval_fn(p, v):
+            a, j, pot = pallas_acc_jerk_pot(
+                p, jnp.zeros_like(p) if v is None else v, c.mass,
+                cfg.eps2, with_jerk=(integ == "hermite4_block"),
+                pot_eps2=1e-30,
+            )
+            return a, (j if integ == "hermite4_block" else None), pot
+
+    out = advance(
         c.pos, c.vel, c.mass, dt,
         integrator=integ, eta=cfg.eta_hermite,
         n_sub=cfg.leapfrog_n_sub or 16,
         eps2=eps2, max_substeps=cfg.substeps_max, force_fn=force_fn,
         acc_fn=acc_fn, k_fast=cfg.k_fast or 0,
         force_rows_fn=force_rows_fn, init_eval=init_eval,
+        final_eval_fn=final_eval_fn,
     )
-    return physics_after_advance(state, aux, cfg, pos_old, pos, vel, r_vir)
+    if cache_ok:
+        pos, vel, (a1, j1, pot1) = out
+    else:
+        pos, vel = out
+    new_state = physics_after_advance(state, aux, cfg, pos_old, pos, vel,
+                                      r_vir)
+    new_cache = None
+    if cache_ok:
+        # forces are linear in source masses: correct the closing
+        # evaluation for this step's stellar mass loss / SN collapses so it
+        # is exactly the next step's opening evaluation (O(N x M))
+        from ..ops.nbody import mass_delta_correction
+
+        dm = (new_state.cluster.mass[aux.msrc_idx]
+              - c.mass[aux.msrc_idx]) * aux.msrc_valid
+        a1, j1, pot1 = mass_delta_correction(
+            a1, j1, pot1, pos, vel, aux.msrc_idx, dm, eps2,
+        )
+        new_cache = (a1, jnp.zeros_like(a1) if j1 is None else j1, pot1)
+    return new_state, new_cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh", "force_impl"))
+def step(state: SimState, aux: SimAux, cfg: SimConfig,
+         mesh=None, force_impl: str = "auto") -> SimState:
+    new_state, _ = _step_impl(state, aux, cfg, mesh, force_impl, None,
+                              want_cache=False)
+    return new_state
+
+
+def fresh_cache(state: SimState, cfg: SimConfig, integ: str):
+    """Opening (acc, jerk, pot) evaluation to seed the force cache."""
+    from ..ops.pallas_nbody import pallas_acc_jerk_pot
+
+    c = state.cluster
+    a, j, pot = pallas_acc_jerk_pot(
+        c.pos, c.vel, c.mass, cfg.eps2,
+        with_jerk=(integ == "hermite4_block"), pot_eps2=1e-30,
+    )
+    return a, j, pot
 
 
 def physics_after_advance(state: SimState, aux: SimAux, cfg: SimConfig,
@@ -261,12 +342,39 @@ def run_steps(state: SimState, aux: SimAux, cfg: SimConfig,
               n_steps: int, mesh=None, force_impl: str = "auto") -> SimState:
     """Scan `n_steps` physics steps on device (used between checkpoints —
     the reference saves every `steps_per_plot`=10 steps,
-    al26_nbody.py:1754-1760)."""
+    al26_nbody.py:1754-1760). On the Pallas leapfrog/hermite4_block paths
+    the closing force evaluation of each step is carried into the next
+    (mass-delta-corrected), so a step costs ONE full O(N^2) sweep instead
+    of two."""
+    if _cacheable(cfg, state.cluster.n, state.cluster.pos.dtype, mesh,
+                  force_impl):
+        cache = fresh_cache(state, cfg,
+                            _resolve_integ(cfg, state.cluster.n))
+        state, _ = run_steps_cached(state, cache, aux, cfg, n_steps,
+                                    mesh, force_impl)
+        return state
+
     def body(s, _):
         return step(s, aux, cfg, mesh, force_impl), None
 
     state, _ = jax.lax.scan(body, state, None, length=n_steps)
     return state
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "mesh",
+                                              "force_impl"))
+def run_steps_cached(state: SimState, cache, aux: SimAux, cfg: SimConfig,
+                     n_steps: int, mesh=None, force_impl: str = "auto"):
+    """run_steps carrying the force cache ACROSS calls: the driver threads
+    (state, cache) between checkpoint chunks so even the first step of a
+    chunk reuses the previous chunk's closing evaluation."""
+    def body(carry, _):
+        s, ch = carry
+        return _step_impl(s, aux, cfg, mesh, force_impl, ch), None
+
+    (state, cache), _ = jax.lax.scan(body, (state, cache), None,
+                                     length=n_steps)
+    return state, cache
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "mesh",

@@ -1,0 +1,151 @@
+"""Force-cache correctness: each step's closing evaluation, mass-delta
+corrected, IS the next step's opening evaluation (sim/step.py), so the
+Pallas leapfrog/hermite4_block paths run ONE full O(N^2) sweep per step."""
+import jax.numpy as jnp
+import numpy as np
+
+from al26_tpu.config import SimConfig
+from al26_tpu.sim import init_cluster
+from al26_tpu.sim.step import run_steps, step
+
+
+def test_mass_delta_correction_is_exact():
+    """Linearity in source masses: cached eval + correction == fresh eval
+    with the new masses, to float round-off."""
+    from al26_tpu.ops.nbody import (
+        acc_jerk_pot_dense, acc_pot_dense, mass_delta_correction,
+    )
+
+    rng = np.random.default_rng(5)
+    n, eps2 = 64, 0.05
+    pos = jnp.asarray(rng.normal(size=(n, 3)))
+    vel = jnp.asarray(rng.normal(size=(n, 3)))
+    mass = jnp.asarray(rng.uniform(0.1, 2.0, n))
+    src = jnp.asarray([3, 17, 40], jnp.int32)
+    dm = jnp.asarray([-0.5, 1.2, -0.05])
+    mass_new = mass.at[src].add(dm)
+
+    a0, j0, _ = acc_jerk_pot_dense(pos, vel, mass, eps2)
+    _, p0 = acc_pot_dense(pos, mass, 0.0)
+    a, j, p = mass_delta_correction(a0, j0, p0, pos, vel, src, dm, eps2)
+    a_ref, j_ref, _ = acc_jerk_pot_dense(pos, vel, mass_new, eps2)
+    _, p_ref = acc_pot_dense(pos, mass_new, 0.0)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(a_ref),
+                               rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(j), np.asarray(j_ref),
+                               rtol=1e-12, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(p), np.asarray(p_ref),
+                               rtol=1e-12, atol=1e-13)
+    # padding slots (dm forced to 0) contribute nothing
+    a2, j2, p2 = mass_delta_correction(
+        a0, j0, p0, pos, vel,
+        jnp.asarray([3, 17, 40, 0, 0], jnp.int32),
+        jnp.concatenate([dm, jnp.zeros(2)]), eps2,
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(a2))
+    np.testing.assert_array_equal(np.asarray(p), np.asarray(p2))
+
+
+def test_cached_leapfrog_bitwise_equals_uncached():
+    """Without mass evolution the cache is mathematically identical to a
+    fresh opening sweep (same kernel call at the same operands), so the
+    cached scan must reproduce per-step stepping BITWISE."""
+    cfg = SimConfig(n=96, rc=1.0, final_time=1.0, seed=9, dtype="f32",
+                    integrator="leapfrog", leapfrog_n_sub=2,
+                    star_max_mass=3.0, no_massive_star_requirement=True)
+    state, aux, cfg = init_cluster(cfg)
+    s_cached = run_steps(state, aux, cfg, 5, force_impl="pallas")
+    s_plain = state
+    for _ in range(5):
+        s_plain = step(s_plain, aux, cfg, force_impl="pallas")
+    np.testing.assert_array_equal(np.asarray(s_cached.cluster.pos),
+                                  np.asarray(s_plain.cluster.pos))
+    np.testing.assert_array_equal(np.asarray(s_cached.cluster.vel),
+                                  np.asarray(s_plain.cluster.vel))
+    np.testing.assert_array_equal(np.asarray(s_cached.cluster.slr),
+                                  np.asarray(s_plain.cluster.slr))
+
+
+def test_cached_block_with_mass_loss_tracks_uncached():
+    """With evolving massive stars, the cached hermite4_block path differs
+    from per-step stepping only by P(EC) reuse + the (exact) mass-delta
+    correction — trajectories and deposition must track tightly."""
+    cfg = SimConfig(n=96, rc=1.0, final_time=10.0, seed=31, dtype="f32",
+                    integrator="hermite4_block", k_fast=16)
+    state, aux, cfg = init_cluster(cfg)
+    s_cached = run_steps(state, aux, cfg, 10, force_impl="pallas")
+    s_plain = state
+    for _ in range(10):
+        s_plain = step(s_plain, aux, cfg, force_impl="pallas")
+    np.testing.assert_allclose(np.asarray(s_cached.cluster.pos),
+                               np.asarray(s_plain.cluster.pos),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(s_cached.cluster.slr),
+                               np.asarray(s_plain.cluster.slr),
+                               rtol=2e-3, atol=1e-30)
+    # mass evolution itself is identical (time-based, not force-based)
+    np.testing.assert_array_equal(np.asarray(s_cached.cluster.mass),
+                                  np.asarray(s_plain.cluster.mass))
+
+
+def test_cached_run_steps_cached_threads_across_chunks():
+    """run_steps_cached(state, cache) across two chunks == one chunk of the
+    same total length (the driver's checkpoint-boundary threading)."""
+    from al26_tpu.sim.step import _resolve_integ, fresh_cache, run_steps_cached
+
+    cfg = SimConfig(n=96, rc=1.0, final_time=1.0, seed=9, dtype="f32",
+                    integrator="leapfrog", leapfrog_n_sub=2,
+                    star_max_mass=3.0, no_massive_star_requirement=True)
+    state, aux, cfg = init_cluster(cfg)
+    integ = _resolve_integ(cfg, state.cluster.n)
+    cache = fresh_cache(state, cfg, integ)
+    s1, cache = run_steps_cached(state, cache, aux, cfg, 3,
+                                 force_impl="pallas")
+    s1, cache = run_steps_cached(s1, cache, aux, cfg, 4,
+                                 force_impl="pallas")
+    cache0 = fresh_cache(state, cfg, integ)
+    s2, _ = run_steps_cached(state, cache0, aux, cfg, 7,
+                             force_impl="pallas")
+    np.testing.assert_array_equal(np.asarray(s1.cluster.pos),
+                                  np.asarray(s2.cluster.pos))
+
+
+def test_ensemble_flat_cache_matches_uncached(monkeypatch):
+    """The flat ensemble's cached scan equals the uncached flat stepping
+    (bitwise without mass evolution; the mass-delta correction is exact, so
+    with massive stars only float summation order differs)."""
+    import al26_tpu.ops.pallas_nbody as pk
+    from al26_tpu.parallel.ensemble import (
+        ensemble_run_steps, ensemble_step_flat, init_ensemble,
+    )
+
+    monkeypatch.setattr(pk, "use_pallas", lambda n, dtype: True)
+
+    cfg = SimConfig(n=24, rc=1.0, final_time=1.0, seed=12, dtype="f32",
+                    star_max_mass=3.0, no_massive_star_requirement=True)
+    bs, ba, cfgs = init_ensemble(cfg, 3)
+    cfg = cfgs[0]
+    assert cfg.integrator == "leapfrog"
+    out_cached = ensemble_run_steps(bs, ba, cfg, 4, flat=True)
+    s = bs
+    for _ in range(4):
+        s = ensemble_step_flat(s, ba, cfg)
+    np.testing.assert_array_equal(np.asarray(out_cached.cluster.pos),
+                                  np.asarray(s.cluster.pos))
+    np.testing.assert_array_equal(np.asarray(out_cached.cluster.slr),
+                                  np.asarray(s.cluster.slr))
+
+    # with evolving massive stars: exact correction, tight tracking
+    cfg2 = SimConfig(n=24, rc=1.0, final_time=10.0, seed=13, dtype="f32")
+    bs2, ba2, cfgs2 = init_ensemble(cfg2, 3)
+    cfg2 = cfgs2[0]
+    out_c = ensemble_run_steps(bs2, ba2, cfg2, 4, flat=True)
+    s2 = bs2
+    for _ in range(4):
+        s2 = ensemble_step_flat(s2, ba2, cfg2)
+    np.testing.assert_allclose(np.asarray(out_c.cluster.pos),
+                               np.asarray(s2.cluster.pos),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_c.cluster.slr),
+                               np.asarray(s2.cluster.slr),
+                               rtol=1e-4, atol=1e-30)
