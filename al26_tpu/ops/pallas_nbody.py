@@ -55,6 +55,10 @@ def _nbody_kernel(
     pos_t,            # [3, Np] VMEM (all columns, lane-major)
     vel_t,            # [3, Np]
     mass2d,           # [1, Np]
+    cols8,            # [8, Np] VMEM (x,y,z,vx,vy,vz,1,0) lane-major (a
+    #                   row-major [Np, 8] would pad the 8-wide lane dim to
+    #                   128 and blow VMEM 16x) — the MXU reduction operand
+    #                   (zeros when use_mxu=False)
     acc_out,          # [TILE_I, 3]
     jerk_out,         # [TILE_I, 3]
     pot_out,          # [TILE_I, 1]
@@ -65,6 +69,7 @@ def _nbody_kernel(
     with_jerk: bool = True,
     group_size: int = 0,
     pot_eps2: float | None = None,
+    use_mxu: bool = False,
 ):
     n_true = n_ref[0, 0]
     row_ids = row_ids_ref[:, 0:1]
@@ -94,8 +99,8 @@ def _nbody_kernel(
         jt_hi = jnp.minimum(-(-((g_hi + 1) * group_size) // TILE_J), num_j)
         # all-padding tile: id_min=big, id_max=-1 -> jt_lo >= jt_hi -> no work
         jt_lo = jnp.minimum(jt_lo, jt_hi)
-    def body(jt, carry):
-        ax, ay, az, jx, jy, jz, pot = carry
+    def _pair_weights(jt):
+        """Shared per-tile-pair VPU work: (w, inv_r2, geometry)."""
         j0 = jt * TILE_J  # int32: the loop bounds below pin the index dtype
         cols = pos_t[:, pl.ds(j0, TILE_J)]          # [3, TILE_J] -> rows
         xj = cols[0:1, :]
@@ -123,6 +128,24 @@ def _nbody_kernel(
         inv_r = jnp.where(valid, inv_r, 0.0)
         inv_r2 = inv_r * inv_r
         w = mj * (inv_r * inv_r2)                    # m_j / r^3, masked
+        return (j0, mj, valid, r2, inv_r, inv_r2, w,
+                dx, dy, dz, vxj, vyj, vzj)
+
+    def _pot_update(pot, mj, valid, r2, inv_r):
+        if pot_eps2 is None:
+            return pot - jnp.sum(mj * inv_r, axis=1, keepdims=True)
+        # separately-softened potential (pot_eps2=1e-30 ~ unsoftened):
+        # lets ONE sweep return BHTree-softened forces AND the raw
+        # potential the virial radius needs (al26_nbody.py:770), instead
+        # of a second full O(N^2) pass per step
+        inv_rp = jax.lax.rsqrt(r2 - eps2 + pot_eps2)
+        inv_rp = jnp.where(valid, inv_rp, 0.0)
+        return pot - jnp.sum(mj * inv_rp, axis=1, keepdims=True)
+
+    def body(jt, carry):
+        ax, ay, az, jx, jy, jz, pot = carry
+        (j0, mj, valid, r2, inv_r, inv_r2, w,
+         dx, dy, dz, vxj, vyj, vzj) = _pair_weights(jt)
 
         ax = ax + jnp.sum(w * dx, axis=1, keepdims=True)
         ay = ay + jnp.sum(w * dy, axis=1, keepdims=True)
@@ -138,17 +161,36 @@ def _nbody_kernel(
             jy = jy + jnp.sum(w * (dvy - s * dy), axis=1, keepdims=True)
             jz = jz + jnp.sum(w * (dvz - s * dz), axis=1, keepdims=True)
 
-        if pot_eps2 is None:
-            pot = pot - jnp.sum(mj * inv_r, axis=1, keepdims=True)
-        else:
-            # separately-softened potential (pot_eps2=1e-30 ~ unsoftened):
-            # lets ONE sweep return BHTree-softened forces AND the raw
-            # potential the virial radius needs (al26_nbody.py:770), instead
-            # of a second full O(N^2) pass per step
-            inv_rp = jax.lax.rsqrt(r2 - eps2 + pot_eps2)
-            inv_rp = jnp.where(valid, inv_rp, 0.0)
-            pot = pot - jnp.sum(mj * inv_rp, axis=1, keepdims=True)
+        pot = _pot_update(pot, mj, valid, r2, inv_r)
         return ax, ay, az, jx, jy, jz, pot
+
+    def body_mxu(jt, carry):
+        # MXU offload: the seven per-pair reduction sums become two
+        # [TILE_I, TILE_J] @ [TILE_J, 8] matmuls against the precomputed
+        # column matrix C8 = (x, y, z, vx, vy, vz, 1, 0):
+        #   S  = w  @ C8 -> (sum w x_j, ..., sum w v_j, sum w)
+        #   Ss = ws @ C8    (ws = w * 3(dx.dv)/r^2, jerk's second term)
+        # and the difference sums are recovered AFTER the j-loop as
+        # e.g. sum w dx = S[x] - x_i S[1] (gravity's linearity in x_j);
+        # inputs are pre-centred on the centre of mass in the wrapper to
+        # bound the big-minus-big cancellation this decomposition has.
+        Sw, Sws, pot = carry
+        (j0, mj, valid, r2, inv_r, inv_r2, w,
+         dx, dy, dz, vxj, vyj, vzj) = _pair_weights(jt)
+        c8t = cols8[:, pl.ds(j0, TILE_J)]            # [8, TILE_J]
+        # contract the TILE_J axis of both (rhs pre-transposed layout)
+        dn = (((1,), (1,)), ((), ()))
+        Sw = Sw + jax.lax.dot_general(
+            w, c8t, dn, preferred_element_type=jnp.float32)
+        if with_jerk:
+            dvx = vxj - vxi
+            dvy = vyj - vyi
+            dvz = vzj - vzi
+            s = 3.0 * (dx * dvx + dy * dvy + dz * dvz) * inv_r2
+            Sws = Sws + jax.lax.dot_general(
+                w * s, c8t, dn, preferred_element_type=jnp.float32)
+        pot = _pot_update(pot, mj, valid, r2, inv_r)
+        return Sw, Sws, pot
 
     zeros = jnp.zeros((TILE_I, 1), jnp.float32)
     # int32 loop bounds: under jax_enable_x64 python-int bounds make the
@@ -158,9 +200,23 @@ def _nbody_kernel(
         bounds = (jt_lo.astype(jnp.int32), jt_hi.astype(jnp.int32))
     else:
         bounds = (jnp.int32(0), jnp.int32(num_j))
-    ax, ay, az, jx, jy, jz, pot = jax.lax.fori_loop(
-        bounds[0], bounds[1], body, (zeros,) * 7
-    )
+    if use_mxu:
+        zeros8 = jnp.zeros((TILE_I, 8), jnp.float32)
+        Sw, Sws, pot = jax.lax.fori_loop(
+            bounds[0], bounds[1], body_mxu, (zeros8, zeros8, zeros)
+        )
+        sw1 = Sw[:, 6:7]
+        ax = Sw[:, 0:1] - xi * sw1
+        ay = Sw[:, 1:2] - yi * sw1
+        az = Sw[:, 2:3] - zi * sw1
+        sws1 = Sws[:, 6:7]
+        jx = (Sw[:, 3:4] - vxi * sw1) - (Sws[:, 0:1] - xi * sws1)
+        jy = (Sw[:, 4:5] - vyi * sw1) - (Sws[:, 1:2] - yi * sws1)
+        jz = (Sw[:, 5:6] - vzi * sw1) - (Sws[:, 2:3] - zi * sws1)
+    else:
+        ax, ay, az, jx, jy, jz, pot = jax.lax.fori_loop(
+            bounds[0], bounds[1], body, (zeros,) * 7
+        )
     acc_out[:, 0:1] = g * ax
     acc_out[:, 1:2] = g * ay
     acc_out[:, 2:3] = g * az
@@ -179,7 +235,7 @@ def _pad_rows(a: jax.Array, n_padded: int) -> jax.Array:
 
 @functools.partial(jax.jit,
                    static_argnames=("eps2", "g", "interpret", "with_jerk",
-                                    "group_size", "pot_eps2"))
+                                    "group_size", "pot_eps2", "use_mxu"))
 def pallas_acc_jerk_pot(
     pos: jax.Array,
     vel: jax.Array,
@@ -190,6 +246,7 @@ def pallas_acc_jerk_pot(
     with_jerk: bool = True,
     group_size: int = 0,
     pot_eps2: float | None = None,
+    use_mxu: bool = True,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """(acc [N,3], jerk [N,3], pot [N]) via the tiled TPU kernel. f32.
 
@@ -202,13 +259,13 @@ def pallas_acc_jerk_pot(
     return pallas_acc_jerk_pot_rows(
         pos, vel, jnp.arange(pos.shape[0], dtype=jnp.int32), pos, vel, mass,
         eps2=eps2, g=g, interpret=interpret, with_jerk=with_jerk,
-        group_size=group_size, pot_eps2=pot_eps2,
+        group_size=group_size, pot_eps2=pot_eps2, use_mxu=use_mxu,
     )
 
 
 @functools.partial(jax.jit,
                    static_argnames=("eps2", "g", "interpret", "with_jerk",
-                                    "group_size", "pot_eps2"))
+                                    "group_size", "pot_eps2", "use_mxu"))
 def pallas_acc_jerk_pot_rows(
     pos_rows: jax.Array,   # [B,3]  target rows (a subset of the columns)
     vel_rows: jax.Array,   # [B,3]
@@ -223,8 +280,14 @@ def pallas_acc_jerk_pot_rows(
     with_jerk: bool = True,
     group_size: int = 0,
     pot_eps2: float | None = None,
+    use_mxu: bool = True,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Row-subset variant: forces on `pos_rows` from all of `pos`.
+
+    use_mxu=True routes the per-pair reduction sums through the MXU as two
+    small matmuls (see _nbody_kernel.body_mxu); inputs are pre-centred on
+    the mean position/velocity to bound the decomposition's cancellation
+    error (~1e-4 relative in f32, tests/test_pallas.py).
 
     group_size > 0 restricts interactions to stars in the same group
     (global_index // group_size): a flattened ensemble of B realizations of
@@ -237,6 +300,11 @@ def pallas_acc_jerk_pot_rows(
     masked by comparing each row's global id against the column index."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    # group-masked (flattened-ensemble) sweeps are deposition-bound, not
+    # force-bound, and their many-invalid-pair rows worsen the MXU
+    # decomposition's relative cancellation — keep them on the exact VPU
+    # difference sums
+    use_mxu = use_mxu and group_size == 0
     if not interpret and jax.config.jax_enable_x64:
         raise RuntimeError(
             "the Pallas N-body kernel cannot compile with jax_enable_x64 "
@@ -248,6 +316,15 @@ def pallas_acc_jerk_pot_rows(
         # (observed on v5e); 1e-30 is numerically inert here (self-pairs are
         # masked and real pair distances are >> 1e-15) and compiles fine.
         eps2 = 1e-30
+    if use_mxu:
+        # translation/boost invariance of the forces: centring bounds the
+        # |x| scale entering the sum(w x_j) - x_i sum(w) decomposition
+        c_pos = jnp.mean(pos, axis=0)
+        c_vel = jnp.mean(vel, axis=0)
+        pos = pos - c_pos
+        vel = vel - c_vel
+        pos_rows = pos_rows - c_pos
+        vel_rows = vel_rows - c_vel
     b = pos_rows.shape[0]
     n = pos.shape[0]
     b_padded = -(-b // TILE_I) * TILE_I
@@ -266,12 +343,19 @@ def pallas_acc_jerk_pot_rows(
     vel_t = velp.T
     mass2d = massp[None, :]             # [1, Np]
     n_arr = jnp.full((1, 1), n, jnp.int32)
+    if use_mxu:
+        cols8 = jnp.concatenate(
+            [pos_t, vel_t, jnp.ones((1, n_padded), f32),
+             jnp.zeros((1, n_padded), f32)], axis=0)  # [8, Np] lane-major
+    else:
+        cols8 = jnp.zeros((8, 8), f32)  # untouched placeholder
 
     grid = (b_padded // TILE_I,)
     kernel = functools.partial(
         _nbody_kernel, eps2=float(eps2), g=float(g), n_padded=n_padded,
         with_jerk=with_jerk, group_size=group_size,
         pot_eps2=None if pot_eps2 is None else float(pot_eps2),
+        use_mxu=use_mxu,
     )
     flops_per_pair = 50 if with_jerk else 30
     acc, jerk, pot = pl.pallas_call(
@@ -290,6 +374,8 @@ def pallas_acc_jerk_pot_rows(
             pl.BlockSpec((3, n_padded), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_padded), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(cols8.shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -311,7 +397,7 @@ def pallas_acc_jerk_pot_rows(
             transcendentals=b_padded * n_padded,
         ),
         interpret=interpret,
-    )(n_arr, idsp, rowsp, vrowsp, pos_t, vel_t, mass2d)
+    )(n_arr, idsp, rowsp, vrowsp, pos_t, vel_t, mass2d, cols8)
     return (
         acc[:b].astype(pos_rows.dtype),
         jerk[:b].astype(pos_rows.dtype),

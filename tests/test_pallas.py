@@ -19,18 +19,25 @@ def _system(n, seed=0):
 
 
 @pytest.mark.parametrize("n", [TILE_J, 2 * TILE_J, 100, 777])
-def test_pallas_matches_dense(n):
+@pytest.mark.parametrize("use_mxu", [False, True])
+def test_pallas_matches_dense(n, use_mxu):
+    """use_mxu=False: pure-VPU difference sums, ~1e-5 of f64 truth.
+    use_mxu=True (the default): MXU reduction decomposition with mean
+    pre-centring — a few 1e-5 of cancellation noise (docs/precision.md),
+    pinned at 3e-4. The offset below stresses the centring."""
     pos, vel, mass = _system(n)
-    a1, j1, p1 = pallas_acc_jerk_pot(pos, vel, mass, 1e-3)
+    pos = pos + 4.0  # off-centre cluster: the worst case for use_mxu
+    a1, j1, p1 = pallas_acc_jerk_pot(pos, vel, mass, 1e-3, use_mxu=use_mxu)
     a2, j2, p2 = acc_jerk_pot_dense(
         pos.astype(jnp.float64), vel.astype(jnp.float64),
         mass.astype(jnp.float64), 1e-3,
     )
+    tol = 3e-4 if use_mxu else 1e-5
     scale_a = float(jnp.max(jnp.abs(a2)))
     scale_j = float(jnp.max(jnp.abs(j2)))
     scale_p = float(jnp.max(jnp.abs(p2)))
-    assert float(jnp.max(jnp.abs(a1 - a2))) / scale_a < 1e-5
-    assert float(jnp.max(jnp.abs(j1 - j2))) / scale_j < 1e-5
+    assert float(jnp.max(jnp.abs(a1 - a2))) / scale_a < tol
+    assert float(jnp.max(jnp.abs(j1 - j2))) / scale_j < tol
     assert float(jnp.max(jnp.abs(p1 - p2))) / scale_p < 1e-5
 
 
