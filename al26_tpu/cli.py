@@ -109,6 +109,27 @@ def build_parser() -> argparse.ArgumentParser:
                         "parity (1/64 N-body time unit)")
     p.add_argument("--no_validate", dest="validate", action="store_false",
                    help="Disable state invariant checks at checkpoints")
+    p.add_argument("--yields_rewrite", dest="yields_frames",
+                   action="store_false",
+                   help="Rewrite the whole reference-format yields blob at "
+                        "every save (the reference's O(k^2) behaviour) "
+                        "instead of the appendable framed store")
+    p.add_argument("--sync_saves", dest="async_saves", action="store_false",
+                   help="Write checkpoints synchronously on the driver "
+                        "thread (default: a background writer thread "
+                        "overlaps saves with device compute)")
+    p.add_argument("--natal_kicks", action="store_true",
+                   help="Apply Maxwellian natal kicks to SN remnants (the "
+                        "reference carries this code commented out, "
+                        "al26_nbody.py:846-865; off = reference parity)")
+    p.add_argument("--kick_sigma", dest="kick_sigma_kms", type=float,
+                   default=265.0,
+                   help="Natal-kick dispersion per component, km/s "
+                        "(Hobbs et al. 2005)")
+    p.add_argument("--metallicity", type=float, default=0.02,
+                   help="Stellar-evolution metallicity Z in [1e-4, 0.03] "
+                        "(Hurley+2000 lifetime fits; the reference's SeBa "
+                        "is hard-wired to 0.02, al26_nbody.py:483)")
     return p
 
 

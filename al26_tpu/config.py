@@ -78,6 +78,17 @@ class SimConfig:
     substeps_max: int = 4096           # static bound on internal substeps/outer step
     dtype: str = "f64"                 # "f32" | "f64" compute precision
 
+    natal_kicks: bool = False          # apply a Maxwellian natal kick to the
+    #   remnant at each SN — the reference's kick block exists but is
+    #   commented out (al26_nbody.py:846-865), so False is reference parity
+    #   and True is a strict superset. Kick vectors are pre-drawn at init
+    #   (sim.init._draw_kicks) for reproducibility; applied at the END of
+    #   the SN step (the remnant's new velocity takes effect from the next
+    #   step's advance). With hermite4_block the per-step force cache is
+    #   disabled (the cached jerk is velocity-dependent); leapfrog keeps it.
+    kick_sigma_kms: float = 265.0      # Hobbs et al. (2005) pulsar-kick
+    #   Maxwellian dispersion (km/s per Cartesian component)
+
     # -- interloper (AGB flyby) --------------------------------------
     interloper: bool = False           # (ref: -i)
     interloper_mass: float = 3.0       # Msun (ref: -mi)
@@ -96,6 +107,19 @@ class SimConfig:
     #                                     uses numpy global RNG; we record the
     #                                     seed for reproducibility)
     verbose: bool = False              # (ref: -v)
+    yields_frames: bool = True         # append one zstd frame per save to
+    #   <base>-yields.ubjf (O(N) per save) instead of rewriting the whole
+    #   reference blob every save (O(k) data per save, O(k^2) per run,
+    #   al26_nbody.py:242-264). The reference-format <base>-yields.ubj.zst
+    #   is still written at the run's FINAL save so the reference
+    #   post-processing reads completed runs unchanged; resume prefers the
+    #   framed file. --yields_rewrite restores the reference behaviour.
+    async_saves: bool = True           # write checkpoints on a background
+    #   thread (io.async_writer) so host serialisation overlaps the next
+    #   chunk's device compute; ordering/content identical to synchronous
+    #   saves (single FIFO worker, flushed before run() returns). A failed
+    #   save (incl. checkpoint-time validation) raises on the driver thread
+    #   at the next save or at the end-of-run flush. --sync_saves disables.
     validate: bool = True              # invariant checks at checkpoints
     #   (utils/validate.py; the reference's analogue is the per-step
     #   particle-key assertion, al26_nbody.py:781-783)

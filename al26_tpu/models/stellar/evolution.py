@@ -20,10 +20,17 @@ anchor table, fully `vmap`-able and usable inside `jit`:
     normalisation of wind_ratio (al26_nbody.py:1583-1594)
 
 Model: massive-star LIFETIMES are closed-form Hurley, Pols & Tout (2000)
-solar-Z fits (models.stellar.hurley2000; t_sn = t_ms * 1.11, validated
+fits (models.stellar.hurley2000; t_sn = t_ms * 1.11, validated
 against the Schaller et al. 1992 and Limongi & Chieffi 2018 grids in
 tests/test_stellar_yields.py with the grid spread documented in
-docs/stellar_model.md). Pre-SN and remnant masses remain anchor tables
+docs/stellar_model.md). Every public function takes a STATIC `z`
+(metallicity) keyword, default 0.02 — the reference always runs SeBa at
+Z = 0.02 (al26_nbody.py:467,483), so non-solar z is a superset: lifetimes
+carry the full published Hurley zeta-dependence; the low-mass anchor
+times are rescaled by the Hurley t_bgb(z)/t_bgb(0.02) ratio; pre-SN and
+remnant MASSES keep the solar-calibrated anchor tables (no comparable
+closed-form metallicity scaling is published — documented in
+docs/stellar_model.md). Pre-SN and remnant masses are anchor tables
 (NS remnants ~1.4 Msun for 13-25 Msun, direct BH collapse above ~25-30
 Msun — consistent with the reference's own yield tables, which carry SN
 yields only for 13-25 Msun and wind-only yields for 30-120 Msun,
@@ -89,24 +96,26 @@ def _loglin_interp(m0: jax.Array, ytab: np.ndarray) -> jax.Array:
     return jnp.interp(x, jnp.asarray(_LOG_M), jnp.asarray(ytab))
 
 
-def t_end(m0: jax.Array) -> jax.Array:
+def t_end(m0: jax.Array, z: float = 0.02) -> jax.Array:
     """End of nuclear burning (Myr); equals the SN time for m0 >= 8 Msun.
 
-    Massive stars use the published Hurley+2000 closed-form solar-Z
-    lifetime fits (hurley2000.t_sn_solar); below the SN cut the anchor
-    table times the AGB phases."""
+    Massive stars use the published Hurley+2000 closed-form lifetime fits
+    (hurley2000.t_sn, full zeta-dependence); below the SN cut the anchor
+    table times the AGB phases, rescaled off-solar by the Hurley
+    t_bgb(z)/t_bgb(0.02) ratio (z is static, so the solar path is
+    bit-identical to round 1)."""
     from . import hurley2000
 
-    return jnp.where(
-        m0 >= SN_MIN_MASS,
-        hurley2000.t_sn_solar(m0),
-        _loglog_interp(m0, _T_END),
-    )
+    lo = _loglog_interp(m0, _T_END)
+    if z != hurley2000.Z_SOLAR:
+        lo = lo * (hurley2000.t_bgb(m0, z)
+                   / hurley2000.t_bgb(m0, hurley2000.Z_SOLAR))
+    return jnp.where(m0 >= SN_MIN_MASS, hurley2000.t_sn(m0, z), lo)
 
 
-def t_sn(m0: jax.Array) -> jax.Array:
+def t_sn(m0: jax.Array, z: float = 0.02) -> jax.Array:
     """Core-collapse time (Myr); +inf for stars below SN_MIN_MASS."""
-    return jnp.where(m0 >= SN_MIN_MASS, t_end(m0), jnp.inf)
+    return jnp.where(m0 >= SN_MIN_MASS, t_end(m0, z), jnp.inf)
 
 
 def m_presn(m0: jax.Array) -> jax.Array:
@@ -124,9 +133,9 @@ def total_wind_loss(m0: jax.Array) -> jax.Array:
     return m0 - m_remnant(m0)
 
 
-def _phase_rates(m0):
+def _phase_rates(m0, z: float = 0.02):
     """(t_ms, mdot_ms, mdot_post, t_cc) for the two-phase wind model."""
-    t_cc = t_end(m0)
+    t_cc = t_end(m0, z)
     dm_wind = jnp.maximum(m0 - m_presn(m0), 0.0)
     f_t = _loglin_interp(m0, _F_MS_T)
     f_m = _loglin_interp(m0, _F_MS_M)
@@ -136,14 +145,14 @@ def _phase_rates(m0):
     return t_ms, mdot_ms, mdot_post, t_cc
 
 
-def wind_mdot(m0: jax.Array, t: jax.Array) -> jax.Array:
+def wind_mdot(m0: jax.Array, t: jax.Array, z: float = 0.02) -> jax.Array:
     """Wind mass-loss rate (Msun/Myr, >= 0) at age t.
 
     EXACTLY zero for t >= t_sn: the reference detects supernovae by
     `wind_mass_loss_rate == 0` (al26_nbody.py:946-948) and we keep that
     signal. Low-mass stars (m0 < 8) return ~0 within cluster lifetimes
     (their MS wind is negligible at the Myr scales simulated here)."""
-    t_ms, mdot_ms, mdot_post, t_cc = _phase_rates(m0)
+    t_ms, mdot_ms, mdot_post, t_cc = _phase_rates(m0, z)
     sn_mass = m0 >= SN_MIN_MASS
     alive_rate = jnp.where(t < t_ms, mdot_ms, mdot_post)
     rate = jnp.where(t < t_cc, alive_rate, 0.0)
@@ -151,10 +160,10 @@ def wind_mdot(m0: jax.Array, t: jax.Array) -> jax.Array:
     return jnp.where(sn_mass, rate, 0.0)
 
 
-def mass_at(m0: jax.Array, t: jax.Array) -> jax.Array:
+def mass_at(m0: jax.Array, t: jax.Array, z: float = 0.02) -> jax.Array:
     """Current mass at age t: wind losses accumulate piecewise-linearly,
     then the star drops to its remnant mass at t_sn (for m0 >= 8)."""
-    t_ms, mdot_ms, mdot_post, t_cc = _phase_rates(m0)
+    t_ms, mdot_ms, mdot_post, t_cc = _phase_rates(m0, z)
     lost = jnp.where(
         t < t_ms,
         mdot_ms * t,
@@ -184,24 +193,24 @@ def m_wd(m0: jax.Array) -> jax.Array:
     return 0.394 + 0.109 * m0
 
 
-def agb_t_end(m0: jax.Array) -> jax.Array:
+def agb_t_end(m0: jax.Array, z: float = 0.02) -> jax.Array:
     """End of the AGB phase = end of nuclear burning for m0 < 8."""
-    return t_end(m0)
+    return t_end(m0, z)
 
 
-def agb_t_start(m0: jax.Array) -> jax.Array:
+def agb_t_start(m0: jax.Array, z: float = 0.02) -> jax.Array:
     x = jnp.log(jnp.clip(m0, _M_AGB[0], _M_AGB[-1]))
     dur = jnp.exp(jnp.interp(x, jnp.asarray(np.log(_M_AGB)),
                              jnp.log(jnp.asarray(_AGB_DURATION))))
-    return agb_t_end(m0) - dur
+    return agb_t_end(m0, z) - dur
 
 
-def agb_mdot(m0: jax.Array, t: jax.Array) -> jax.Array:
+def agb_mdot(m0: jax.Array, t: jax.Array, z: float = 0.02) -> jax.Array:
     """AGB wind mass-loss rate (Msun/Myr): an exponentially ramping
     superwind through the phase, normalised so its integral equals the
     envelope loss m0 - m_wd. Zero outside [agb_t_start, agb_t_end]."""
-    t0 = agb_t_start(m0)
-    t1 = agb_t_end(m0)
+    t0 = agb_t_start(m0, z)
+    t1 = agb_t_end(m0, z)
     dur = t1 - t0
     s = (t - t0) / dur
     k = _AGB_SUPERWIND_STEEPNESS
@@ -211,8 +220,10 @@ def agb_mdot(m0: jax.Array, t: jax.Array) -> jax.Array:
     return jnp.where((s >= 0.0) & (s <= 1.0), rate, 0.0)
 
 
-def evolve(m0: jax.Array, t: jax.Array):
+def evolve(m0: jax.Array, t: jax.Array, z: float = 0.02):
     """One-call stellar-evolution step: (mass, wind_mdot) at age t.
     This is the per-step replacement for `stellar.evolve_model(t)` +
-    channel copies (al26_nbody.py:841, 871-876)."""
-    return mass_at(m0, t), wind_mdot(m0, t)
+    channel copies (al26_nbody.py:841, 871-876); z is the SeBa
+    `parameters.metallicity` analogue (al26_nbody.py:483), static because
+    it comes from the frozen SimConfig."""
+    return mass_at(m0, t, z), wind_mdot(m0, t, z)

@@ -1,16 +1,17 @@
-"""Hurley, Pols & Tout (2000, MNRAS 315, 543) analytic lifetime fits at
-solar metallicity — the published calibration source for the stellar
-anchor data (replacing round-1's uncited numbers; VERDICT r1 item 4).
+"""Hurley, Pols & Tout (2000, MNRAS 315, 543) analytic lifetime fits —
+the published calibration source for the stellar anchor data (replacing
+round-1's uncited numbers; VERDICT r1 item 4).
 
 The reference gets stellar lifetimes from the SeBa C++ code
-(al26_nbody.py:60, 946-948); SeBa, SSE and this module all belong to the
-same family of analytic fits to detailed solar-composition stellar models.
-Implemented here:
+(al26_nbody.py:60, 946-948) run at Z = 0.02 (al26_nbody.py:467,483);
+SeBa, SSE and this module all belong to the same family of analytic fits
+to detailed stellar models. Implemented here, with the FULL metallicity
+dependence of the published fits (zeta = log10(Z/0.02), valid for
+Z in [1e-4, 0.03]):
 
-  * `t_bgb(m)`  — time to the base of the giant branch, eq. (4);
-  * `t_ms(m)`   — main-sequence lifetime, eqs. (5)-(7)
-                  (x = 0.95 at zeta = log10(Z/0.02) = 0);
-  * `t_sn_solar(m)` — core-collapse time for m >= 8 Msun:
+  * `t_bgb(m, z)`  — time to the base of the giant branch, eq. (4);
+  * `t_ms(m, z)`   — main-sequence lifetime, eqs. (5)-(7);
+  * `t_sn(m, z)`   — core-collapse time for m >= 8 Msun:
                   t_ms * (1 + F_HE_BURN), where F_HE_BURN = 0.11 is the
                   He-burning (+ advanced-burning, < 1%) extension. The
                   He/H lifetime ratio of massive solar-Z stars is 0.10-0.12
@@ -18,9 +19,12 @@ Implemented here:
                   A&AS 96, 269: 15 Msun 1.30/11.6, 25 Msun 0.68/6.4,
                   120 Msun 0.31/2.6).
 
-Coefficients are the zeta = 0 column of Hurley et al. Appendix A (a1-a10),
-i.e. the alpha coefficients — identical to the data statements in the
-published SSE `zcnsts` routine. Everything is pure jnp, jit/vmap-safe.
+Coefficients a1-a10 are the zeta-polynomial forms of Hurley et al.
+Appendix A — identical to the data statements in the published SSE
+`zcnsts` routine; the zeta = 0 column reproduces the solar constants used
+in round 1. The metallicity is a STATIC (Python float) parameter — it
+comes from the frozen SimConfig — so the coefficients are evaluated at
+trace time and everything stays pure jnp, jit/vmap-safe.
 
 Known systematics (docs/stellar_model.md): the underlying Pols et al.
 (1998) models include convective-core overshooting, which lengthens
@@ -32,51 +36,86 @@ that documented spread.
 """
 from __future__ import annotations
 
+import math
+from functools import lru_cache
+
 import jax
 import jax.numpy as jnp
 
-# Hurley et al. (2000) Appendix A, zeta = 0 (Z = 0.02) coefficients
-A1 = 1.593890e3
-A2 = 2.706708e3
-A3 = 1.466143e2
-A4 = 4.141960e-2
-A5 = 3.426349e-1
-A6 = 1.949814e1
-A7 = 4.903830e0
-A8 = 5.212154e-2
-A9 = 1.312179e0
-A10 = 8.073972e-1
+Z_SOLAR = 0.02
 
-# x of eq. (6) at zeta = 0: max(0.95, min(0.95 - 0.03*(0 + 0.30103), 0.99))
-X_SOLAR = 0.95
+# Hurley et al. (2000) Appendix A: each a_i = c0 + c1*zeta + c2*zeta^2 +
+# c3*zeta^3 (rows padded with zeros for the constant coefficients). These
+# are the alpha coefficients of the published SSE zcnsts data statements.
+_A_POLY = {
+    1: (1.593890e3, 2.053038e3, 1.231226e3, 2.327785e2),
+    2: (2.706708e3, 1.483131e3, 5.772723e2, 7.411230e1),
+    3: (1.466143e2, -1.048442e2, -6.795374e1, -1.391127e1),
+    4: (4.141960e-2, 4.564888e-2, 2.958542e-2, 5.571483e-3),
+    5: (3.426349e-1, 0.0, 0.0, 0.0),
+    6: (1.949814e1, 1.758178e0, -6.008212e0, -4.470533e0),
+    7: (4.903830e0, 0.0, 0.0, 0.0),
+    8: (5.212154e-2, 3.166411e-2, -2.750074e-3, -2.271549e-3),
+    9: (1.312179e0, -3.294936e-1, 9.231860e-2, 2.610989e-2),
+    10: (8.073972e-1, 0.0, 0.0, 0.0),
+}
 
-# He-burning lifetime fraction for massive stars (see module docstring)
+
+@lru_cache(maxsize=None)
+def coeffs(z: float = Z_SOLAR) -> dict:
+    """a1-a10 plus the eq. (6) exponent x, as plain floats at metallicity z.
+
+    zeta = log10(z / 0.02); x = max(0.95, min(0.95 - 0.03(zeta + 0.30103),
+    0.99)) — Hurley et al. (2000) eq. (6)."""
+    zeta = math.log10(z / Z_SOLAR)
+    zs = (1.0, zeta, zeta * zeta, zeta * zeta * zeta)
+    a = {i: sum(c * p for c, p in zip(poly, zs))
+         for i, poly in _A_POLY.items()}
+    a["x"] = max(0.95, min(0.95 - 0.03 * (zeta + 0.30103), 0.99))
+    return a
+
+
+# Backwards-compatible solar constants (round-1 public surface)
+_S = coeffs(Z_SOLAR)
+A1, A2, A3, A4, A5 = _S[1], _S[2], _S[3], _S[4], _S[5]
+A6, A7, A8, A9, A10 = _S[6], _S[7], _S[8], _S[9], _S[10]
+X_SOLAR = _S["x"]
+
+# He-burning lifetime fraction for massive stars (see module docstring).
+# Its Z-dependence across published grids is a few percent — held constant.
 F_HE_BURN = 0.11
 
 
-def t_bgb(m: jax.Array) -> jax.Array:
+def t_bgb(m: jax.Array, z: float = Z_SOLAR) -> jax.Array:
     """Time to the base of the giant branch (Myr), Hurley+2000 eq. (4)."""
+    a = coeffs(z)
     m = jnp.asarray(m)
     m2 = m * m
     m4 = m2 * m2
     m55 = m4 * m * jnp.sqrt(m)
     m7 = m4 * m2 * m
-    return (A1 + A2 * m4 + A3 * m55 + m7) / (A4 * m2 + A5 * m7)
+    return (a[1] + a[2] * m4 + a[3] * m55 + m7) / (a[4] * m2 + a[5] * m7)
 
 
-def t_ms(m: jax.Array) -> jax.Array:
+def t_ms(m: jax.Array, z: float = Z_SOLAR) -> jax.Array:
     """Main-sequence lifetime (Myr), Hurley+2000 eqs. (5)-(7):
     t_ms = max(t_hook, x * t_bgb), t_hook = mu * t_bgb."""
+    a = coeffs(z)
     m = jnp.asarray(m)
     mu = jnp.maximum(
         0.5,
-        1.0 - 0.01 * jnp.maximum(A6 / m**A7, A8 + A9 / m**A10),
+        1.0 - 0.01 * jnp.maximum(a[6] / m ** a[7], a[8] + a[9] / m ** a[10]),
     )
-    tb = t_bgb(m)
-    return jnp.maximum(mu * tb, X_SOLAR * tb)
+    tb = t_bgb(m, z)
+    return jnp.maximum(mu * tb, a["x"] * tb)
+
+
+def t_sn(m: jax.Array, z: float = Z_SOLAR) -> jax.Array:
+    """Core-collapse time (Myr) for massive stars: the MS lifetime
+    extended by the He-burning phase (advanced burning stages add < 1%)."""
+    return t_ms(m, z) * (1.0 + F_HE_BURN)
 
 
 def t_sn_solar(m: jax.Array) -> jax.Array:
-    """Core-collapse time (Myr) for massive solar-Z stars: the MS lifetime
-    extended by the He-burning phase (advanced burning stages add < 1%)."""
-    return t_ms(m) * (1.0 + F_HE_BURN)
+    """Round-1 alias: core-collapse time at Z = 0.02."""
+    return t_sn(m, Z_SOLAR)

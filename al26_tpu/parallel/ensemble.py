@@ -100,6 +100,10 @@ def stack_ensemble(states, auxes):
                 np.asarray(a.msrc_valid),
                 (0, width_m - a.msrc_valid.shape[0])
             ),
+            kick_vel=np.pad(
+                np.asarray(a.kick_vel),
+                ((0, width - a.kick_vel.shape[0]), (0, 0))
+            ),
         )
         for a in auxes
     ]
@@ -167,7 +171,10 @@ def ensemble_step_flat(batch_state, batch_aux, cfg: SimConfig,
     needs_jerk = integ in ("hermite4", "hermite4_block")
     pallas_on = use_pallas(b * n, dtype)
     cache_ok = (want_cache and pallas_on
-                and integ in ("leapfrog", "hermite4_block"))
+                and integ in ("leapfrog", "hermite4_block")
+                # kicks leave cached acc/pot exact but stale the cached jerk
+                # (sim.step._cacheable)
+                and not (cfg.natal_kicks and integ == "hermite4_block"))
 
     init_eval = None
     final_eval_fn = None
@@ -329,7 +336,8 @@ def ensemble_run_steps(batch_state, batch_aux, cfg: SimConfig, n_steps: int,
     integ = cfg.integrator
     if integ == "auto":
         integ = "leapfrog"
-    if flat and pallas_on and integ in ("leapfrog", "hermite4_block"):
+    if (flat and pallas_on and integ in ("leapfrog", "hermite4_block")
+            and not (cfg.natal_kicks and integ == "hermite4_block")):
         cache = _ensemble_fresh_cache(batch_state, cfg, integ)
 
         def body_cached(carry, _):

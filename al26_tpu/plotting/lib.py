@@ -81,9 +81,14 @@ def read_state(filename: str) -> State:
 
 def read_yields(filename: str) -> Yields:
     """Load a yields file and convert the lists to numpy arrays
-    (al26_plot.py:52-64)."""
+    (al26_plot.py:52-64). Accepts both the reference blob format
+    (*.ubj.zst) and the appendable framed store (*.ubjf) — so plots also
+    work on runs that crashed before their final blob write."""
     y = Yields("")
-    y.plate(filename)
+    if filename.endswith(".ubjf"):
+        y.plate_frames(filename)
+    else:
+        y.plate(filename)
     return y.as_arrays()
 
 
@@ -137,7 +142,8 @@ def calc_disk_final_enrichment(yields_data: Yields, lifetimes_myr):
     return yields_data
 
 
-def calc_sn_times(initial_cluster: Particles, return_keys: bool = False):
+def calc_sn_times(initial_cluster: Particles, return_keys: bool = False,
+                  z: float = 0.02):
     """Supernova times and masses for the cluster's massive stars
     (al26_plot.py:244-279). The reference runs a throwaway SeBa with a
     supernova stopping condition; here the stellar module's lifetime
@@ -153,7 +159,7 @@ def calc_sn_times(initial_cluster: Particles, return_keys: bool = False):
     order = hm[np.argsort(-mass[hm])]
     sn_masses = mass[order].tolist()
     sn_keys = keys[order].tolist()
-    sn_times = np.asarray(t_sn(jnp.asarray(mass[order]))).tolist()
+    sn_times = np.asarray(t_sn(jnp.asarray(mass[order]), z)).tolist()
     sn_times.sort()
     if return_keys:
         return sn_times, sn_masses, sn_keys
@@ -228,7 +234,8 @@ def get_high_mass_star_indices(cluster: Particles):
 
 
 def calc_global_model_yield(cluster: Particles, time_myr: float,
-                            dt_myr: float, radius_method: str = "halfmass"):
+                            dt_myr: float, radius_method: str = "halfmass",
+                            metallicity: float = 0.02):
     """Recompute the global-model wind deposition rate for a snapshot
     (al26_plot.py:488-544): stellar wind rates at `time_myr` from the
     stellar-evolution module, bubble radius from the half-mass or virial
@@ -250,7 +257,8 @@ def calc_global_model_yield(cluster: Particles, time_myr: float,
         r_bub = float(virial_radius(pos, jnp.asarray(mass)))
     else:
         raise ValueError("INVALID RADIUS METHOD")
-    mdot = wind_mdot(jnp.asarray(m0), jnp.asarray(float(time_myr)))
+    mdot = wind_mdot(jnp.asarray(m0), jnp.asarray(float(time_myr)),
+                     z=metallicity)
     lm_mask = jnp.asarray((np.asarray(mass) >= 0.1) & (np.asarray(mass) <= 3.0))
     hm_idx = np.flatnonzero(np.asarray(m0) >= 13.0)
     if len(hm_idx) == 0:

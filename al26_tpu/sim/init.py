@@ -43,6 +43,14 @@ class SimAux:
     msrc_valid: jax.Array    # [M] bool: False for padding slots
     agb_grid_t: jax.Array    # [G] Myr (zeros when interloper disabled)
     agb_grid_rates: jax.Array  # [S,G] Msun/Myr
+    kick_vel: jax.Array      # [H,3] pc/Myr pre-drawn natal-kick velocities,
+    #                           aligned with hm_idx slots; applied once at
+    #                           each star's SN when cfg.natal_kicks (the
+    #                           reference's commented-out kick block,
+    #                           al26_nbody.py:846-865). Drawn from a
+    #                           dedicated seed stream so cold init and
+    #                           resume agree and the main RNG stream is
+    #                           untouched.
 
     def replace(self, **kw):
         import dataclasses
@@ -51,6 +59,19 @@ class SimAux:
 
 def _dtype(cfg: SimConfig):
     return jnp.float64 if cfg.dtype == "f64" else jnp.float32
+
+
+def _draw_kicks(cfg: SimConfig, n_slots: int) -> np.ndarray:
+    """Pre-drawn natal-kick velocity vectors, [n_slots, 3] pc/Myr.
+
+    Three iid Gaussian components of dispersion cfg.kick_sigma_kms — the
+    Hobbs et al. (2005) Maxwellian pulsar-kick model (the distribution
+    family SeBa's natal_kick_* attributes come from; the reference reads
+    but never applies them, al26_nbody.py:846-865). Dedicated seed stream:
+    independent of the IMF/IC draws, reproducible across resume."""
+    krng = np.random.default_rng([cfg.seed, 0x6B69636B])  # ascii "kick"
+    return krng.normal(0.0, cfg.kick_sigma_kms,
+                       (n_slots, 3)) * KMS_TO_PCMYR
 
 
 def _mass_source_slots(cfg: SimConfig, m0: np.ndarray,
@@ -92,6 +113,8 @@ def build_aux(cfg: SimConfig, m0: np.ndarray, dtype,
         msrc_valid=jnp.asarray(msrc_valid),
         agb_grid_t=jnp.asarray(agb_grid_t, dtype=dtype),
         agb_grid_rates=jnp.asarray(agb_grid_rates, dtype=dtype),
+        kick_vel=jnp.asarray(_draw_kicks(cfg, len(hm_candidates)),
+                             dtype=dtype),
     )
 
 
@@ -147,14 +170,14 @@ def init_cluster(cfg: SimConfig, data_dir: str | None = None,
     rng = np.random.default_rng(cfg.seed)
     dtype = _dtype(cfg)
 
-    if abs(cfg.metallicity - 0.02) > 1e-12:
-        import warnings
-
-        warnings.warn(
-            "the stellar-evolution anchor tables are calibrated at solar "
-            "metallicity Z=0.02 (the reference's SeBa setting, "
-            "al26_nbody.py:467); other Z values are not yet modelled",
-            stacklevel=2,
+    # metallicity feeds the Hurley+2000 lifetime fits (valid over the
+    # published range); pre-SN/remnant-mass anchors stay solar-calibrated
+    # (models/stellar/evolution.py docstring). The reference itself always
+    # runs Z=0.02 (al26_nbody.py:467,483).
+    if not (1e-4 <= cfg.metallicity <= 0.03):
+        raise ValueError(
+            f"metallicity Z={cfg.metallicity} outside the Hurley et al. "
+            "(2000) fit validity range [1e-4, 0.03]"
         )
 
     # -- masses (IMF with >=13 Msun re-roll, al26_nbody.py:1508-1510) ------
@@ -192,7 +215,7 @@ def init_cluster(cfg: SimConfig, data_dir: str | None = None,
     with jax.default_device(cpu):
         total_wind_loss = np.where(
             hm, np.asarray(stellar.total_wind_loss(jnp.asarray(masses))), 0.0
-        )
+        )  # remnant masses are Z-independent anchors (evolution.py docstring)
     slrs = read_slrs(data_dir)
     ydata = massive_star_yields(masses, slrs, total_wind_loss,
                                 cfg.high_mass_threshold)
@@ -247,7 +270,8 @@ def init_cluster(cfg: SimConfig, data_dir: str | None = None,
     with jax.default_device(cpu):
         mdot0 = np.asarray(
             stellar.wind_mdot(jnp.asarray(masses),
-                              jnp.zeros_like(jnp.asarray(masses)))
+                              jnp.zeros_like(jnp.asarray(masses)),
+                              z=cfg.metallicity)
         )
 
     if as_numpy:
@@ -302,5 +326,6 @@ def init_cluster(cfg: SimConfig, data_dir: str | None = None,
         msrc_valid=mk_bool(msrc_valid),
         agb_grid_t=f(agb_grid_t),
         agb_grid_rates=f(agb_grid_rates),
+        kick_vel=f(_draw_kicks(resolved, len(hm_candidates))),
     )
     return state, aux, resolved

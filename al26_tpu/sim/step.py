@@ -108,9 +108,15 @@ def _cacheable(cfg: SimConfig, n, dtype, mesh, force_impl) -> bool:
     (leapfrog's closing eval is at the final positions exactly;
     hermite4_block's under P(EC) semantics; the shared-adaptive hermite4
     has no distinct closing call inside its while_loop)."""
+    integ = _resolve_integ(cfg, n)
+    # natal kicks change velocities outside the advance: the cached acc/pot
+    # (position/mass-only) stay exact, but hermite4_block's cached JERK is
+    # velocity-dependent and would go stale on SN steps
+    if cfg.natal_kicks and integ == "hermite4_block":
+        return False
     return (
         mesh is None
-        and _resolve_integ(cfg, n) in ("leapfrog", "hermite4_block")
+        and integ in ("leapfrog", "hermite4_block")
         and _pallas_here(cfg, n, dtype, mesh, force_impl)
     )
 
@@ -250,7 +256,7 @@ def physics_after_advance(state: SimState, aux: SimAux, cfg: SimConfig,
     lm_mask = c.low_mass_mask(cfg.low_mass_min, cfg.low_mass_max)
 
     # -- 3. stellar evolution ------------------------------------------
-    mass_new, mdot_new = stellar.evolve(c.m0, t_new)
+    mass_new, mdot_new = stellar.evolve(c.m0, t_new, z=cfg.metallicity)
     # the anchor tables are f64 constants: under x64 they would promote an
     # f32 state and break the scan carry
     mass_new = mass_new.astype(c.pos.dtype)
@@ -295,6 +301,16 @@ def physics_after_advance(state: SimState, aux: SimAux, cfg: SimConfig,
         mdot_new, c.kicked, c.sn_yield,
     )
     slr = slr.at[:, :, CH_SNE].add(injected)
+    if cfg.natal_kicks:
+        # one-shot Maxwellian remnant kick at the SN (superset of the
+        # reference's commented-out block, al26_nbody.py:846-865). Applied
+        # at step end: this step's deposition used the pre-kick velocity,
+        # the next step's advance sees the kicked remnant. Padded slots
+        # (repeated index, valid=False) add zero.
+        newly = kicked[aux.hm_idx] & ~c.kicked[aux.hm_idx] & aux.hm_slot_valid
+        vel = vel.at[aux.hm_idx].add(
+            aux.kick_vel.astype(vel.dtype) * newly[:, None]
+        )
 
     # -- 6. interloper ----------------------------------------------------
     agb_raw = c.agb_raw

@@ -1,0 +1,116 @@
+"""Natal-kick tests (superset of the reference's commented-out kick block,
+al26_nbody.py:846-865)."""
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from al26_tpu.config import SimConfig
+from al26_tpu.sim.init import _draw_kicks, build_aux, init_cluster
+from al26_tpu.sim.step import physics_after_advance
+
+
+def _state_with_massive(cfg, m_star=20.0):
+    state, aux, cfg = init_cluster(cfg)
+    c = state.cluster
+    m = np.asarray(c.mass).copy()
+    m[0] = m_star
+    state = state.replace(cluster=c.replace(
+        mass=jnp.asarray(m), m0=jnp.asarray(m),
+    ))
+    aux = dataclasses.replace(
+        aux,
+        hm_idx=jnp.asarray([0], jnp.int32),
+        hm_slot_valid=jnp.ones(1, bool),
+        kick_vel=jnp.asarray([[1.0, 2.0, 3.0]]),
+    )
+    return state, aux, cfg
+
+
+def test_natal_kick_applied_exactly_once():
+    from al26_tpu.models.stellar import evolution as st
+
+    cfg = SimConfig(n=16, rc=0.5, final_time=10.0, seed=11,
+                    star_min_mass=0.1, star_max_mass=3.0,
+                    no_massive_star_requirement=True, natal_kicks=True)
+    state, aux, cfg = _state_with_massive(cfg)
+    t_sn = float(st.t_sn(jnp.asarray(20.0)))
+    # position the clock so this step's t_new crosses t_sn
+    k = int(t_sn / cfg.dt) + 2
+    state = state.replace(step_count=jnp.asarray(k, jnp.int32),
+                          time=jnp.asarray(k * cfg.dt))
+    c = state.cluster
+    v_before = np.asarray(c.vel[0]).copy()
+    out = physics_after_advance(state, aux, cfg, c.pos, c.pos, c.vel,
+                                jnp.asarray(1.0))
+    assert bool(out.cluster.kicked[0])
+    np.testing.assert_allclose(np.asarray(out.cluster.vel[0]),
+                               v_before + np.array([1.0, 2.0, 3.0]),
+                               rtol=1e-12)
+    # second step: already kicked -> velocity unchanged
+    c1 = out.cluster
+    out2 = physics_after_advance(out, aux, cfg, c1.pos, c1.pos, c1.vel,
+                                 jnp.asarray(1.0))
+    np.testing.assert_array_equal(np.asarray(out2.cluster.vel[0]),
+                                  np.asarray(c1.vel[0]))
+    # everyone else is untouched by the kick path
+    np.testing.assert_array_equal(np.asarray(out.cluster.vel[1:]),
+                                  np.asarray(c.vel[1:]))
+
+
+def test_natal_kicks_off_is_reference_parity():
+    from al26_tpu.models.stellar import evolution as st
+
+    cfg = SimConfig(n=16, rc=0.5, final_time=10.0, seed=11,
+                    star_min_mass=0.1, star_max_mass=3.0,
+                    no_massive_star_requirement=True, natal_kicks=False)
+    state, aux, cfg = _state_with_massive(cfg)
+    t_sn = float(st.t_sn(jnp.asarray(20.0)))
+    k = int(t_sn / cfg.dt) + 2
+    state = state.replace(step_count=jnp.asarray(k, jnp.int32),
+                          time=jnp.asarray(k * cfg.dt))
+    c = state.cluster
+    out = physics_after_advance(state, aux, cfg, c.pos, c.pos, c.vel,
+                                jnp.asarray(1.0))
+    assert bool(out.cluster.kicked[0])  # SN still fires
+    np.testing.assert_array_equal(np.asarray(out.cluster.vel),
+                                  np.asarray(c.vel))
+
+
+def test_kick_draw_deterministic_and_maxwellian():
+    cfg = SimConfig(seed=42, kick_sigma_kms=265.0)
+    k1 = _draw_kicks(cfg, 4000)
+    k2 = _draw_kicks(cfg, 4000)
+    np.testing.assert_array_equal(k1, k2)
+    # per-component dispersion ~ sigma (pc/Myr units)
+    from al26_tpu.units import KMS_TO_PCMYR
+    sigma = 265.0 * KMS_TO_PCMYR
+    assert abs(k1.std() - sigma) / sigma < 0.05
+    # independent of the main IC stream: different seed -> different kicks
+    assert not np.array_equal(k1, _draw_kicks(cfg.replace(seed=43), 4000))
+
+
+def test_cold_init_and_resume_aux_agree_on_kicks():
+    cfg = SimConfig(n=32, rc=0.5, seed=7, natal_kicks=True,
+                    no_massive_star_requirement=True)
+    state, aux, cfg = init_cluster(cfg)
+    aux2 = build_aux(cfg, np.asarray(state.cluster.m0),
+                     state.cluster.pos.dtype)
+    np.testing.assert_array_equal(np.asarray(aux.kick_vel),
+                                  np.asarray(aux2.kick_vel))
+    assert aux.kick_vel.shape == (aux.hm_idx.shape[0], 3)
+
+
+def test_kick_disables_hermite_block_cache_only():
+    from al26_tpu.sim.step import _cacheable
+
+    cfg_lf = SimConfig(n=9000, integrator="leapfrog", natal_kicks=True,
+                       dtype="f32")
+    cfg_hb = SimConfig(n=9000, integrator="hermite4_block",
+                       natal_kicks=True, dtype="f32")
+    cfg_hb_off = cfg_hb.replace(natal_kicks=False)
+    # on this CPU test backend pallas is unavailable, so compare only the
+    # kick-specific gate: hermite4_block + kicks must always refuse
+    assert _cacheable(cfg_hb, 9000, jnp.float32, None, "pallas") is False
+    assert _cacheable(cfg_lf, 9000, jnp.float32, None, "pallas") == \
+        _cacheable(cfg_hb_off, 9000, jnp.float32, None, "pallas")

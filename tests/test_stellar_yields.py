@@ -182,3 +182,68 @@ def test_t_end_continuous_at_sn_cut():
     lo = float(st.t_end(jnp.asarray(7.999)))
     hi = float(st.t_end(jnp.asarray(8.001)))
     assert abs(hi - lo) / lo < 0.15, (lo, hi)
+
+
+def test_hurley_coeffs_solar_column_matches_round1_constants():
+    """coeffs(0.02) must reproduce the zeta = 0 constants (the round-1
+    public surface A1..A10, X_SOLAR) exactly."""
+    from al26_tpu.models.stellar import hurley2000 as h
+
+    c = h.coeffs(0.02)
+    assert c[1] == h.A1 == 1.593890e3
+    assert c[4] == h.A4 == 4.141960e-2
+    assert c[10] == h.A10 == 8.073972e-1
+    assert c["x"] == h.X_SOLAR == 0.95
+
+
+def test_hurley_metallicity_polynomials_hand_evaluated():
+    """Independent hand-evaluation of the Hurley+2000 Appendix A zeta
+    polynomials at Z = 0.002 (zeta = -1): a_i = c0 - c1 + c2 - c3."""
+    import math
+
+    from al26_tpu.models.stellar import hurley2000 as h
+
+    c = h.coeffs(0.002)
+    zeta = math.log10(0.002 / 0.02)
+    assert abs(zeta + 1.0) < 1e-12
+    assert np.isclose(c[1], 1.593890e3 - 2.053038e3 + 1.231226e3 - 2.327785e2)
+    assert np.isclose(c[6], 1.949814e1 - 1.758178e0 - 6.008212e0 + 4.470533e0)
+    assert np.isclose(c[9], 1.312179e0 + 3.294936e-1 + 9.231860e-2 - 2.610989e-2)
+    # eq. (6): x = max(0.95, min(0.95 - 0.03*(zeta + 0.30103), 0.99))
+    assert np.isclose(c["x"], min(0.95 - 0.03 * (-1 + 0.30103), 0.99))
+    # t_bgb against a direct formula evaluation at 15 Msun
+    m = 15.0
+    num = c[1] + c[2] * m**4 + c[3] * m**5.5 + m**7
+    den = c[4] * m**2 + c[5] * m**7
+    assert np.isclose(float(h.t_bgb(jnp.asarray(m), 0.002)), num / den,
+                      rtol=1e-6)
+
+
+def test_metallicity_threads_through_evolution():
+    """t_sn / wind_mdot / mass_at respond to z; the default path is the
+    solar one; SN signal semantics survive off-solar."""
+    m0 = jnp.asarray(20.0)
+    t_solar = float(st.t_sn(m0))
+    t_lowz = float(st.t_sn(m0, z=0.004))
+    assert t_solar == float(st.t_sn(m0, z=0.02))  # default == explicit solar
+    assert abs(t_lowz - t_solar) / t_solar > 0.01  # Z actually matters
+    # low-mass branch rescales continuously (no jump at the SN cut)
+    lo = float(st.t_end(jnp.asarray(7.999), z=0.004))
+    hi = float(st.t_end(jnp.asarray(8.001), z=0.004))
+    assert abs(hi - lo) / lo < 0.15, (lo, hi)
+    # the mdot == 0 SN signal still fires exactly at the z-shifted t_sn
+    assert float(st.wind_mdot(m0, jnp.asarray(t_lowz * 0.999), z=0.004)) > 0
+    assert float(st.wind_mdot(m0, jnp.asarray(t_lowz * 1.001), z=0.004)) == 0
+    # lifetime-integrated loss is Z-independent by design (solar mass
+    # anchors, evolution.py docstring)
+    assert float(st.total_wind_loss(m0)) == float(st.total_wind_loss(m0))
+
+
+def test_metallicity_config_guard():
+    """init_cluster rejects Z outside the Hurley fit validity range."""
+    from al26_tpu.config import SimConfig
+    from al26_tpu.sim.init import init_cluster
+
+    with pytest.raises(ValueError, match="metallicity"):
+        init_cluster(SimConfig(n=8, metallicity=0.5,
+                               no_massive_star_requirement=True))
