@@ -31,6 +31,12 @@ def yields_filename(base: str) -> str:
     return f"{base}-yields.ubj.zst"
 
 
+def yields_frames_filename(base: str) -> str:
+    """Appendable framed yields store (O(N) per save instead of the
+    reference's whole-blob rewrite; yields_store.marinate_frame)."""
+    return f"{base}-yields.ubjf"
+
+
 def most_recent_checkpoint(base: str) -> int:
     """Find the highest state-file number (al26_nbody.py:295-318)."""
     files = glob.glob(base + "-state-*")
@@ -49,13 +55,23 @@ def most_recent_checkpoint(base: str) -> int:
 def save_checkpoint(
     base: str, nfile: int, cluster_particles: Particles, converter,
     yields: Yields, metadata: Metadata, verbose: bool = False,
+    yields_mode: str = "rewrite",
 ) -> None:
-    """Write state + yields (al26_nbody.py:347-401)."""
+    """Write state + yields (al26_nbody.py:347-401).
+
+    yields_mode: "rewrite" = the reference's whole-blob ubjson+zstd
+    rewrite; "frames" = append one frame to <base>-yields.ubjf (O(N) per
+    save); "both" = frame + blob (used for a run's FINAL save in frames
+    mode, so completed runs stay readable by the reference's own
+    post-processing)."""
     t0 = time.time()
     state = State(cluster_particles, converter, metadata)
     with open(state_filename(base, nfile), "wb") as f:
         f.write(compress(pickle.dumps(state)))
-    yields.marinate(yields_filename(base))
+    if yields_mode in ("frames", "both"):
+        yields.marinate_frame(yields_frames_filename(base))
+    if yields_mode in ("rewrite", "both"):
+        yields.marinate(yields_filename(base))
     if verbose:
         print(
             f"Saving checkpoint #{str(nfile).zfill(5)}... Done! "
@@ -79,8 +95,17 @@ def load_state(path: str) -> State:
 
 def load_checkpoint(base: str, nfile: int):
     """Load state + yields (al26_nbody.py:403-439).
-    Returns (cluster_particles, converter, yields, metadata)."""
+    Returns (cluster_particles, converter, yields, metadata).
+
+    Prefers the appendable framed yields file when present (it is written
+    at EVERY save in frames mode, while the reference-format blob only
+    lands at the final save); reference-written runs only ever have the
+    blob."""
     state = load_state(state_filename(base, nfile))
     yields = Yields(base)
-    yields.plate(yields_filename(base))
+    frames_path = yields_frames_filename(base)
+    if os.path.exists(frames_path):
+        yields.plate_frames(frames_path)
+    else:
+        yields.plate(yields_filename(base))
     return state.cluster, state.converter, yields, state.metadata

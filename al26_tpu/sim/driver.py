@@ -52,8 +52,16 @@ def _metadata_from_cfg(cfg: SimConfig) -> Metadata:
     return md
 
 
+def _yields_mode(cfg, final: bool) -> str:
+    """Frames mode appends one O(N) frame per save and only writes the
+    reference-format blob at the final save (io.yields_store docstring)."""
+    if not getattr(cfg, "yields_frames", False):
+        return "rewrite"
+    return "both" if final else "frames"
+
+
 def _save(base, metadata, converter, yields, state, cfg,
-          increment=True, verbose=False):
+          increment=True, verbose=False, final=False):
     t_myr = float(state.time)
     metadata.update(t_myr, increment_checkpoint=increment)
     from ..state import cluster_to_numpy
@@ -69,6 +77,7 @@ def _save(base, metadata, converter, yields, state, cfg,
     ckpt.save_checkpoint(
         base, metadata.most_recent_checkpoint, particles, converter,
         yields, metadata, verbose=verbose,
+        yields_mode=_yields_mode(cfg, final),
     )
 
 
@@ -201,29 +210,55 @@ def run(cfg: SimConfig, progress: bool = True,
         return run_steps(s, aux, cfg, n, mesh=mesh,
                          force_impl=cfg.force_impl)
 
-    k = n_done
-    while k < n_steps:
-        # one step, then save (reference cadence: save after steps 1, 11, ...)
-        if k % spp == 0:
-            with timers.phase("physics"):
-                state = advance_steps(state, 1)
-            k += 1
-            with timers.phase("checkpoint"):
-                _save(base, metadata, converter, yields, state, cfg,
-                      verbose=cfg.verbose)
-        else:
-            chunk = min(spp - (k % spp), n_steps - k)
-            with timers.phase("physics"):
-                state = advance_steps(state, chunk)
-            k += chunk
-        if bar is not None:
-            bar.n = round(float(state.time), 6)
-            bar.refresh()
+    # background checkpoint writer: host serialisation overlaps the next
+    # chunk's device compute (ordering-preserving; errors re-raised here)
+    writer = None
+    if getattr(cfg, "async_saves", True):
+        from ..io.async_writer import AsyncCheckpointWriter
 
-    # final checkpoint at exactly t_f
-    with timers.phase("checkpoint"):
-        _save(base, metadata, converter, yields, state, cfg,
-              verbose=cfg.verbose)
+        writer = AsyncCheckpointWriter()
+
+    def do_save(s, increment=True, final=False):
+        job = lambda: _save(base, metadata, converter, yields, s, cfg,
+                            increment=increment, verbose=cfg.verbose,
+                            final=final)
+        if writer is not None:
+            writer.submit(job)
+        else:
+            job()
+
+    try:
+        k = n_done
+        while k < n_steps:
+            # one step, then save (reference cadence: save after steps
+            # 1, 11, ...)
+            if k % spp == 0:
+                with timers.phase("physics"):
+                    state = advance_steps(state, 1)
+                k += 1
+                with timers.phase("checkpoint"):
+                    do_save(state)
+            else:
+                chunk = min(spp - (k % spp), n_steps - k)
+                with timers.phase("physics"):
+                    state = advance_steps(state, chunk)
+                k += chunk
+            if bar is not None:
+                bar.n = round(float(state.time), 6)
+                bar.refresh()
+
+        # final checkpoint at exactly t_f
+        with timers.phase("checkpoint"):
+            do_save(state, final=True)
+            if writer is not None:
+                writer.close()
+                writer = None
+    finally:
+        if writer is not None:  # unwinding on an exception: stop the worker
+            try:
+                writer.close()
+            except RuntimeError:
+                pass
     if bar is not None:
         bar.close()
     maybe_stop_trace()
@@ -327,7 +362,7 @@ def run_ensemble(cfg: SimConfig, progress: bool = True,
         mesh = make_ensemble_mesh()
         batch_state, batch_aux = shard_ensemble(batch_state, batch_aux, mesh)
 
-    def save_all(bs, increment=True):
+    def _save_all_sync(bs, increment=True, final=False):
         # ONE batched device_get per save: slicing per realization would
         # issue ~45 x n_real transfers (tunneled-TPU round-trips)
         host = jax.device_get(bs)
@@ -348,35 +383,59 @@ def run_ensemble(cfg: SimConfig, progress: bool = True,
             ckpt.save_checkpoint(
                 base, metas[k].most_recent_checkpoint, particles,
                 converters[k], yieldses[k], metas[k],
+                yields_mode=_yields_mode(cfg, final),
             )
 
-    if save_initial:
-        save_all(batch_state, increment=False)
+    writer = None
+    if getattr(cfg, "async_saves", True):
+        from ..io.async_writer import AsyncCheckpointWriter
 
-    bar = None
-    if progress:
-        try:
-            from tqdm import tqdm
-            bar = tqdm(total=cfg.final_time, desc=f"Ensemble x{n_real}",
-                       unit="Myr", initial=round(k_step * cfg.dt, 6))
-        except ImportError:
-            pass
+        writer = AsyncCheckpointWriter()
 
-    spp = cfg.steps_per_plot
-    while k_step < cfg.n_steps:
-        if k_step % spp == 0:
-            batch_state = ensemble_run_steps(batch_state, batch_aux, cfg, 1)
-            k_step += 1
-            save_all(batch_state)
+    def save_all(bs, increment=True, final=False):
+        if writer is not None:
+            writer.submit(lambda: _save_all_sync(bs, increment, final))
         else:
-            chunk = min(spp - (k_step % spp), cfg.n_steps - k_step)
-            batch_state = ensemble_run_steps(batch_state, batch_aux, cfg,
-                                             chunk)
-            k_step += chunk
+            _save_all_sync(bs, increment, final)
+
+    try:
+        if save_initial:
+            save_all(batch_state, increment=False)
+
+        bar = None
+        if progress:
+            try:
+                from tqdm import tqdm
+                bar = tqdm(total=cfg.final_time, desc=f"Ensemble x{n_real}",
+                           unit="Myr", initial=round(k_step * cfg.dt, 6))
+            except ImportError:
+                pass
+
+        spp = cfg.steps_per_plot
+        while k_step < cfg.n_steps:
+            if k_step % spp == 0:
+                batch_state = ensemble_run_steps(batch_state, batch_aux,
+                                                 cfg, 1)
+                k_step += 1
+                save_all(batch_state)
+            else:
+                chunk = min(spp - (k_step % spp), cfg.n_steps - k_step)
+                batch_state = ensemble_run_steps(batch_state, batch_aux, cfg,
+                                                 chunk)
+                k_step += chunk
+            if bar is not None:
+                bar.n = round(k_step * cfg.dt, 6)
+                bar.refresh()
+        save_all(batch_state, final=True)
+        if writer is not None:
+            writer.close()
+            writer = None
         if bar is not None:
-            bar.n = round(k_step * cfg.dt, 6)
-            bar.refresh()
-    save_all(batch_state)
-    if bar is not None:
-        bar.close()
+            bar.close()
+    finally:
+        if writer is not None:
+            try:
+                writer.close()
+            except RuntimeError:
+                pass
     return batch_state, sim_dirs, time.time() - t_wall0

@@ -335,3 +335,73 @@ def test_native_codec_robustness():
     # truncated stream
     with pytest.raises(ValueError):
         ubjson._native.loadb(b"[D\x00\x00")
+
+
+# ---------------------------------------------------------------------------
+# Appendable framed yields store (round-2 extra; io/yields_store.py)
+# ---------------------------------------------------------------------------
+def test_yields_frames_match_blob(tmp_path):
+    """A frames-mode run writes the framed store at every save plus the
+    reference blob at the final save; both must decode to identical
+    content."""
+    from al26_tpu.io.yields_store import Yields
+
+    _small_run(tmp_path)  # yields_frames defaults on
+    base = os.path.join(tmp_path, "testrun")
+    assert os.path.exists(base + "-yields.ubjf")
+    assert os.path.exists(base + "-yields.ubj.zst")  # final blob for the
+    #                                                  reference pipeline
+    yf = Yields("")
+    yf.plate_frames(base + "-yields.ubjf")
+    yb = Yields("")
+    yb.plate(base + "-yields.ubj.zst")
+    assert yf.time == yb.time
+    for attr, val in yb.__dict__.items():
+        if isinstance(val, list):
+            assert getattr(yf, attr) == val, attr
+
+
+def test_yields_frames_torn_tail_is_dropped(tmp_path):
+    from al26_tpu.io.yields_store import Yields
+
+    _small_run(tmp_path)
+    path = os.path.join(tmp_path, "testrun-yields.ubjf")
+    whole = Yields("")
+    whole.plate_frames(path)
+    with open(path, "ab") as f:
+        f.write(b"FRME" + (10**6).to_bytes(8, "little") + b"torn!")
+    torn = Yields("")
+    torn.plate_frames(path)  # must not raise
+    assert torn.time == whole.time
+
+
+def test_yields_frames_resume_prefers_frames(tmp_path):
+    """Mid-run state + frames only (no blob yet): resume must reconstruct
+    the store from frames. Simulates a crash by deleting the final blob."""
+    from al26_tpu.io.checkpoint import load_checkpoint
+
+    _small_run(tmp_path)
+    base = os.path.join(tmp_path, "testrun")
+    os.remove(base + "-yields.ubj.zst")
+    _, _, yields, _ = load_checkpoint(base, 3)
+    assert len(yields.time) == 7  # full history, reference plate semantics
+    assert yields.time[-1] == pytest.approx(1.0)
+
+
+def test_yields_rewrite_mode_is_reference_parity(tmp_path):
+    _small_run(tmp_path, yields_frames=False)
+    base = os.path.join(tmp_path, "testrun")
+    assert not os.path.exists(base + "-yields.ubjf")
+    assert os.path.exists(base + "-yields.ubj.zst")
+
+
+def test_read_yields_accepts_frames(tmp_path):
+    from al26_tpu.plotting.lib import read_yields
+
+    _small_run(tmp_path)
+    base = os.path.join(tmp_path, "testrun")
+    yf = read_yields(base + "-yields.ubjf")
+    yb = read_yields(base + "-yields.ubj.zst")
+    np.testing.assert_array_equal(yf.time, yb.time)
+    np.testing.assert_array_equal(yf.local_26al, yb.local_26al)
+    np.testing.assert_array_equal(yf.sne_60fe_final, yb.sne_60fe_final)
