@@ -106,17 +106,18 @@ def _pallas_here(cfg: SimConfig, n, dtype, mesh, force_impl) -> bool:
 def _cacheable(cfg: SimConfig, n, dtype, mesh, force_impl) -> bool:
     """Can the closing force evaluation be carried to the next step?
     (leapfrog's closing eval is at the final positions exactly;
-    hermite4_block's under P(EC) semantics; the shared-adaptive hermite4
-    has no distinct closing call inside its while_loop)."""
+    hermite4's and hermite4_block's under P(EC) semantics — the last
+    substep's evaluation at its predicted state, exactly what the loop
+    itself consumed)."""
     integ = _resolve_integ(cfg, n)
     # natal kicks change velocities outside the advance: the cached acc/pot
-    # (position/mass-only) stay exact, but hermite4_block's cached JERK is
-    # velocity-dependent and would go stale on SN steps
-    if cfg.natal_kicks and integ == "hermite4_block":
+    # (position/mass-only) stay exact, but the Hermite integrators' cached
+    # JERK is velocity-dependent and would go stale on SN steps
+    if cfg.natal_kicks and integ in ("hermite4", "hermite4_block"):
         return False
     return (
         mesh is None
-        and integ in ("leapfrog", "hermite4_block")
+        and integ in ("leapfrog", "hermite4", "hermite4_block")
         and _pallas_here(cfg, n, dtype, mesh, force_impl)
     )
 
@@ -185,10 +186,10 @@ def _step_impl(state: SimState, aux: SimAux, cfg: SimConfig,
         def final_eval_fn(p, v):
             a, j, pot = pallas_acc_jerk_pot(
                 p, jnp.zeros_like(p) if v is None else v, c.mass,
-                cfg.eps2, with_jerk=(integ == "hermite4_block"),
+                cfg.eps2, with_jerk=needs_jerk,
                 pot_eps2=1e-30,
             )
-            return a, (j if integ == "hermite4_block" else None), pot
+            return a, (j if needs_jerk else None), pot
 
     out = advance(
         c.pos, c.vel, c.mass, dt,
@@ -236,7 +237,8 @@ def fresh_cache(state: SimState, cfg: SimConfig, integ: str):
     c = state.cluster
     a, j, pot = pallas_acc_jerk_pot(
         c.pos, c.vel, c.mass, cfg.eps2,
-        with_jerk=(integ == "hermite4_block"), pot_eps2=1e-30,
+        with_jerk=(integ in ("hermite4", "hermite4_block")),
+        pot_eps2=1e-30,
     )
     return a, j, pot
 

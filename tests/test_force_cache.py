@@ -164,3 +164,48 @@ def test_ensemble_flat_cache_matches_uncached(monkeypatch):
     np.testing.assert_allclose(np.asarray(out_c.cluster.slr),
                                np.asarray(s2.cluster.slr),
                                rtol=1e-4, atol=1e-30)
+
+
+def test_cached_hermite4_with_mass_loss_tracks_uncached():
+    """Shared-adaptive hermite4 (round-2 cache extension): every substep
+    routes through the pot-returning evaluation and the LAST substep's
+    P(EC) evaluation carries into the next step — S sweeps per outer step
+    instead of S+1. Trajectories must track the uncached path tightly."""
+    cfg = SimConfig(n=96, rc=1.0, final_time=10.0, seed=31, dtype="f32",
+                    integrator="hermite4")
+    state, aux, cfg = init_cluster(cfg)
+    s_cached = run_steps(state, aux, cfg, 10, force_impl="pallas")
+    s_plain = state
+    for _ in range(10):
+        s_plain = step(s_plain, aux, cfg, force_impl="pallas")
+    np.testing.assert_allclose(np.asarray(s_cached.cluster.pos),
+                               np.asarray(s_plain.cluster.pos),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(s_cached.cluster.slr),
+                               np.asarray(s_plain.cluster.slr),
+                               rtol=2e-3, atol=1e-30)
+    np.testing.assert_array_equal(np.asarray(s_cached.cluster.mass),
+                                  np.asarray(s_plain.cluster.mass))
+
+
+def test_hermite4_energy_conserved_with_cache():
+    """The P(EC) opening-eval reuse must not degrade energy conservation:
+    a massive-star-free cluster stays within the uncached drift bound."""
+    from al26_tpu.ops.nbody import acc_pot_dense
+    from al26_tpu.units import G_INTERNAL
+
+    cfg = SimConfig(n=64, rc=1.0, final_time=1.0, seed=17, dtype="f32",
+                    integrator="hermite4", star_max_mass=3.0,
+                    no_massive_star_requirement=True)
+    state, aux, cfg = init_cluster(cfg)
+
+    def etot(s):
+        # energy of the SOFTENED system the integrator actually solves
+        c = s.cluster
+        _, pot = acc_pot_dense(c.pos, c.mass, cfg.eps2)
+        ke = 0.5 * jnp.sum(c.mass * jnp.sum(c.vel**2, -1))
+        return float(ke + 0.5 * jnp.sum(c.mass * pot))
+
+    e0 = etot(state)
+    s_end = run_steps(state, aux, cfg, 20, force_impl="pallas")
+    assert abs(etot(s_end) - e0) / abs(e0) < 5e-4
