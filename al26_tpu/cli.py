@@ -109,6 +109,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "parity (1/64 N-body time unit)")
     p.add_argument("--no_validate", dest="validate", action="store_false",
                    help="Disable state invariant checks at checkpoints")
+    p.add_argument("--orbax_dir", type=str, default=None,
+                   help="Also write an orbax device-state checkpoint tree "
+                        "at every save (sharded arrays store per-host "
+                        "without gathering; fast resume for multi-host "
+                        "mesh-sharded runs)")
     p.add_argument("--yields_rewrite", dest="yields_frames",
                    action="store_false",
                    help="Rewrite the whole reference-format yields blob at "

@@ -129,6 +129,11 @@ class SimConfig:
     ensemble: int = 1                  # vmapped cluster realizations
     mesh_shape: Optional[tuple] = None # device mesh for row-sharding a
     #                                     single large run (None = one chip)
+    orbax_dir: Optional[str] = None    # when set, ALSO write an orbax
+    #   device-state checkpoint tree at every save (io.orbax_backend):
+    #   sharded arrays store per-host without gathering — the fast resume
+    #   path for mesh-sharded multi-host runs. Reference-format files keep
+    #   being written for the analysis pipeline.
     force_impl: str = "auto"           # pairwise force backend:
     #   "auto" (sharded if mesh, Pallas on TPU at N >= 4096/f32, else XLA),
     #   "pallas" | "sharded" | "ring" | "default" — see sim.step._build_force_fn

@@ -226,6 +226,11 @@ def run(cfg: SimConfig, progress: bool = True,
             writer.submit(job)
         else:
             job()
+        if cfg.orbax_dir:
+            # device-state tree: shards store per-host, nothing gathered
+            from ..io.orbax_backend import save_sharded_state
+
+            save_sharded_state(cfg.orbax_dir, int(s.step_count), s, cfg)
 
     try:
         k = n_done
