@@ -76,6 +76,15 @@ class SimConfig:
     k_fast: Optional[int] = None       # hermite4_block fast-group size;
     #                                     None = max(128, n // 16)
     substeps_max: int = 4096           # static bound on internal substeps/outer step
+    gravity_stride: int = 1            # run ONE hermite4_block force
+    #   advance per `gravity_stride` physics steps; the interior steps read
+    #   predictor-sampled positions (fast group: subcycle-captured). All
+    #   SLR physics still runs every dt — only the full O(N^2) sweep is
+    #   strided. 1 = exact reference cadence (default). 2 cuts the
+    #   N=102400 wall-clock 1.76x at a 1.8e-6 relative energy deviation
+    #   (4 -> 2.9x / 4.8e-6) — measured numbers in docs/precision.md.
+    #   Engages only on the cache-capable Pallas hermite4_block path;
+    #   ignored elsewhere.
     dtype: str = "f64"                 # "f32" | "f64" compute precision
 
     natal_kicks: bool = False          # apply a Maxwellian natal kick to the

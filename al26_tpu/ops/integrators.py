@@ -192,6 +192,7 @@ def hermite4_block_advance(
     force_rows_fn=None,
     init_eval=None,
     final_eval_fn=None,
+    interior_samples: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Two-group block-timestep Hermite (ph4-style, TPU fixed shapes).
 
@@ -228,6 +229,16 @@ def hermite4_block_advance(
     `force_rows_fn(pos_rows, vel_rows, row_ids, pos_all, vel_all) ->
     (acc, jerk)` overrides the row-subset force (the Pallas row kernel on
     TPU); defaults to the dense jnp row block.
+
+    `interior_samples = m-1 > 0` additionally returns the full-cluster
+    (pos, vel) at the m-1 interior times k*dt/m, k = 1..m-1, as a tuple
+    (pos_s [m-1,N,3], vel_s [m-1,N,3]) appended to the outputs. Slow
+    stars come from the step-start Hermite predictor polynomial (the same
+    polynomial the subcycle itself uses for its columns); FAST stars are
+    captured inside the subcycle at the crossing substep, interpolated
+    with that substep's own predictor — so close encounters keep subcycle
+    accuracy at the sample times. This is the gravity-stride machinery
+    (sim.step: one full-force advance spanning m physics steps).
     """
     dtype = pos.dtype
     tiny = jnp.asarray(1e-30, dtype)
@@ -269,12 +280,18 @@ def hermite4_block_advance(
     af0 = a0[fast_idx]
     jf0 = j0[fast_idx]
     h_min = dt / max_substeps
+    m_s = interior_samples
+    if m_s:
+        # interior sample times k*dt/m, k = 1..m-1 (gravity stride)
+        tau_s = (jnp.arange(1, m_s + 1, dtype=dtype) / (m_s + 1)) * dt
+        samp_pf0 = jnp.zeros((m_s,) + pf0.shape, dtype)
+        samp_vf0 = jnp.zeros((m_s,) + vf0.shape, dtype)
 
     def cond(carry):
         return carry[0] < dt
 
     def body(carry):
-        tau, pf, vf, af, jf = carry
+        tau, pf, vf, af, jf, samp_pf, samp_vf = carry
         fa2 = jnp.sum(af * af, axis=-1)
         fj2 = jnp.sum(jf * jf, axis=-1)
         h = eta * jnp.sqrt(jnp.min(fa2 / jnp.maximum(fj2, tiny)))
@@ -283,6 +300,15 @@ def hermite4_block_advance(
         # predict fast rows
         pfp = pf + h * vf + 0.5 * h2 * af + (h2 * h / 6.0) * jf
         vfp = vf + h * af + 0.5 * h2 * jf
+        if m_s:
+            # capture fast-group states at interior sample times this
+            # substep crosses, via THIS substep's predictor polynomial
+            th = (tau_s - tau)[:, None, None]            # [m_s,1,1]
+            crossed = ((tau < tau_s) & (tau + h >= tau_s))[:, None, None]
+            p_at = pf + th * vf + 0.5 * th**2 * af + (th**3 / 6.0) * jf
+            v_at = vf + th * af + 0.5 * th**2 * jf
+            samp_pf = jnp.where(crossed, p_at, samp_pf)
+            samp_vf = jnp.where(crossed, v_at, samp_vf)
         # columns at tau+h: everyone predicted, fast rows replaced by their
         # subcycled prediction
         p_cols, v_cols = predict_all(tau + h)
@@ -291,11 +317,16 @@ def hermite4_block_advance(
         a1, j1 = force_rows_fn(pfp, vfp, fast_idx, p_cols, v_cols)
         vf1 = vf + 0.5 * h * (af + a1) + (h2 / 12.0) * (jf - j1)
         pf1 = pf + 0.5 * h * (vf + vf1) + (h2 / 12.0) * (af - a1)
-        return (tau + h, pf1, vf1, a1, j1)
+        return (tau + h, pf1, vf1, a1, j1, samp_pf, samp_vf)
 
     tau0 = jnp.zeros((), dtype)
-    _, pf, vf, af, jf = jax.lax.while_loop(
-        cond, body, (tau0, pf0, vf0, af0, jf0)
+    if m_s:
+        carry0 = (tau0, pf0, vf0, af0, jf0, samp_pf0, samp_vf0)
+    else:
+        zero3 = jnp.zeros((0,), dtype)
+        carry0 = (tau0, pf0, vf0, af0, jf0, zero3, zero3)
+    _, pf, vf, af, jf, samp_pf, samp_vf = jax.lax.while_loop(
+        cond, body, carry0
     )
 
     # -- slow-group full step ------------------------------------------
@@ -312,9 +343,25 @@ def hermite4_block_advance(
     # fast rows keep their subcycled (more accurate) result
     pos_c = pos_c.at[fast_idx].set(pf)
     vel_c = vel_c.at[fast_idx].set(vf)
-    if final_eval_fn is None:
-        return pos_c, vel_c
-    return pos_c, vel_c, (a1, j1, pot1)
+    out = (pos_c, vel_c)
+    if final_eval_fn is not None:
+        out = out + ((a1, j1, pot1),)
+    if m_s:
+        # full-cluster interior samples: slow stars from the step-start
+        # predictor, fast rows overwritten with their captured states
+        def one_sample(k):
+            p_k, v_k = predict_all(tau_s[k])
+            p_k = p_k.at[fast_idx].set(samp_pf[k])
+            v_k = v_k.at[fast_idx].set(samp_vf[k])
+            return p_k, v_k
+
+        ps, vs = [], []
+        for k in range(m_s):
+            p_k, v_k = one_sample(k)
+            ps.append(p_k)
+            vs.append(v_k)
+        out = out + ((jnp.stack(ps), jnp.stack(vs)),)
+    return out
 
 
 def advance(
@@ -322,6 +369,7 @@ def advance(
     eta: float = 0.14, n_sub: int = 8, eps2=0.0, g=G_INTERNAL,
     max_substeps: int = 4096, force_block=None, force_fn=None, acc_fn=None,
     k_fast: int = 0, force_rows_fn=None, init_eval=None, final_eval_fn=None,
+    interior_samples: int = 0,
 ):
     """Static dispatch over the configured integrator.
 
@@ -346,7 +394,7 @@ def advance(
         return hermite4_block_advance(
             pos, vel, mass, dt, k,
             eta, eps2, g, max_substeps, force_fn, force_rows_fn, init_eval,
-            final_eval_fn,
+            final_eval_fn, interior_samples,
         )
     if integrator == "leapfrog":
         if acc_fn is None and force_fn is not None:

@@ -187,9 +187,15 @@ def run(cfg: SimConfig, progress: bool = True,
 
     # thread the force cache across checkpoint chunks so even a chunk's
     # first step reuses the previous chunk's closing O(N^2) evaluation
-    from .step import _cacheable, _resolve_integ, fresh_cache, run_steps_cached
+    from .step import (
+        _cacheable, _resolve_integ, fresh_cache, run_steps_cached,
+        run_steps_cached_strided, stride_active,
+    )
 
     use_cache = (not write_traj) and _cacheable(
+        cfg, state.cluster.n, state.cluster.pos.dtype, mesh, cfg.force_impl
+    )
+    use_stride = (not write_traj) and stride_active(
         cfg, state.cluster.n, state.cluster.pos.dtype, mesh, cfg.force_impl
     )
     cache = [None]
@@ -204,8 +210,12 @@ def run(cfg: SimConfig, progress: bool = True,
             if cache[0] is None:
                 cache[0] = fresh_cache(s, cfg,
                                        _resolve_integ(cfg, s.cluster.n))
-            s, cache[0] = run_steps_cached(s, cache[0], aux, cfg, n,
-                                           mesh, cfg.force_impl)
+            if use_stride:
+                s, cache[0] = run_steps_cached_strided(
+                    s, cache[0], aux, cfg, n, mesh, cfg.force_impl)
+            else:
+                s, cache[0] = run_steps_cached(s, cache[0], aux, cfg, n,
+                                               mesh, cfg.force_impl)
             return s
         return run_steps(s, aux, cfg, n, mesh=mesh,
                          force_impl=cfg.force_impl)

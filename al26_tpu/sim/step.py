@@ -368,6 +368,17 @@ def run_steps(state: SimState, aux: SimAux, cfg: SimConfig,
                   force_impl):
         cache = fresh_cache(state, cfg,
                             _resolve_integ(cfg, state.cluster.n))
+        if stride_active(cfg, state.cluster.n, state.cluster.pos.dtype,
+                         mesh, force_impl):
+            m = cfg.gravity_stride
+            n_str, rem = divmod(n_steps, m)
+            if n_str:
+                state, cache = run_strides_cached(state, cache, aux, cfg,
+                                                  n_str, m)
+            if rem:
+                state, cache = run_steps_cached(state, cache, aux, cfg,
+                                                rem, mesh, force_impl)
+            return state
         state, _ = run_steps_cached(state, cache, aux, cfg, n_steps,
                                     mesh, force_impl)
         return state
@@ -392,6 +403,105 @@ def run_steps_cached(state: SimState, cache, aux: SimAux, cfg: SimConfig,
 
     (state, cache), _ = jax.lax.scan(body, (state, cache), None,
                                      length=n_steps)
+    return state, cache
+
+
+def _stride_impl(state: SimState, aux: SimAux, cfg: SimConfig, cache,
+                 m: int):
+    """m physics steps sharing ONE hermite4_block force advance over m*dt
+    (the gravity stride, cfg.gravity_stride).
+
+    The advance spans m*dt; the m-1 interior physics steps read the
+    cluster at k*dt from the integrator's interior samples (slow stars:
+    step-start Hermite predictor; fast stars: captured in the subcycle at
+    the crossing substep — ops.integrators.hermite4_block_advance). All
+    deposition/SN/decay/condensation physics still runs every dt; only the
+    full O(N^2) force evaluation is strided. The virial radius (global
+    wind bubble) is held at its stride-start value for the interior steps
+    (it moves O(0.1%) per dt). Stellar mass loss feeds back into gravity
+    at stride boundaries through the exact mass-delta cache correction —
+    an m*dt lag instead of the unstrided scheme's dt lag."""
+    c = state.cluster
+    dt = jnp.asarray(cfg.dt, c.pos.dtype)
+    dt_total = m * dt
+    eps2 = jnp.asarray(cfg.eps2, c.pos.dtype)
+
+    from ..units import G_INTERNAL
+    from ..ops.pallas_nbody import pallas_acc_jerk_pot
+
+    a0, j0, pot = cache
+    u = 0.5 * jnp.sum(c.mass * pot)
+    mtot = jnp.sum(c.mass)
+    r_vir = -G_INTERNAL * mtot * mtot / (2.0 * u)
+
+    def final_eval_fn(p, v):
+        return pallas_acc_jerk_pot(p, v, c.mass, cfg.eps2, with_jerk=True,
+                                   pot_eps2=1e-30)
+
+    force_rows_fn = _build_force_rows_fn(c.mass, cfg.eps2, "pallas")
+    pos_c, vel_c, (a1, j1, pot1), (pos_s, vel_s) = advance(
+        c.pos, c.vel, c.mass, dt_total,
+        integrator="hermite4_block", eta=cfg.eta_hermite,
+        eps2=eps2, max_substeps=cfg.substeps_max,
+        force_fn=None, k_fast=cfg.k_fast or 0,
+        force_rows_fn=force_rows_fn, init_eval=(a0, j0),
+        final_eval_fn=final_eval_fn, interior_samples=m - 1,
+    )
+
+    s = state
+    pos_prev = c.pos
+    for k in range(m - 1):
+        s = physics_after_advance(s, aux, cfg, pos_prev, pos_s[k], vel_s[k],
+                                  r_vir)
+        pos_prev = pos_s[k]
+    s = physics_after_advance(s, aux, cfg, pos_prev, pos_c, vel_c, r_vir)
+
+    from ..ops.nbody import mass_delta_correction
+
+    dm = (s.cluster.mass[aux.msrc_idx]
+          - c.mass[aux.msrc_idx]) * aux.msrc_valid
+    a1, j1, pot1 = mass_delta_correction(
+        a1, j1, pot1, pos_c, vel_c, aux.msrc_idx, dm, eps2,
+    )
+    return s, (a1, j1, pot1)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_strides", "m"))
+def run_strides_cached(state: SimState, cache, aux: SimAux, cfg: SimConfig,
+                       n_strides: int, m: int):
+    """Scan n_strides gravity strides of m physics steps each."""
+    def body(carry, _):
+        s, ch = carry
+        return _stride_impl(s, aux, cfg, ch, m), None
+
+    (state, cache), _ = jax.lax.scan(body, (state, cache), None,
+                                     length=n_strides)
+    return state, cache
+
+
+def stride_active(cfg: SimConfig, n, dtype, mesh, force_impl) -> bool:
+    """gravity_stride > 1 engages only on the cache-capable
+    hermite4_block Pallas path (sim/step.py:_stride_impl)."""
+    return (
+        getattr(cfg, "gravity_stride", 1) > 1
+        and _resolve_integ(cfg, n) == "hermite4_block"
+        and _cacheable(cfg, n, dtype, mesh, force_impl)
+    )
+
+
+def run_steps_cached_strided(state: SimState, cache, aux: SimAux,
+                             cfg: SimConfig, n_steps: int, mesh=None,
+                             force_impl: str = "auto"):
+    """Host-level composition: as many full strides as fit, then the
+    remainder as plain cached steps (driver checkpoint chunks are not
+    always stride-aligned)."""
+    m = cfg.gravity_stride
+    n_str, rem = divmod(n_steps, m)
+    if n_str:
+        state, cache = run_strides_cached(state, cache, aux, cfg, n_str, m)
+    if rem:
+        state, cache = run_steps_cached(state, cache, aux, cfg, rem,
+                                        mesh, force_impl)
     return state, cache
 
 

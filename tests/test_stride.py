@@ -1,0 +1,105 @@
+"""Gravity stride (cfg.gravity_stride): one hermite4_block force advance
+spanning m physics steps, interior steps on predictor-sampled positions.
+All SLR physics still runs every dt."""
+import jax.numpy as jnp
+import numpy as np
+
+from al26_tpu.config import SimConfig
+from al26_tpu.sim import init_cluster
+from al26_tpu.sim.step import (
+    fresh_cache, run_steps, run_steps_cached_strided, stride_active,
+)
+
+
+def _cfg(**kw):
+    base = dict(n=96, rc=1.0, final_time=10.0, seed=31, dtype="f32",
+                integrator="hermite4_block", k_fast=16)
+    base.update(kw)
+    return SimConfig(**base)
+
+
+def test_stride_gate():
+    cfg = _cfg(gravity_stride=2)
+    assert stride_active(cfg, 96, jnp.float32, None, "pallas")
+    # off by default, off for other integrators, off with natal kicks
+    assert not stride_active(_cfg(), 96, jnp.float32, None, "pallas")
+    assert not stride_active(
+        _cfg(gravity_stride=2, integrator="leapfrog", leapfrog_n_sub=2),
+        96, jnp.float32, None, "pallas")
+    assert not stride_active(_cfg(gravity_stride=2, natal_kicks=True),
+                             96, jnp.float32, None, "pallas")
+
+
+def test_stride2_tracks_unstrided():
+    """Trajectories and deposition must track the exact per-step path
+    closely (interior positions are predictor samples, O(dt^4) off)."""
+    cfg1 = _cfg()
+    state, aux, cfg1 = init_cluster(cfg1)
+    cfg2 = cfg1.replace(gravity_stride=2)
+
+    s1 = run_steps(state, aux, cfg1, 10, force_impl="pallas")
+    cache = fresh_cache(state, cfg2, "hermite4_block")
+    s2, _ = run_steps_cached_strided(state, cache, aux, cfg2, 10,
+                                     force_impl="pallas")
+    assert int(s2.step_count) == 10
+    assert float(s2.time) == float(s1.time)
+    np.testing.assert_allclose(np.asarray(s2.cluster.pos),
+                               np.asarray(s1.cluster.pos),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s2.cluster.slr),
+                               np.asarray(s1.cluster.slr),
+                               rtol=5e-3, atol=1e-30)
+    # per-step physics DID run every dt: wind deposition is nonzero and
+    # the masses follow the same per-dt stellar evolution
+    np.testing.assert_array_equal(np.asarray(s2.cluster.mass),
+                                  np.asarray(s1.cluster.mass))
+    assert float(np.asarray(s2.cluster.slr).sum()) > 0
+
+
+def test_stride_remainder_steps():
+    """n_steps not divisible by the stride: the remainder runs as plain
+    cached steps; step_count/time land exactly."""
+    cfg = _cfg(gravity_stride=4)
+    state, aux, cfg = init_cluster(cfg)
+    cache = fresh_cache(state, cfg, "hermite4_block")
+    s, _ = run_steps_cached_strided(state, cache, aux, cfg, 7,
+                                    force_impl="pallas")
+    assert int(s.step_count) == 7
+    np.testing.assert_allclose(float(s.time), 7 * cfg.dt, rtol=1e-6)
+
+
+def test_run_steps_auto_engages_stride():
+    """run_steps itself honours cfg.gravity_stride on the capable path."""
+    cfg = _cfg(gravity_stride=2)
+    state, aux, cfg = init_cluster(cfg)
+    s_auto = run_steps(state, aux, cfg, 6, force_impl="pallas")
+    cache = fresh_cache(state, cfg, "hermite4_block")
+    s_manual, _ = run_steps_cached_strided(state, cache, aux, cfg, 6,
+                                           force_impl="pallas")
+    np.testing.assert_array_equal(np.asarray(s_auto.cluster.pos),
+                                  np.asarray(s_manual.cluster.pos))
+
+
+def test_driver_runs_with_stride(tmp_path):
+    """End-to-end driver run with gravity_stride=2 produces the full file
+    set and a final state matching stride=1 closely."""
+    import os
+
+    from al26_tpu.sim.driver import run
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        common = dict(n=96, rc=1.0, final_time=0.5, seed=8, dtype="f32",
+                      integrator="hermite4_block", k_fast=16,
+                      force_impl="pallas", n_plot=5, steps_per_plot=4)
+        r1 = run(SimConfig(filename="s1", **common), progress=False)
+        r2 = run(SimConfig(filename="s2", gravity_stride=2, **common),
+                 progress=False)
+    finally:
+        os.chdir(cwd)
+    assert float(r2.state.time) == float(r1.state.time)
+    np.testing.assert_allclose(np.asarray(r2.state.cluster.pos),
+                               np.asarray(r1.state.cluster.pos),
+                               rtol=1e-4, atol=1e-5)
+    assert (tmp_path / "s2-cluster-yields.csv").exists()
