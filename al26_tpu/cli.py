@@ -141,7 +141,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--metallicity", type=float, default=0.02,
                    help="Stellar-evolution metallicity Z in [1e-4, 0.03] "
                         "(Hurley+2000 lifetime fits; the reference's SeBa "
-                        "is hard-wired to 0.02, al26_nbody.py:483)")
+                        "is hard-wired to 0.02, al26_nbody.py:483). Also "
+                        "selects the nearest LC18 [Fe/H] yield-table set "
+                        "(0/-1/-2/-3)")
     return p
 
 

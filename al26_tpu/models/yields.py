@@ -55,10 +55,32 @@ def _read_yield_table(path: str, wanted: set[str]) -> dict[str, tuple[np.ndarray
     return out
 
 
-def read_slrs(data_dir: str | None = None) -> dict[str, SLR]:
+Z_SUN = 0.02          # LC18 solar metallicity reference (cfg.metallicity)
+_FEH_GRID = (0, -1, -2, -3)   # [Fe/H] values the LC18 tables ship
+
+
+def feh_for_z(z: float) -> int:
+    """Nearest LC18 [Fe/H] grid point for a metallicity Z:
+    [Fe/H] = log10(Z / Zsun) snapped to {0, -1, -2, -3}. The reference is
+    pinned to the solar set (fit-data.py selects feh=0 only); the sub-solar
+    sets are a superset using the same published tables."""
+    import math
+
+    feh = math.log10(max(z, 1e-12) / Z_SUN)
+    return min(_FEH_GRID, key=lambda g: abs(g - feh))
+
+
+def read_slrs(data_dir: str | None = None, feh: int = 0) -> dict[str, SLR]:
     """Load slr-abundances.csv plus the LC18 wind/SNe yield curves for any
-    isotope present in both (reference behaviour: al26_nbody.py:594-640)."""
+    isotope present in both (reference behaviour: al26_nbody.py:594-640).
+
+    `feh` selects the LC18 metallicity set: 0 (solar, the reference's
+    choice and the default) reads the reference-named wind-/sne-yields.csv;
+    -1/-2/-3 read the -feh<N> suffixed tables (scripts/gen_yield_tables.py
+    regenerates all four from the shipped machine-readable originals)."""
     data_dir = data_dir or DATA_DIR
+    if feh not in _FEH_GRID:
+        raise ValueError(f"[Fe/H]={feh} not in the LC18 grid {_FEH_GRID}")
     slrs: dict[str, SLR] = {}
     with open(os.path.join(data_dir, "slr-abundances.csv"), encoding="utf-8-sig") as f:
         next(f)
@@ -70,10 +92,13 @@ def read_slrs(data_dir: str | None = None) -> dict[str, SLR]:
                 zss=float(c[5]), zss_err=float(c[6]),
             )
     lc_dir = os.path.join(data_dir, "limongi_chieffi_2018")
+    suffix = "" if feh == 0 else f"-feh{feh}"
     wanted = set(slrs)
-    for iso, (m, y) in _read_yield_table(os.path.join(lc_dir, "wind-yields.csv"), wanted).items():
+    for iso, (m, y) in _read_yield_table(
+            os.path.join(lc_dir, f"wind-yields{suffix}.csv"), wanted).items():
         slrs[iso].wind_mass, slrs[iso].wind_yield = m, y
-    for iso, (m, y) in _read_yield_table(os.path.join(lc_dir, "sne-yields.csv"), wanted).items():
+    for iso, (m, y) in _read_yield_table(
+            os.path.join(lc_dir, f"sne-yields{suffix}.csv"), wanted).items():
         slrs[iso].sne_mass, slrs[iso].sne_yield = m, y
     return slrs
 

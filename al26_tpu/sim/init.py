@@ -20,7 +20,7 @@ from ..models import discs, imf
 from ..models.fractal import fractal_positions_velocities
 from ..models.plummer import plummer_positions_velocities
 from ..models.stellar import evolution as stellar
-from ..models.yields import massive_star_yields, read_slrs
+from ..models.yields import feh_for_z, massive_star_yields, read_slrs
 from ..state import Cluster, N_CH, N_ISO, SimState
 from ..units import AU_TO_PC, KMS_TO_PCMYR
 
@@ -216,7 +216,9 @@ def init_cluster(cfg: SimConfig, data_dir: str | None = None,
         total_wind_loss = np.where(
             hm, np.asarray(stellar.total_wind_loss(jnp.asarray(masses))), 0.0
         )  # remnant masses are Z-independent anchors (evolution.py docstring)
-    slrs = read_slrs(data_dir)
+    # yield tables follow cfg.metallicity onto the nearest LC18 [Fe/H]
+    # grid point (solar Z=0.02 -> feh=0, the reference's fixed choice)
+    slrs = read_slrs(data_dir, feh=feh_for_z(cfg.metallicity))
     ydata = massive_star_yields(masses, slrs, total_wind_loss,
                                 cfg.high_mass_threshold)
 

@@ -81,12 +81,18 @@ def write_csv(path: str, isotopes, rows, mass_cols, vel=300, feh=0) -> None:
 def main(raw_dir: str | None = None, out_dir: str | None = None) -> None:
     raw_dir = raw_dir or os.path.join(_DEFAULT_DIR, "raw")
     out_dir = out_dir or _DEFAULT_DIR
-    isotopes, wind_rows, sne_rows = reduce_tables(raw_dir)
-    write_csv(os.path.join(out_dir, "wind-yields.csv"), isotopes, wind_rows,
-              MASSES)
-    write_csv(os.path.join(out_dir, "sne-yields.csv"), isotopes, sne_rows,
-              SNE_MASSES)
-    print(f"wrote {len(isotopes)} isotopes to {out_dir}")
+    # [Fe/H] = 0 keeps the reference file names (fit-data.py emits only the
+    # solar set); the sub-solar grid the LC18 tables also ship gets a
+    # -feh<N> suffix and is selected at runtime by cfg.metallicity
+    # (models/yields.py:read_slrs).
+    for feh in (0, -1, -2, -3):
+        suffix = "" if feh == 0 else f"-feh{feh}"
+        isotopes, wind_rows, sne_rows = reduce_tables(raw_dir, feh=feh)
+        write_csv(os.path.join(out_dir, f"wind-yields{suffix}.csv"),
+                  isotopes, wind_rows, MASSES, feh=feh)
+        write_csv(os.path.join(out_dir, f"sne-yields{suffix}.csv"),
+                  isotopes, sne_rows, SNE_MASSES, feh=feh)
+        print(f"wrote {len(isotopes)} isotopes ([Fe/H]={feh}) to {out_dir}")
 
 
 if __name__ == "__main__":

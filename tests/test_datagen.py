@@ -20,8 +20,13 @@ def test_yield_table_reduction_matches_shipped(tmp_path):
     raw = os.path.join(DATA_DIR, "limongi_chieffi_2018", "raw")
     g.main(raw, str(tmp_path))
 
-    for fname, wanted in [("wind-yields.csv", {"Al26", "Fe60"}),
-                          ("sne-yields.csv", {"Al26", "Fe60"})]:
+    wanted_files = [("wind-yields.csv", {"Al26", "Fe60"}),
+                    ("sne-yields.csv", {"Al26", "Fe60"})]
+    # the sub-solar sets (superset of the reference) regenerate identically
+    for feh in (-1, -2, -3):
+        wanted_files += [(f"wind-yields-feh{feh}.csv", {"Al26", "Fe60"}),
+                         (f"sne-yields-feh{feh}.csv", {"Al26", "Fe60"})]
+    for fname, wanted in wanted_files:
         new = _read_yield_table(str(tmp_path / fname), wanted)
         shipped = _read_yield_table(
             os.path.join(DATA_DIR, "limongi_chieffi_2018", fname), wanted)

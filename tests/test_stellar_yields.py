@@ -91,6 +91,64 @@ def test_read_slrs_full_database():
     assert np.isclose(al.wind_yield[-1], 8.5138e-04)
 
 
+def test_metallicity_yield_selection():
+    """cfg.metallicity snaps to the nearest LC18 [Fe/H] grid point and
+    selects the matching yield set (superset of the reference's fixed
+    solar choice, fit-data.py feh=0)."""
+    from al26_tpu.models.yields import feh_for_z
+
+    assert feh_for_z(0.02) == 0
+    assert feh_for_z(0.002) == -1
+    assert feh_for_z(0.0002) == -2
+    assert feh_for_z(1e-5) == -3
+    assert feh_for_z(0.01) == 0          # log10(0.5) = -0.3 -> nearer 0
+
+    solar = read_slrs()
+    sub = read_slrs(feh=-1)
+    assert set(sub) == set(solar)
+    al0, al1 = solar["Al26"], sub["Al26"]
+    np.testing.assert_array_equal(al0.wind_mass, al1.wind_mass)
+    # different metallicity set -> different yields, same table shape
+    assert not np.allclose(al0.wind_yield, al1.wind_yield)
+    assert (al1.wind_yield > 0).all()
+    with pytest.raises(ValueError):
+        read_slrs(feh=2)
+
+
+def test_init_cluster_uses_metallicity_yields():
+    """init_cluster at Z=0.002 must bake the [Fe/H]=-1 wind yields into the
+    per-star attributes (sim/init.py read_slrs call)."""
+    from al26_tpu.config import SimConfig
+    from al26_tpu.models.yields import calc_slr_yield
+    from al26_tpu.sim import init_cluster
+
+    base = dict(n=64, rc=1.0, final_time=1.0, seed=97, dtype="f32")
+    s0, _, _ = init_cluster(SimConfig(**base))
+    s1, _, _ = init_cluster(SimConfig(metallicity=0.002, **base))
+    m0 = np.asarray(s0.cluster.m0)
+    hm = m0 >= 13.0
+    assert hm.any()
+    al_solar = read_slrs()["Al26"]
+    al_sub = read_slrs(feh=-1)["Al26"]
+    i = int(np.flatnonzero(hm)[0])
+    # wind_ratio = SLR wind yield / total wind loss; isotope 0 = 26Al.
+    # (Lifetimes/total_wind_loss also shift with Z, so only the SOLAR run
+    # is checked for an exact value; the sub-solar run must differ.)
+    w0 = np.asarray(s0.cluster.wind_ratio[:, 0])
+    w1 = np.asarray(s1.cluster.wind_ratio[:, 0])
+    twl0 = float(np.asarray(s0.cluster.total_wind_loss)[i])
+    expect0 = calc_slr_yield(float(m0[i]), al_solar.wind_mass,
+                             al_solar.wind_yield) / twl0
+    np.testing.assert_allclose(w0[i], expect0, rtol=1e-6)
+    assert w0[i] != w1[i]
+    # the change direction must match the tables (sub-solar 26Al wind
+    # yields are lower at this mass)
+    y_sub = calc_slr_yield(float(m0[i]), al_sub.wind_mass, al_sub.wind_yield)
+    y_sol = calc_slr_yield(float(m0[i]), al_solar.wind_mass,
+                           al_solar.wind_yield)
+    assert (w1[i] < w0[i]) == (y_sub < y_sol)
+
+
 def test_calc_slr_yield_interpolation():
     slrs = read_slrs()
     al = slrs["Al26"]
