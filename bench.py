@@ -144,13 +144,14 @@ def bench_force_throughput() -> float:
 
 
 def bench_wallclock_per_myr(n: int, repeat_steps: int = 100,
-                            integrator: str = "auto") -> float:
+                            integrator: str = "auto",
+                            gravity_stride: int = 1) -> float:
     """Full-physics step cadence at the reference dt (t_f=10 -> dt=0.01)."""
     from al26_tpu.config import SimConfig
     from al26_tpu.sim import init_cluster, run_steps
 
     cfg = SimConfig(n=n, rc=1.0, final_time=10.0, seed=1, dtype="f32",
-                    integrator=integrator)
+                    integrator=integrator, gravity_stride=gravity_stride)
     state, aux, cfg = init_cluster(cfg)
     # warm with the SAME scan length (a different length is a new compile)
     s = run_steps(state, aux, cfg, repeat_steps)
@@ -203,10 +204,17 @@ def main() -> None:
                 spm = bench_wallclock_per_myr(n, steps)
                 print(f"# wall-clock per simulated Myr, N={n} (auto "
                       f"defaults): {spm:.3f} s/Myr", file=sys.stderr)
+            spm2 = bench_wallclock_per_myr(102400, 10, gravity_stride=2)
+            print(f"# wall-clock per simulated Myr, N=102400 "
+                  f"(gravity_stride=2, docs/precision.md): {spm2:.3f} "
+                  f"s/Myr", file=sys.stderr)
             es = bench_ensemble()
             print(f"# 16-realization ensemble (N=1024, block-diagonal "
                   f"flattened leapfrog): {es:.3f} s/Myr total",
                   file=sys.stderr)
+            es64 = bench_ensemble(n_real=64)
+            print(f"# 64-realization ensemble (N=1024, the BASELINE.md "
+                  f"campaign row): {es64:.3f} s/Myr total", file=sys.stderr)
         except Exception as e:  # diagnostics must not break the headline
             print(f"# secondary bench failed: {e}", file=sys.stderr)
     else:
