@@ -55,7 +55,7 @@ def _nbody_kernel(
     pos_t,            # [3, Np] VMEM (all columns, lane-major)
     vel_t,            # [3, Np]
     mass2d,           # [1, Np]
-    cols8,            # [8, Np] VMEM (x,y,z,vx,vy,vz,1,0) lane-major (a
+    cols8,            # [8, Np] VMEM (x,y,z,vx,vy,vz,1,|x|^2) lane-major (a
     #                   row-major [Np, 8] would pad the 8-wide lane dim to
     #                   128 and blow VMEM 16x) — the MXU reduction operand
     #                   (zeros when use_mxu=False)
@@ -71,8 +71,12 @@ def _nbody_kernel(
     pot_eps2: float | None = None,
     use_mxu: bool = False,
 ):
-    n_true = n_ref[0, 0]
+    n_true = n_ref[0, 0]  # noqa: F841 — padding is handled by zero masses
     row_ids = row_ids_ref[:, 0:1]
+    # default-softened potential rides the Sw matmul (see body_mxu); for
+    # small eps2 the |x|^2-decomposition's close-pair cancellation exceeds
+    # the kernel's error budget, so the explicit per-pair sum stays there
+    pot_via_mxu = use_mxu and pot_eps2 is None and eps2 >= 1e-2
 
     xi = pos_row[:, 0:1]
     yi = pos_row[:, 1:2]
@@ -118,7 +122,10 @@ def _nbody_kernel(
         r2 = dx * dx + dy * dy + dz * dz + eps2
 
         col_ids = j0 + jax.lax.broadcasted_iota(jnp.int32, (1, TILE_J), 1)
-        valid = (col_ids != row_ids) & (col_ids < n_true)
+        # padding columns need no mask: their mass is zero-padded by the
+        # wrapper, so w and every mj-weighted sum vanish — only the self
+        # pair (mi != 0) must be masked out
+        valid = col_ids != row_ids
         if group_size > 0:
             # block-diagonal ensembles: interactions only within the same
             # realization (rows/cols of one group of `group_size` stars)
@@ -165,15 +172,20 @@ def _nbody_kernel(
         return ax, ay, az, jx, jy, jz, pot
 
     def body_mxu(jt, carry):
-        # MXU offload: the seven per-pair reduction sums become two
+        # MXU offload: the per-pair reduction sums become two
         # [TILE_I, TILE_J] @ [TILE_J, 8] matmuls against the precomputed
-        # column matrix C8 = (x, y, z, vx, vy, vz, 1, 0):
-        #   S  = w  @ C8 -> (sum w x_j, ..., sum w v_j, sum w)
-        #   Ss = ws @ C8    (ws = w * 3(dx.dv)/r^2, jerk's second term)
+        # column matrix C8 = (x, y, z, vx, vy, vz, 1, |x_j|^2):
+        #   S  = w  @ C8 -> (sum w x_j, ..., sum w v_j, sum w, sum w|x_j|^2)
+        #   Ss = ws @ C8    (ws = w * (dx.dv)/r^2; the jerk's factor 3 is
+        #                    applied once after the loop, not per pair)
         # and the difference sums are recovered AFTER the j-loop as
         # e.g. sum w dx = S[x] - x_i S[1] (gravity's linearity in x_j);
         # inputs are pre-centred on the centre of mass in the wrapper to
         # bound the big-minus-big cancellation this decomposition has.
+        # The default-softened potential rides the SAME matmul: w r^2 =
+        # m_j/r, so sum m_j/r = S[7] + (|x_i|^2 + eps2) S[1] - 2 x_i.S[0:3]
+        # — zero per-pair potential work (pot_eps2 runs keep the explicit
+        # second rsqrt).
         Sw, Sws, pot = carry
         (j0, mj, valid, r2, inv_r, inv_r2, w,
          dx, dy, dz, vxj, vyj, vzj) = _pair_weights(jt)
@@ -186,10 +198,11 @@ def _nbody_kernel(
             dvx = vxj - vxi
             dvy = vyj - vyi
             dvz = vzj - vzi
-            s = 3.0 * (dx * dvx + dy * dvy + dz * dvz) * inv_r2
+            s = (dx * dvx + dy * dvy + dz * dvz) * inv_r2
             Sws = Sws + jax.lax.dot_general(
                 w * s, c8t, dn, preferred_element_type=jnp.float32)
-        pot = _pot_update(pot, mj, valid, r2, inv_r)
+        if not pot_via_mxu:
+            pot = _pot_update(pot, mj, valid, r2, inv_r)
         return Sw, Sws, pot
 
     zeros = jnp.zeros((TILE_I, 1), jnp.float32)
@@ -210,9 +223,19 @@ def _nbody_kernel(
         ay = Sw[:, 1:2] - yi * sw1
         az = Sw[:, 2:3] - zi * sw1
         sws1 = Sws[:, 6:7]
-        jx = (Sw[:, 3:4] - vxi * sw1) - (Sws[:, 0:1] - xi * sws1)
-        jy = (Sw[:, 4:5] - vyi * sw1) - (Sws[:, 1:2] - yi * sws1)
-        jz = (Sw[:, 5:6] - vzi * sw1) - (Sws[:, 2:3] - zi * sws1)
+        # the jerk's factor 3 (ws carries (dx.dv)/r^2, not 3(dx.dv)/r^2)
+        # is applied here once per row instead of once per pair
+        jx = (Sw[:, 3:4] - vxi * sw1) - 3.0 * (Sws[:, 0:1] - xi * sws1)
+        jy = (Sw[:, 4:5] - vyi * sw1) - 3.0 * (Sws[:, 1:2] - yi * sws1)
+        jz = (Sw[:, 5:6] - vzi * sw1) - 3.0 * (Sws[:, 2:3] - zi * sws1)
+        if pot_via_mxu:
+            # sum m_j/r = sum w r^2 with r^2 = |x_j|^2 - 2 x_i.x_j +
+            # |x_i|^2 + eps2, all of whose w-weighted sums sit in Sw
+            # (C8's 8th column is |x_j|^2; sum w x_j = a + x_i sum w):
+            #   sum w r^2 = S7 - 2 x_i.a - |x_i|^2 sw1 + eps2 sw1
+            xi2 = xi * xi + yi * yi + zi * zi
+            pot = -(Sw[:, 7:8] + (eps2 - xi2) * sw1
+                    - 2.0 * (xi * ax + yi * ay + zi * az))
     else:
         ax, ay, az, jx, jy, jz, pot = jax.lax.fori_loop(
             bounds[0], bounds[1], body, (zeros,) * 7
@@ -346,7 +369,8 @@ def pallas_acc_jerk_pot_rows(
     if use_mxu:
         cols8 = jnp.concatenate(
             [pos_t, vel_t, jnp.ones((1, n_padded), f32),
-             jnp.zeros((1, n_padded), f32)], axis=0)  # [8, Np] lane-major
+             jnp.sum(posp * posp, axis=1)[None, :]],
+            axis=0)  # [8, Np] lane-major: (x, y, z, vx, vy, vz, 1, |x|^2)
     else:
         cols8 = jnp.zeros((8, 8), f32)  # untouched placeholder
 

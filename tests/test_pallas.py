@@ -41,6 +41,26 @@ def test_pallas_matches_dense(n, use_mxu):
     assert float(jnp.max(jnp.abs(p1 - p2))) / scale_p < 1e-5
 
 
+def test_pallas_matmul_potential_softened():
+    """eps2 >= 1e-2 + default potential: the pot rides the Sw matmul
+    (sum m_j/r == sum w r^2 recovery, pallas_nbody.py:pot_via_mxu) — must
+    match the dense f64 truth within the kernel's error budget."""
+    pos, vel, mass = _system(640, seed=9)
+    pos = pos + 4.0  # off-centre: worst case for the decomposition
+    eps2 = 0.125     # BHTree-parity scale softening
+    a1, j1, p1 = pallas_acc_jerk_pot(pos, vel, mass, eps2)
+    a2, j2, p2 = acc_jerk_pot_dense(
+        pos.astype(jnp.float64), vel.astype(jnp.float64),
+        mass.astype(jnp.float64), eps2,
+    )
+    assert float(jnp.max(jnp.abs(p1 - p2))) / float(jnp.max(jnp.abs(p2))) \
+        < 1e-4
+    assert float(jnp.max(jnp.abs(a1 - a2))) / float(jnp.max(jnp.abs(a2))) \
+        < 3e-4
+    assert float(jnp.max(jnp.abs(j1 - j2))) / float(jnp.max(jnp.abs(j2))) \
+        < 3e-4
+
+
 def test_pallas_unsoftened_masks_self():
     pos, vel, mass = _system(64, seed=3)
     a1, j1, p1 = pallas_acc_jerk_pot(pos, vel, mass, 0.0)
