@@ -111,6 +111,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "reference cadence, 2 = 1.76x faster at N=1e5 for "
                         "a 1.8e-6 relative energy deviation (see "
                         "docs/precision.md)")
+    p.add_argument("--k_ultra", type=int, default=0,
+                   help="hermite4_block third timestep tier: the k_ultra "
+                        "fastest stars subcycle at the shared minimum while "
+                        "the rest of the fast group steps at its own pace "
+                        "(0 = two-level default; pays off in dense "
+                        "clusters, see docs/precision.md)")
     p.add_argument("--leapfrog_n_sub", type=int, default=None,
                    help="Leapfrog substeps per outer step; default: BHTree "
                         "parity (1/64 N-body time unit)")

@@ -75,6 +75,12 @@ class SimConfig:
     eta_hermite: float = 0.14          # Aarseth accuracy parameter (dimensionless)
     k_fast: Optional[int] = None       # hermite4_block fast-group size;
     #                                     None = max(128, n // 16)
+    k_ultra: int = 0                   # hermite4_block third tier: the
+    #   k_ultra fastest rows subcycle at the shared minimum while the rest
+    #   of the fast group steps at its OWN shared-minimum pace. 0 =
+    #   two-level (default). Measured at N=102400/rc=3: ~2% end-to-end
+    #   (the subcycle is launch-overhead-bound there); the win grows with
+    #   density/k_fast where pair work dominates (docs/precision.md).
     substeps_max: int = 4096           # static bound on internal substeps/outer step
     gravity_stride: int = 1            # run ONE hermite4_block force
     #   advance per `gravity_stride` physics steps; the interior steps read

@@ -193,8 +193,16 @@ def hermite4_block_advance(
     init_eval=None,
     final_eval_fn=None,
     interior_samples: int = 0,
+    k_ultra: int = 0,
 ) -> Tuple[jax.Array, jax.Array]:
     """Two-group block-timestep Hermite (ph4-style, TPU fixed shapes).
+
+    `0 < k_ultra < k_fast` enables the THREE-level variant: the k_ultra
+    rows with the smallest timestep criterion subcycle at the shared
+    minimum as usual, and the remaining `mid` tier advances only when the
+    elapsed gap reaches its own shared-minimum step (synchronised to
+    ultra substep boundaries, forced to land at dt). Multiples of 8
+    recommended (<= 64 uses a matching small Pallas row tile).
 
     `final_eval_fn(pos, vel) -> (acc, jerk, pot)`: when given, the closing
     full evaluation goes through it and a third element (acc, jerk, pot) is
@@ -320,14 +328,96 @@ def hermite4_block_advance(
         return (tau + h, pf1, vf1, a1, j1, samp_pf, samp_vf)
 
     tau0 = jnp.zeros((), dtype)
-    if m_s:
-        carry0 = (tau0, pf0, vf0, af0, jf0, samp_pf0, samp_vf0)
+    if 0 < k_ultra < k_fast:
+        # -- three-level variant: the k_ultra fastest rows subcycle at the
+        # shared-minimum step as before, while the remaining mid tier
+        # advances only when the gap since its last update reaches its OWN
+        # shared-minimum step (synchronised to ultra substep boundaries,
+        # forced to land exactly at dt). Cost drops from S*K*N to
+        # S*K_u*N + S_mid*(K-K_u)*N pair evaluations, with S_mid/S equal
+        # to the crit-ratio between the tiers (docs/precision.md).
+        u_idx = fast_idx[:k_ultra]      # top_k order: smallest crit first
+        m_idx = fast_idx[k_ultra:]
+        k_mid = k_fast - k_ultra
+
+        def body_t(carry):
+            (tau_u, tau_m, pu, vu, au, ju, pm, vm, am, jm,
+             samp_pf, samp_vf) = carry
+            ua2 = jnp.sum(au * au, axis=-1)
+            uj2 = jnp.sum(ju * ju, axis=-1)
+            h = eta * jnp.sqrt(jnp.min(ua2 / jnp.maximum(uj2, tiny)))
+            h = jnp.minimum(jnp.maximum(h, h_min), dt - tau_u)
+            h2 = h * h
+            tau_new = tau_u + h
+            ma2 = jnp.sum(am * am, axis=-1)
+            mj2 = jnp.sum(jm * jm, axis=-1)
+            hm_nat = eta * jnp.sqrt(jnp.min(ma2 / jnp.maximum(mj2, tiny)))
+            adv_m = ((tau_new - tau_m) >= hm_nat) | (tau_new >= dt)
+            # predictions: ultra over its substep, mid from ITS last update
+            pup = pu + h * vu + 0.5 * h2 * au + (h2 * h / 6.0) * ju
+            vup = vu + h * au + 0.5 * h2 * ju
+            thm = tau_new - tau_m
+            pmp = pm + thm * vm + 0.5 * thm**2 * am + (thm**3 / 6.0) * jm
+            vmp = vm + thm * am + 0.5 * thm**2 * jm
+            if m_s:
+                crossed = ((tau_u < tau_s)
+                           & (tau_new >= tau_s))[:, None, None]
+                th_u = (tau_s - tau_u)[:, None, None]
+                pu_at = (pu + th_u * vu + 0.5 * th_u**2 * au
+                         + (th_u**3 / 6.0) * ju)
+                vu_at = vu + th_u * au + 0.5 * th_u**2 * ju
+                th_m = (tau_s - tau_m)[:, None, None]
+                pm_at = (pm + th_m * vm + 0.5 * th_m**2 * am
+                         + (th_m**3 / 6.0) * jm)
+                vm_at = vm + th_m * am + 0.5 * th_m**2 * jm
+                p_at = jnp.concatenate([pu_at, pm_at], axis=1)
+                v_at = jnp.concatenate([vu_at, vm_at], axis=1)
+                samp_pf = jnp.where(crossed, p_at, samp_pf)
+                samp_vf = jnp.where(crossed, v_at, samp_vf)
+            p_cols, v_cols = predict_all(tau_new)
+            p_cols = p_cols.at[u_idx].set(pup).at[m_idx].set(pmp)
+            v_cols = v_cols.at[u_idx].set(vup).at[m_idx].set(vmp)
+            au1, ju1 = force_rows_fn(pup, vup, u_idx, p_cols, v_cols)
+            vu1 = vu + 0.5 * h * (au + au1) + (h2 / 12.0) * (ju - ju1)
+            pu1 = pu + 0.5 * h * (vu + vu1) + (h2 / 12.0) * (au - au1)
+
+            def m_advance(_):
+                am1, jm1 = force_rows_fn(pmp, vmp, m_idx, p_cols, v_cols)
+                vm1 = (vm + 0.5 * thm * (am + am1)
+                       + (thm**2 / 12.0) * (jm - jm1))
+                pm1 = (pm + 0.5 * thm * (vm + vm1)
+                       + (thm**2 / 12.0) * (am - am1))
+                return pm1, vm1, am1, jm1, tau_new
+
+            pm2, vm2, am2, jm2, tau_m2 = jax.lax.cond(
+                adv_m, m_advance, lambda _: (pm, vm, am, jm, tau_m), None
+            )
+            return (tau_new, tau_m2, pu1, vu1, au1, ju1,
+                    pm2, vm2, am2, jm2, samp_pf, samp_vf)
+
+        if m_s:
+            samp0 = (samp_pf0, samp_vf0)
+        else:
+            zero3 = jnp.zeros((0,), dtype)
+            samp0 = (zero3, zero3)
+        carry0 = (tau0, tau0,
+                  pf0[:k_ultra], vf0[:k_ultra], af0[:k_ultra],
+                  jf0[:k_ultra],
+                  pf0[k_ultra:], vf0[k_ultra:], af0[k_ultra:],
+                  jf0[k_ultra:]) + samp0
+        out_t = jax.lax.while_loop(cond, body_t, carry0)
+        (_, _, pu, vu, au, ju, pm, vm, am, jm, samp_pf, samp_vf) = out_t
+        pf = jnp.concatenate([pu, pm], axis=0)   # fast_idx order
+        vf = jnp.concatenate([vu, vm], axis=0)
     else:
-        zero3 = jnp.zeros((0,), dtype)
-        carry0 = (tau0, pf0, vf0, af0, jf0, zero3, zero3)
-    _, pf, vf, af, jf, samp_pf, samp_vf = jax.lax.while_loop(
-        cond, body, carry0
-    )
+        if m_s:
+            carry0 = (tau0, pf0, vf0, af0, jf0, samp_pf0, samp_vf0)
+        else:
+            zero3 = jnp.zeros((0,), dtype)
+            carry0 = (tau0, pf0, vf0, af0, jf0, zero3, zero3)
+        _, pf, vf, af, jf, samp_pf, samp_vf = jax.lax.while_loop(
+            cond, body, carry0
+        )
 
     # -- slow-group full step ------------------------------------------
     pos_p, vel_p = predict_all(dt)
@@ -369,7 +459,7 @@ def advance(
     eta: float = 0.14, n_sub: int = 8, eps2=0.0, g=G_INTERNAL,
     max_substeps: int = 4096, force_block=None, force_fn=None, acc_fn=None,
     k_fast: int = 0, force_rows_fn=None, init_eval=None, final_eval_fn=None,
-    interior_samples: int = 0,
+    interior_samples: int = 0, k_ultra: int = 0,
 ):
     """Static dispatch over the configured integrator.
 
@@ -394,7 +484,7 @@ def advance(
         return hermite4_block_advance(
             pos, vel, mass, dt, k,
             eta, eps2, g, max_substeps, force_fn, force_rows_fn, init_eval,
-            final_eval_fn, interior_samples,
+            final_eval_fn, interior_samples, k_ultra,
         )
     if integrator == "leapfrog":
         if acc_fn is None and force_fn is not None:

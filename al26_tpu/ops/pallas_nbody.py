@@ -70,6 +70,7 @@ def _nbody_kernel(
     group_size: int = 0,
     pot_eps2: float | None = None,
     use_mxu: bool = False,
+    tile_i: int = TILE_I,
 ):
     n_true = n_ref[0, 0]  # noqa: F841 — padding is handled by zero masses
     row_ids = row_ids_ref[:, 0:1]
@@ -205,7 +206,7 @@ def _nbody_kernel(
             pot = _pot_update(pot, mj, valid, r2, inv_r)
         return Sw, Sws, pot
 
-    zeros = jnp.zeros((TILE_I, 1), jnp.float32)
+    zeros = jnp.zeros((tile_i, 1), jnp.float32)
     # int32 loop bounds: under jax_enable_x64 python-int bounds make the
     # induction variable int64, whose promotion into the int32 column-index
     # compare sends Mosaic lowering into infinite recursion
@@ -214,7 +215,7 @@ def _nbody_kernel(
     else:
         bounds = (jnp.int32(0), jnp.int32(num_j))
     if use_mxu:
-        zeros8 = jnp.zeros((TILE_I, 8), jnp.float32)
+        zeros8 = jnp.zeros((tile_i, 8), jnp.float32)
         Sw, Sws, pot = jax.lax.fori_loop(
             bounds[0], bounds[1], body_mxu, (zeros8, zeros8, zeros)
         )
@@ -288,7 +289,8 @@ def pallas_acc_jerk_pot(
 
 @functools.partial(jax.jit,
                    static_argnames=("eps2", "g", "interpret", "with_jerk",
-                                    "group_size", "pot_eps2", "use_mxu"))
+                                    "group_size", "pot_eps2", "use_mxu",
+                                    "tile_i"))
 def pallas_acc_jerk_pot_rows(
     pos_rows: jax.Array,   # [B,3]  target rows (a subset of the columns)
     vel_rows: jax.Array,   # [B,3]
@@ -304,8 +306,13 @@ def pallas_acc_jerk_pot_rows(
     group_size: int = 0,
     pot_eps2: float | None = None,
     use_mxu: bool = True,
+    tile_i: int = TILE_I,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Row-subset variant: forces on `pos_rows` from all of `pos`.
+
+    `tile_i` sets the row-tile height (default 256): a small scattered row
+    subset (the block-timestep ultra tier) pads to tile_i rows, so a
+    64-row call with tile_i=64 costs 1/4 of the default padding.
 
     use_mxu=True routes the per-pair reduction sums through the MXU as two
     small matmuls (see _nbody_kernel.body_mxu); inputs are pre-centred on
@@ -350,7 +357,7 @@ def pallas_acc_jerk_pot_rows(
         vel_rows = vel_rows - c_vel
     b = pos_rows.shape[0]
     n = pos.shape[0]
-    b_padded = -(-b // TILE_I) * TILE_I
+    b_padded = -(-b // tile_i) * tile_i
     n_padded = -(-n // TILE_J) * TILE_J
 
     f32 = jnp.float32
@@ -374,12 +381,12 @@ def pallas_acc_jerk_pot_rows(
     else:
         cols8 = jnp.zeros((8, 8), f32)  # untouched placeholder
 
-    grid = (b_padded // TILE_I,)
+    grid = (b_padded // tile_i,)
     kernel = functools.partial(
         _nbody_kernel, eps2=float(eps2), g=float(g), n_padded=n_padded,
         with_jerk=with_jerk, group_size=group_size,
         pot_eps2=None if pot_eps2 is None else float(pot_eps2),
-        use_mxu=use_mxu,
+        use_mxu=use_mxu, tile_i=tile_i,
     )
     flops_per_pair = 50 if with_jerk else 30
     acc, jerk, pot = pl.pallas_call(
@@ -387,11 +394,11 @@ def pallas_acc_jerk_pot_rows(
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((TILE_I, 1), lambda i: (i, 0),
+            pl.BlockSpec((tile_i, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_I, 3), lambda i: (i, 0),
+            pl.BlockSpec((tile_i, 3), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_I, 3), lambda i: (i, 0),
+            pl.BlockSpec((tile_i, 3), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((3, n_padded), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -403,11 +410,11 @@ def pallas_acc_jerk_pot_rows(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TILE_I, 3), lambda i: (i, 0),
+            pl.BlockSpec((tile_i, 3), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_I, 3), lambda i: (i, 0),
+            pl.BlockSpec((tile_i, 3), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_I, 1), lambda i: (i, 0),
+            pl.BlockSpec((tile_i, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -460,8 +467,12 @@ def make_pallas_force_rows(mass: jax.Array, eps2: float | jax.Array = 0.0,
     (acc, jerk)` for the block-timestep fast-group subcycle."""
 
     def force_rows_fn(pr, vr, ids, p_all, v_all):
+        # a <= 64-row call (the ultra tier) uses a matching small row tile
+        # so it is not padded to the default 256 rows
+        ti = 64 if pr.shape[0] <= 64 else TILE_I
         a, j, _ = pallas_acc_jerk_pot_rows(
-            pr, vr, ids, p_all, v_all, mass, eps2=float(eps2), g=g
+            pr, vr, ids, p_all, v_all, mass, eps2=float(eps2), g=g,
+            tile_i=ti,
         )
         return a, j
 

@@ -198,7 +198,7 @@ def _step_impl(state: SimState, aux: SimAux, cfg: SimConfig,
         eps2=eps2, max_substeps=cfg.substeps_max, force_fn=force_fn,
         acc_fn=acc_fn, k_fast=cfg.k_fast or 0,
         force_rows_fn=force_rows_fn, init_eval=init_eval,
-        final_eval_fn=final_eval_fn,
+        final_eval_fn=final_eval_fn, k_ultra=cfg.k_ultra,
     )
     if cache_ok:
         pos, vel, (a1, j1, pot1) = out
@@ -446,6 +446,7 @@ def _stride_impl(state: SimState, aux: SimAux, cfg: SimConfig, cache,
         force_fn=None, k_fast=cfg.k_fast or 0,
         force_rows_fn=force_rows_fn, init_eval=(a0, j0),
         final_eval_fn=final_eval_fn, interior_samples=m - 1,
+        k_ultra=cfg.k_ultra,
     )
 
     s = state
