@@ -91,6 +91,14 @@ class SimConfig:
     #   (4 -> 2.9x / 4.8e-6) — measured numbers in docs/precision.md.
     #   Engages only on the cache-capable Pallas hermite4_block path;
     #   ignored elsewhere.
+    softened_virial: bool = False      # compute the virial radius (global
+    #   wind-bubble size) from the BHTree-SOFTENED potential instead of the
+    #   reference's raw one (AMUSE virial_radius, al26_nbody.py:767-770).
+    #   Saves the Pallas sweep's second rsqrt per pair (68 -> 83 Gpairs/s;
+    #   16.1 -> 13.5 s/Myr at N=1e5). Honest cost: r_vir grows 6-18%
+    #   (softened U is shallower), diluting the GLOBAL mixing channel by
+    #   up to ~1.6x in volume; dynamics + local channel are unchanged
+    #   (docs/precision.md).
     dtype: str = "f64"                 # "f32" | "f64" compute precision
 
     natal_kicks: bool = False          # apply a Maxwellian natal kick to the

@@ -87,6 +87,21 @@ def _build_force_rows_fn(mass, eps2, force_impl_resolved):
     return None
 
 
+def _pot_eps2(cfg: SimConfig):
+    """Potential softening for the per-step sweep: the reference computes
+    the virial radius from the RAW potential (AMUSE virial_radius,
+    al26_nbody.py:767-770), which costs the Pallas kernel a second rsqrt
+    per pair (68 vs 83 Gpairs/s). cfg.softened_virial trades that parity
+    for speed: the virial radius then uses the BHTree-softened potential.
+    MEASURED deviation: |U_soft| < |U_raw| by 6-18% over a 10 Myr Plummer
+    run (the ratio drifts as the cluster relaxes), so r_vir grows by the
+    same factor and the global wind-bubble VOLUME by up to ~1.6x — the
+    global mixing channel dilutes accordingly; dynamics and the local
+    channel are bit-identical (tests/test_softened_virial.py). A
+    throughput-first option, like gravity_stride."""
+    return None if cfg.softened_virial else 1e-30
+
+
 def _resolve_integ(cfg: SimConfig, n: int) -> str:
     """Defensive "auto" resolution for callers that bypass init_cluster's
     resolve_integrator (e.g. a cfg recreated from a dict)."""
@@ -156,7 +171,7 @@ def _step_impl(state: SimState, aux: SimAux, cfg: SimConfig,
             from ..ops.pallas_nbody import pallas_acc_jerk_pot
             a0, j0, pot = pallas_acc_jerk_pot(
                 c.pos, c.vel, c.mass, cfg.eps2, with_jerk=needs_jerk,
-                pot_eps2=1e-30,
+                pot_eps2=_pot_eps2(cfg),
             )
         u = 0.5 * jnp.sum(c.mass * pot)
         init_eval = (a0, j0) if needs_jerk else (a0, None)
@@ -187,7 +202,7 @@ def _step_impl(state: SimState, aux: SimAux, cfg: SimConfig,
             a, j, pot = pallas_acc_jerk_pot(
                 p, jnp.zeros_like(p) if v is None else v, c.mass,
                 cfg.eps2, with_jerk=needs_jerk,
-                pot_eps2=1e-30,
+                pot_eps2=_pot_eps2(cfg),
             )
             return a, (j if needs_jerk else None), pot
 
@@ -238,7 +253,7 @@ def fresh_cache(state: SimState, cfg: SimConfig, integ: str):
     a, j, pot = pallas_acc_jerk_pot(
         c.pos, c.vel, c.mass, cfg.eps2,
         with_jerk=(integ in ("hermite4", "hermite4_block")),
-        pot_eps2=1e-30,
+        pot_eps2=_pot_eps2(cfg),
     )
     return a, j, pot
 
@@ -436,7 +451,7 @@ def _stride_impl(state: SimState, aux: SimAux, cfg: SimConfig, cache,
 
     def final_eval_fn(p, v):
         return pallas_acc_jerk_pot(p, v, c.mass, cfg.eps2, with_jerk=True,
-                                   pot_eps2=1e-30)
+                                   pot_eps2=_pot_eps2(cfg))
 
     force_rows_fn = _build_force_rows_fn(c.mass, cfg.eps2, "pallas")
     pos_c, vel_c, (a1, j1, pot1), (pos_s, vel_s) = advance(
