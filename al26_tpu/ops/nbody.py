@@ -256,7 +256,8 @@ def local_densities(pos, mass, k: int = 10) -> jax.Array:
 
 
 def mass_delta_correction(acc, jerk, pot, pos, vel, src_idx, dm,
-                          eps2, g=G_INTERNAL, group_size: int = 0):
+                          eps2, g=G_INTERNAL, group_size: int = 0,
+                          pot_softened: bool = False):
     """Exact update of a cached force evaluation for SOURCE-MASS changes at
     fixed positions.
 
@@ -269,10 +270,13 @@ def mass_delta_correction(acc, jerk, pot, pos, vel, src_idx, dm,
     every step after the stellar->gravity mass copy (al26_nbody.py:871-876).
 
     Conventions match ops/pallas_nbody._nbody_kernel exactly: acc/jerk
-    softened by eps2, pot unsoftened (the pot_eps2=1e-30 path). `jerk=None`
-    skips the jerk update (leapfrog cache). `dm` must already be zero for
-    padding slots. group_size > 0 restricts pairs to the same realization
-    (flattened ensembles)."""
+    softened by eps2; pot unsoftened (the pot_eps2=1e-30 path) by default,
+    or eps2-softened with `pot_softened=True` — must mirror the sweep that
+    produced the cache (cfg.softened_virial, sim/step.py:_pot_eps2), else
+    the cached potential drifts from the true one on every mass-loss step.
+    `jerk=None` skips the jerk update (leapfrog cache). `dm` must already
+    be zero for padding slots. group_size > 0 restricts pairs to the same
+    realization (flattened ensembles)."""
     xs = pos[src_idx]                           # [M,3]
     vs = vel[src_idx]
     dx = xs[None, :, :] - pos[:, None, :]       # [N,M,3]
@@ -291,7 +295,11 @@ def mass_delta_correction(acc, jerk, pot, pos, vel, src_idx, dm,
         s = 3.0 * jnp.sum(dx * dv, axis=-1) / r2
         jerk = jerk + g * (jnp.einsum("nm,nmk->nk", w, dv)
                            - jnp.einsum("nm,nmk->nk", w * s, dx))
-    invr_u = jnp.where(invalid, 0.0,
-                       jax.lax.rsqrt(jnp.maximum(r2 - eps2, 0.0) + 1e-30))
-    pot = pot - g * (invr_u @ dm)
+    if pot_softened:
+        pot = pot - g * (invr @ dm)
+    else:
+        invr_u = jnp.where(invalid, 0.0,
+                           jax.lax.rsqrt(jnp.maximum(r2 - eps2, 0.0)
+                                         + 1e-30))
+        pot = pot - g * (invr_u @ dm)
     return acc, jerk, pot

@@ -232,6 +232,7 @@ def _step_impl(state: SimState, aux: SimAux, cfg: SimConfig,
               - c.mass[aux.msrc_idx]) * aux.msrc_valid
         a1, j1, pot1 = mass_delta_correction(
             a1, j1, pot1, pos, vel, aux.msrc_idx, dm, eps2,
+            pot_softened=cfg.softened_virial,
         )
         new_cache = (a1, jnp.zeros_like(a1) if j1 is None else j1, pot1)
     return new_state, new_cache
@@ -385,14 +386,8 @@ def run_steps(state: SimState, aux: SimAux, cfg: SimConfig,
                             _resolve_integ(cfg, state.cluster.n))
         if stride_active(cfg, state.cluster.n, state.cluster.pos.dtype,
                          mesh, force_impl):
-            m = cfg.gravity_stride
-            n_str, rem = divmod(n_steps, m)
-            if n_str:
-                state, cache = run_strides_cached(state, cache, aux, cfg,
-                                                  n_str, m)
-            if rem:
-                state, cache = run_steps_cached(state, cache, aux, cfg,
-                                                rem, mesh, force_impl)
+            state, _ = run_steps_cached_strided(state, cache, aux, cfg,
+                                                n_steps, mesh, force_impl)
             return state
         state, _ = run_steps_cached(state, cache, aux, cfg, n_steps,
                                     mesh, force_impl)
@@ -457,7 +452,10 @@ def _stride_impl(state: SimState, aux: SimAux, cfg: SimConfig, cache,
     pos_c, vel_c, (a1, j1, pot1), (pos_s, vel_s) = advance(
         c.pos, c.vel, c.mass, dt_total,
         integrator="hermite4_block", eta=cfg.eta_hermite,
-        eps2=eps2, max_substeps=cfg.substeps_max,
+        # the advance spans m*dt: scale the substep budget so the minimum
+        # substep floor (h_min = span/max_substeps) stays dt/substeps_max,
+        # the same close-encounter resolution as the unstrided integrator
+        eps2=eps2, max_substeps=cfg.substeps_max * m,
         force_fn=None, k_fast=cfg.k_fast or 0,
         force_rows_fn=force_rows_fn, init_eval=(a0, j0),
         final_eval_fn=final_eval_fn, interior_samples=m - 1,
@@ -478,6 +476,7 @@ def _stride_impl(state: SimState, aux: SimAux, cfg: SimConfig, cache,
           - c.mass[aux.msrc_idx]) * aux.msrc_valid
     a1, j1, pot1 = mass_delta_correction(
         a1, j1, pot1, pos_c, vel_c, aux.msrc_idx, dm, eps2,
+        pot_softened=cfg.softened_virial,
     )
     return s, (a1, j1, pot1)
 

@@ -52,7 +52,9 @@ def pallas_device_healthy(timeout_s: float = 300.0) -> bool:
         "from al26_tpu.ops.pallas_nbody import pallas_acc_jerk_pot;"
         "x = jnp.asarray(np.random.default_rng(0).normal(size=(4096,3)),"
         "jnp.float32);"
-        "a,_,_ = pallas_acc_jerk_pot(x, x, jnp.ones(4096, jnp.float32), 1e-3);"
+        # eps2 matches bench_force_throughput so the probe warms the SAME
+        # statically-selected kernel variant (pot_via_mxu) the bench times
+        "a,_,_ = pallas_acc_jerk_pot(x, x, jnp.ones(4096, jnp.float32), 0.125);"
         "print(float(jnp.sum(a)))"
     ) % os.path.dirname(os.path.abspath(__file__))
     # two attempts: a kernel-code change invalidates the remote compile

@@ -39,7 +39,7 @@ def fixture_dir(tmp_path_factory):
     cols = cluster_to_particles(cluster_to_numpy(state.cluster)).columns()
 
     base = str(sim_dir / "pt-0")
-    yields = Yields("pt-0")
+    yields = Yields(base)  # a bare "pt-0" would drop the CSV in the cwd
     # 4 checkpoints so the disc-lifetime Akima interpolation has a history
     for k, t in enumerate([0.0, 3.0, 7.0, 10.0]):
         particles = cluster_to_particles(cluster_to_numpy(state.cluster))

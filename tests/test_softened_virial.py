@@ -6,7 +6,7 @@ import numpy as np
 
 from al26_tpu.config import SimConfig
 from al26_tpu.sim import init_cluster
-from al26_tpu.sim.step import run_steps
+from al26_tpu.sim.step import run_steps, step
 
 
 def test_softened_virial_shifts_only_global_channel():
@@ -30,3 +30,24 @@ def test_softened_virial_shifts_only_global_channel():
         assert g0 != g1                 # the parity trade is real
         assert g1 < g0                  # bigger bubble -> diluted
         assert abs(g1 - g0) / g0 < 0.5  # bounded by the volume ratio
+
+
+def test_softened_virial_cache_matches_uncached():
+    """The force cache's mass-delta correction must mirror the softened
+    pot convention (ops/nbody.py:mass_delta_correction pot_softened),
+    else the cached potential drifts from the true one on every
+    mass-loss step — cached and uncached runs must agree closely."""
+    cfg = SimConfig(n=192, rc=1.0, final_time=10.0, seed=44, dtype="f32",
+                    integrator="hermite4_block", k_fast=48,
+                    softened_virial=True)
+    state, aux, cfg = init_cluster(cfg)
+    s_cached = run_steps(state, aux, cfg, 25, force_impl="pallas")
+    s_plain = state
+    for _ in range(25):
+        s_plain = step(s_plain, aux, cfg, force_impl="pallas")
+    np.testing.assert_allclose(np.asarray(s_cached.cluster.pos),
+                               np.asarray(s_plain.cluster.pos),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(s_cached.cluster.slr),
+                               np.asarray(s_plain.cluster.slr),
+                               rtol=1e-4, atol=1e-30)
