@@ -98,7 +98,9 @@ class SimConfig:
     #   16.1 -> 13.5 s/Myr at N=1e5). Honest cost: r_vir grows 6-18%
     #   (softened U is shallower), diluting the GLOBAL mixing channel by
     #   up to ~1.6x in volume; dynamics + local channel are unchanged
-    #   (docs/precision.md).
+    #   (docs/precision.md). Single-cluster path only: flattened ensembles
+    #   keep the raw-pot virial radius (their group-masked sweeps use the
+    #   exact VPU sums, so there is nothing to save).
     dtype: str = "f64"                 # "f32" | "f64" compute precision
 
     natal_kicks: bool = False          # apply a Maxwellian natal kick to the
