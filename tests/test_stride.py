@@ -68,6 +68,18 @@ def test_stride_remainder_steps():
     np.testing.assert_allclose(float(s.time), 7 * cfg.dt, rtol=1e-6)
 
 
+def test_stride_fewer_steps_than_stride():
+    """n_steps < gravity_stride: zero full strides, remainder-only path
+    (run_steps_cached_strided's divmod composition)."""
+    cfg = _cfg(gravity_stride=8)
+    state, aux, cfg = init_cluster(cfg)
+    cache = fresh_cache(state, cfg, "hermite4_block")
+    s, _ = run_steps_cached_strided(state, cache, aux, cfg, 3,
+                                    force_impl="pallas")
+    assert int(s.step_count) == 3
+    np.testing.assert_allclose(float(s.time), 3 * cfg.dt, rtol=1e-6)
+
+
 def test_run_steps_auto_engages_stride():
     """run_steps itself honours cfg.gravity_stride on the capable path."""
     cfg = _cfg(gravity_stride=2)
