@@ -71,7 +71,13 @@ def save_checkpoint(
     if yields_mode in ("frames", "both"):
         yields.marinate_frame(yields_frames_filename(base))
     if yields_mode in ("rewrite", "both"):
-        yields.marinate(yields_filename(base))
+        # a bounded store (frames runs) rebuilds the blob by streaming the
+        # framed file back instead of holding the history in RAM
+        yields.marinate(
+            yields_filename(base),
+            frames_path=(yields_frames_filename(base)
+                         if yields_mode == "both" else None),
+        )
     if verbose:
         print(
             f"Saving checkpoint #{str(nfile).zfill(5)}... Done! "

@@ -157,6 +157,17 @@ except ImportError:
     _native = None
 
 
+def encode_key(k: str) -> bytes:
+    """Encoding of an OBJECT KEY (string body without the 'S' marker,
+    Draft-12 §Container/object). Lets callers stream-compose an object:
+    b"{" + encode_key(k1) + dumpb(v1) + ... + b"}" is a valid stream that
+    decodes identically to dumpb({k1: v1, ...}) — used by the yields
+    store's O(N)-memory blob reconstruction (io.yields_store)."""
+    buf = BytesIO()
+    _encode_str_body(buf, k)
+    return buf.getvalue()
+
+
 def dumpb(obj, optimized: bool = True) -> bytes:
     """Serialise `obj` to UBJSON bytes (py-ubjson `dumpb` equivalent).
     Routes through the C++ codec when built; numpy payloads and the

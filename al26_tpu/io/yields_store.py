@@ -43,8 +43,33 @@ _FINALS = [
 ]
 
 
+def _iter_frames(filename: str, with_offsets: bool = False):
+    """Yield decoded frame dicts from a framed yields file (optionally as
+    (byte_offset, frame) pairs). A torn trailing frame — crash mid-append —
+    is dropped; anything else malformed raises."""
+    with open(filename, "rb") as f:
+        data = f.read()
+    if data[:8] != _FRAMES_MAGIC:
+        raise IOError(f"{filename}: not an al26 framed yields file")
+    off = 8
+    while off < len(data):
+        head = data[off:off + 12]
+        if len(head) < 12 or head[:4] != _FRAME_TAG:
+            if off + 12 >= len(data):
+                break  # torn header at EOF
+            raise IOError(f"{filename}: corrupt frame header @ {off}")
+        ln = int.from_bytes(head[4:12], "little")
+        start = off
+        off += 12
+        if off + ln > len(data):
+            break  # torn payload at EOF: keep the complete prefix
+        frame = ubjson.loadb(decompress(data[off:off + ln]))
+        yield (start, frame) if with_offsets else frame
+        off += ln
+
+
 class Yields:
-    def __init__(self, filename: str) -> None:
+    def __init__(self, filename: str, bounded: bool = False) -> None:
         self.filename = filename
         self.time: list = []
         for name in _SERIES:
@@ -54,6 +79,15 @@ class Yields:
         for name in _FINALS:
             setattr(self, name, [])
         self.first_write = True
+        # bounded mode (frames runs): retain only the LATEST per-star
+        # snapshot in host RAM — the full history lives in the framed file
+        # and the reference blob is reconstructed by streaming it back
+        # (_marinate_streamed). The reference instead keeps every snapshot
+        # as boxed-float lists and documents the unbounded growth as a
+        # known crash mode (al26_nbody.py:169-176); at N=102400 x 102
+        # saves that is tens of GB of host RAM.
+        self._bounded = bounded
+        self._frame_offsets: list | None = None
 
     # -- state update (al26_nbody.py:169-220) ------------------------------
     def update_state(self, model_time_myr: float, particles) -> None:
@@ -79,6 +113,13 @@ class Yields:
             self.write_csv_header()
             self.first_write = False
         self.write_to_csv()
+        if self._bounded:
+            # keep only the latest per-star snapshot (marinate_frame reads
+            # [-1]); time and the scalar sums stay whole — they are O(saves)
+            for name in _SERIES:
+                lst = getattr(self, name)
+                if len(lst) > 1:
+                    del lst[:-1]
 
     # -- CSV (al26_nbody.py:221-241) -------------------------------
     def write_csv_header(self) -> None:
@@ -101,11 +142,65 @@ class Yields:
             )
 
     # -- serialisation (al26_nbody.py:242-279) ----------------------------
-    def marinate(self, filename: str) -> None:
-        """Serialise all attributes to zstd-compressed UBJSON."""
-        marinade = dict(self.__dict__.items())
+    def marinate(self, filename: str, frames_path: str | None = None) -> None:
+        """Serialise all attributes to zstd-compressed UBJSON.
+
+        A bounded store no longer holds the per-star history, so the blob
+        is reconstructed by streaming the framed file back
+        (`frames_path` required; O(N) peak memory)."""
+        if self._bounded:
+            if frames_path is None:
+                raise ValueError(
+                    "bounded yields store: marinate needs frames_path to "
+                    "rebuild the reference blob from the framed file"
+                )
+            self._marinate_streamed(filename, frames_path)
+            return
+        marinade = {k: v for k, v in self.__dict__.items()
+                    if not k.startswith("_")}
         with open(filename, "wb") as f:
             f.write(compress(ubjson.dumpb(marinade)))
+
+    def _marinate_streamed(self, filename: str, frames_path: str,
+                           level: int = 8) -> None:
+        """Write the reference-format blob without materialising the run
+        history: the uncompressed UBJSON streams to a temp file (object
+        composed key-by-key, each series replayed frame-by-frame from the
+        framed file — UBJSON containers are compositional, ubjson.encode_key),
+        then zstd-compresses file-to-file with the content size recorded in
+        the frame header so the reference's one-shot decompress
+        (al26_nbody.py:335-345) still reads it. Decodes identically to the
+        unbounded in-memory marinate (tests/test_io.py)."""
+        import zstandard as zstd
+
+        tmp = filename + ".tmp-ubj"
+        with open(tmp, "wb") as out:
+            out.write(b"{")
+
+            def put(key, value):
+                out.write(ubjson.encode_key(key))
+                out.write(ubjson.dumpb(value))
+
+            put("filename", self.filename)
+            put("time", self.time)
+            for name in _SERIES:
+                out.write(ubjson.encode_key(name))
+                out.write(b"[")
+                for fr in _iter_frames(frames_path):
+                    out.write(ubjson.dumpb(fr[name]))
+                out.write(b"]")
+            for name in _SUMS:
+                put(name, getattr(self, name))
+            for name in _FINALS:
+                put(name, getattr(self, name))
+            put("first_write", self.first_write)
+            out.write(b"}")
+        try:
+            cctx = zstd.ZstdCompressor(level=level, threads=-1)
+            with open(tmp, "rb") as ifh, open(filename, "wb") as ofh:
+                cctx.copy_stream(ifh, ofh, size=os.path.getsize(tmp))
+        finally:
+            os.remove(tmp)
 
     def plate(self, filename: str) -> None:
         """Restore attributes from a marinated file (also reads files
@@ -130,8 +225,13 @@ class Yields:
         for name in _FINALS:
             frame[name] = getattr(self, name)
         payload = compress(ubjson.dumpb(frame))
-        fresh = not os.path.exists(filename)
-        with open(filename, "ab") as f:
+        # a COLD run (exactly one snapshot in the store) truncates any
+        # stale framed file from a previous run under the same base name —
+        # the reference workflow overwrites state/CSV/blob in place, and
+        # 'ab' would silently prepend the old run's time series (resumed
+        # runs restore the full history first, so len(time) > 1 there)
+        fresh = len(self.time) <= 1 or not os.path.exists(filename)
+        with open(filename, "wb" if fresh else "ab") as f:
             if fresh:
                 f.write(_FRAMES_MAGIC)
             f.write(_FRAME_TAG + len(payload).to_bytes(8, "little"))
@@ -139,36 +239,87 @@ class Yields:
 
     def plate_frames(self, filename: str) -> None:
         """Restore the store from a framed file. A torn trailing frame
-        (crash mid-append) is dropped; anything else malformed raises."""
-        with open(filename, "rb") as f:
-            data = f.read()
-        if data[:8] != _FRAMES_MAGIC:
-            raise IOError(f"{filename}: not an al26 framed yields file")
-        frames = []
-        off = 8
-        while off < len(data):
-            head = data[off:off + 12]
-            if len(head) < 12 or head[:4] != _FRAME_TAG:
-                if off + 12 >= len(data):
-                    break  # torn header at EOF
-                raise IOError(f"{filename}: corrupt frame header @ {off}")
-            ln = int.from_bytes(head[4:12], "little")
-            off += 12
-            if off + ln > len(data):
-                break  # torn payload at EOF: keep the complete prefix
-            frames.append(ubjson.loadb(decompress(data[off:off + ln])))
-            off += ln
+        (crash mid-append) is dropped; anything else malformed raises.
+        Records each frame's byte offset so a resume from an earlier
+        checkpoint can truncate stale future frames (truncate_frames)."""
         self.time = []
         for name in _SERIES + _SUMS:
             setattr(self, name, [])
-        for fr in frames:
+        frames_tail = None
+        self._frame_offsets = []
+        for off, fr in _iter_frames(filename, with_offsets=True):
+            self._frame_offsets.append(off)
             self.time.append(fr["time"])
             for name in _SERIES + _SUMS:
                 getattr(self, name).append(fr[name])
-        if frames:
+            frames_tail = fr
+        if frames_tail is not None:
             for name in _FINALS:
-                setattr(self, name, frames[-1][name])
-        self.first_write = not frames
+                setattr(self, name, frames_tail[name])
+        self.first_write = frames_tail is None
+
+    def bound(self) -> None:
+        """Switch an (already loaded) store to bounded mode: the per-star
+        history is dropped from RAM — safe only when the framed file holds
+        the full history (driver resume path)."""
+        self._bounded = True
+        for name in _SERIES:
+            lst = getattr(self, name)
+            if len(lst) > 1:
+                del lst[:-1]
+
+    def truncate_frames(self, filename: str, t_max: float) -> None:
+        """Drop snapshots with time > t_max from BOTH the store and the
+        framed file. A resume from an earlier checkpoint (-nc K) must not
+        leave the later saves' frames in the file: the run re-simulates
+        from K and appends fresh frames, and a stale tail would make the
+        series non-monotonic. (The reference's whole-blob rewrite self-heals
+        here only because it discards the file each save.) Requires the
+        store to have been loaded by plate_frames (for the byte offsets)."""
+        eps = 1e-9 * max(1.0, abs(t_max))
+        k = sum(1 for t in self.time if t <= t_max + eps)
+        if k == len(self.time):
+            return
+        if self._frame_offsets is None:
+            raise ValueError("truncate_frames needs a plate_frames-loaded store")
+        self.time = self.time[:k]
+        for name in _SERIES + _SUMS:
+            setattr(self, name, getattr(self, name)[:k])
+        if k > 0:
+            last = None
+            for i, fr in enumerate(_iter_frames(filename)):
+                if i == k - 1:
+                    last = fr
+                    break
+            for name in _FINALS:
+                setattr(self, name, last[name])
+        end = self._frame_offsets[k] if k > 0 else len(_FRAMES_MAGIC)
+        with open(filename, "r+b") as f:
+            f.truncate(end)
+        self._frame_offsets = self._frame_offsets[:k]
+        self.first_write = k == 0
+
+    def backfill_frames(self, filename: str) -> None:
+        """Write every in-memory snapshot as a frame (oldest first),
+        truncating the file. Used when resuming a run that only has the
+        reference-format blob (e.g. written by the reference itself): the
+        framed file is seeded with the restored history so bounded mode
+        and the final streamed blob see the complete series. Finals are
+        whole-cluster overwrites (only the LAST frame's are ever read), so
+        each backfilled frame carries the current ones."""
+        with open(filename, "wb") as f:
+            f.write(_FRAMES_MAGIC)
+            for i in range(len(self.time)):
+                frame: dict = {"time": self.time[i]}
+                for name in _SERIES:
+                    frame[name] = getattr(self, name)[i]
+                for name in _SUMS:
+                    frame[name] = getattr(self, name)[i]
+                for name in _FINALS:
+                    frame[name] = getattr(self, name)
+                payload = compress(ubjson.dumpb(frame))
+                f.write(_FRAME_TAG + len(payload).to_bytes(8, "little"))
+                f.write(payload)
 
     def as_arrays(self) -> "Yields":
         """Convert list attributes to numpy arrays in place

@@ -104,6 +104,25 @@ def _rebuild_aux(cfg: SimConfig, cluster, data_dir=None) -> SimAux:
                      data_dir, np.asarray(cluster.is_interloper))
 
 
+def _bound_resumed_yields(yields: Yields, base: str, cfg: SimConfig,
+                          t_myr: float) -> None:
+    """Prepare a resumed yields store for frames-mode writing: truncate
+    stale future frames (resume from an earlier checkpoint, -nc K), seed
+    the framed file from the blob history when only the reference-format
+    blob exists (e.g. a reference-written run), then drop the per-star
+    history from RAM (io.yields_store bounded mode)."""
+    if not getattr(cfg, "yields_frames", False):
+        return
+    frames_path = ckpt.yields_frames_filename(base)
+    import os
+
+    if os.path.exists(frames_path):
+        yields.truncate_frames(frames_path, t_myr)
+    else:
+        yields.backfill_frames(frames_path)
+    yields.bound()
+
+
 def load_run(base: str, n_checkpoint: Optional[int] = None,
              override_cfg: Optional[SimConfig] = None):
     """Resume from checkpoint files (al26_nbody.py:1647-1656, 1734-1737).
@@ -143,12 +162,14 @@ def run(cfg: SimConfig, progress: bool = True,
             cfg.reload, cfg.n_checkpoint
         )
         base = metadata.filename
+        _bound_resumed_yields(yields, base, cfg, float(state.time))
     else:
         state, aux, cfg = init_cluster(cfg, data_dir)
         metadata = _metadata_from_cfg(cfg)
         base = metadata.filename
         converter = Converter(cfg.rc, float(np.asarray(state.cluster.mass).sum()))
-        yields = Yields(base)
+        yields = Yields(base, bounded=bool(getattr(cfg, "yields_frames",
+                                                   False)))
         # initial checkpoint #0 (al26_nbody.py:1741-1745)
         _save(base, metadata, converter, yields, state, cfg,
               increment=False, verbose=cfg.verbose)
@@ -354,6 +375,11 @@ def run_ensemble(cfg: SimConfig, progress: bool = True,
         n_real = len(sim_dirs)
         batch_state, batch_aux = stack_ensemble(states, auxes)
         cfg = cfgs[0]
+        for k in range(n_real):
+            _bound_resumed_yields(
+                yieldses[k], os.path.join(sim_dirs[k], metas[k].filename),
+                cfg, float(np.asarray(states[k].time)),
+            )
         k_step = int(round(float(np.asarray(batch_state.time[0])) / cfg.dt))
         save_initial = False
     else:
@@ -368,7 +394,10 @@ def run_ensemble(cfg: SimConfig, progress: bool = True,
             sim_dirs.append(d)
             md = _metadata_from_cfg(cfgs[k].replace(filename=f"pt-{k}"))
             metas.append(md)
-            yieldses.append(Yields(os.path.join(d, md.filename)))
+            yieldses.append(Yields(
+                os.path.join(d, md.filename),
+                bounded=bool(getattr(cfg, "yields_frames", False)),
+            ))
             m_total_k = float(np.asarray(batch_state.cluster.mass[k]).sum())
             converters.append(Converter(cfg.rc, m_total_k))
         k_step = 0

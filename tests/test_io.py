@@ -395,6 +395,127 @@ def test_yields_rewrite_mode_is_reference_parity(tmp_path):
     assert os.path.exists(base + "-yields.ubj.zst")
 
 
+def test_yields_frames_rerun_in_place(tmp_path):
+    """Re-running a simulation with the same base filename must truncate
+    the stale framed file, not append to it (advisor round-2 medium
+    finding): otherwise resume/plotting silently read the previous run's
+    snapshots prepended to the new series."""
+    from al26_tpu.io.yields_store import Yields
+
+    _small_run(tmp_path, seed=21)
+    _small_run(tmp_path, seed=22)  # same base name, fresh run
+    base = os.path.join(tmp_path, "testrun")
+    yf = Yields("")
+    yf.plate_frames(base + "-yields.ubjf")
+    yb = Yields("")
+    yb.plate(base + "-yields.ubj.zst")
+    assert yf.time == yb.time  # second run only, not 2x the history
+    assert yf.local_26al == yb.local_26al
+
+
+def test_bounded_store_streams_identical_blob(tmp_path):
+    """VERDICT r2 item 2: a bounded (frames-mode) store retains only the
+    latest per-star snapshot in RAM, and its streamed blob reconstruction
+    decodes IDENTICALLY to the unbounded in-memory marinate."""
+    from al26_tpu.io.yields_store import _SERIES, Yields
+    from al26_tpu.io import ubjson
+    from al26_tpu.io.compression import decompress
+
+    base_b = os.path.join(tmp_path, "bounded")
+    base_u = os.path.join(tmp_path, "unbounded")
+    yb = Yields(base_b, bounded=True)
+    yu = Yields(base_u, bounded=False)
+    frames = os.path.join(tmp_path, "b-yields.ubjf")
+    for k in range(4):
+        _feed_one(yb, k)
+        yb.marinate_frame(frames)
+        _feed_one(yu, k)
+    # RAM bound: one snapshot per series regardless of save count
+    for name in _SERIES:
+        assert len(getattr(yb, name)) == 1
+        assert len(getattr(yu, name)) == 4
+    blob_b = os.path.join(tmp_path, "b.ubj.zst")
+    blob_u = os.path.join(tmp_path, "u.ubj.zst")
+    yb.marinate(blob_b, frames_path=frames)
+    yu.marinate(blob_u)
+    with open(blob_b, "rb") as f:
+        db = ubjson.loadb(decompress(f.read()))
+    with open(blob_u, "rb") as f:
+        du = ubjson.loadb(decompress(f.read()))
+    db.pop("filename")
+    du.pop("filename")
+    assert db == du
+    # bounded without a frames path must refuse, not write a partial blob
+    with pytest.raises(ValueError):
+        yb.marinate(blob_b)
+
+
+def _feed_one(store, k, n_star=5):
+    """One synthetic update_state snapshot (deterministic in k)."""
+    rng = np.random.default_rng(1000 + k)
+
+    class _Q:
+        def __init__(self, v):
+            self.v = v
+
+        def value_in(self, unit):
+            return self.v
+
+    class P:
+        pass
+
+    p = P()
+    for iso in ("26al", "60fe"):
+        for ch in ("local", "global", "sne", "agb", "agb_raw"):
+            setattr(p, f"mass_{iso}_{ch}", _Q(rng.uniform(size=n_star)))
+            if ch != "agb_raw":
+                setattr(p, f"mass_{iso}_{ch}_final",
+                        _Q(rng.uniform(size=n_star)))
+    store.update_state(0.1 * k, p)
+
+
+def test_truncate_frames_drops_stale_tail(tmp_path):
+    """Resume from an earlier checkpoint: frames after the resume time are
+    removed from both the store and the file."""
+    from al26_tpu.io.yields_store import Yields
+
+    base = os.path.join(tmp_path, "t")
+    frames = base + "-yields.ubjf"
+    y = Yields(base, bounded=True)
+    for k in range(5):
+        _feed_one(y, k)
+        y.marinate_frame(frames)
+    loaded = Yields(base)
+    loaded.plate_frames(frames)
+    loaded.truncate_frames(frames, 0.21)  # keeps t = 0.0, 0.1, 0.2
+    assert loaded.time == pytest.approx([0.0, 0.1, 0.2])
+    assert len(loaded.local_26al) == 3
+    # the file itself is truncated, and the finals roll back to frame 2's
+    probe = Yields(base)
+    probe.plate_frames(frames)
+    assert probe.time == pytest.approx([0.0, 0.1, 0.2])
+    assert probe.local_26al == loaded.local_26al
+    assert probe.local_26al_final == loaded.local_26al_final
+
+
+def test_backfill_frames_seeds_full_history(tmp_path):
+    """A blob-only (reference-written) resume seeds the framed file from
+    the restored history so bounded mode sees the complete series."""
+    from al26_tpu.io.yields_store import Yields
+
+    base = os.path.join(tmp_path, "bf")
+    y = Yields(base)
+    for k in range(3):
+        _feed_one(y, k)
+    frames = base + "-yields.ubjf"
+    y.backfill_frames(frames)
+    back = Yields(base)
+    back.plate_frames(frames)
+    assert back.time == y.time
+    assert back.local_26al == y.local_26al
+    assert back.sne_60fe_final == y.sne_60fe_final
+
+
 def test_read_yields_accepts_frames(tmp_path):
     from al26_tpu.plotting.lib import read_yields
 
