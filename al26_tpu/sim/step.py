@@ -225,7 +225,17 @@ def _step_impl(state: SimState, aux: SimAux, cfg: SimConfig,
     if cache_ok:
         # forces are linear in source masses: correct the closing
         # evaluation for this step's stellar mass loss / SN collapses so it
-        # is exactly the next step's opening evaluation (O(N x M))
+        # is exactly the next step's opening evaluation (O(N x M)).
+        # CAVEAT (advisor r2): on the hermite4/hermite4_block paths the
+        # cached (a1, j1, pot1) was evaluated at the last substep's
+        # PREDICTED state (P(EC) semantics) while the correction uses the
+        # corrected (pos, vel) — "exact linear-in-mass" therefore holds up
+        # to the P(EC) displacement. Routine wind-loss dm makes that
+        # negligible (the measured energy-drift budget, docs/precision.md);
+        # an SN step's collapse-sized dm (~10 Msun from one source) briefly
+        # amplifies the same O(predictor-corrector) error by dm/m — still a
+        # one-step transient of the integrator's own order, not a secular
+        # drift, so the cache is kept rather than invalidated.
         from ..ops.nbody import mass_delta_correction
 
         dm = (new_state.cluster.mass[aux.msrc_idx]

@@ -51,7 +51,12 @@ def summarize(state, cfg) -> dict:
     for s, iso in enumerate(ISO_NAMES):
         for ci, ch in enumerate(CHANNEL_NAMES[:3]):   # local, global, sne
             out[f"sum_{ch}_{iso}"] = float(slr[:, s, ci].sum())
-    # final (disc-death) enrichment ratios over disc-bearing stars
+            out[f"sum_{ch}_{iso}_final"] = float(slr_final[:, s, ci].sum())
+    # final (disc-death) enrichment ratios over disc-bearing stars.
+    # Round 3 (VERDICT r2 weak item 2): percentiles are taken over the
+    # ENRICHED (nonzero) discs with the enriched count pinned separately —
+    # at rc=1.0 >90% of discs die unenriched, so whole-population
+    # percentiles were all 0.0 and guarded nothing.
     lm = (np.asarray(c.mass) >= cfg.low_mass_min) & \
          (np.asarray(c.mass) <= cfg.low_mass_max) & \
          ~np.asarray(c.is_interloper)
@@ -62,6 +67,11 @@ def summarize(state, cfg) -> dict:
     for s, iso in enumerate(ISO_NAMES):
         tot = slr_final[:, s, 0] + slr_final[:, s, 2]   # local + sne
         ratio = tot[lm] / stable[iso][lm]
+        nz = ratio[ratio > 0.0]
+        out[f"n_enriched_{iso}"] = int(nz.size)
+        out[f"ratio_{iso}_max"] = float(nz.max()) if nz.size else 0.0
         for q in (10, 50, 90):
-            out[f"ratio_{iso}_p{q}"] = float(np.percentile(ratio, q))
+            out[f"ratio_{iso}_p{q}"] = (
+                float(np.percentile(nz, q)) if nz.size else 0.0
+            )
     return out

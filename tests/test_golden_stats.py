@@ -36,15 +36,26 @@ def test_golden_n1k_bit_reproducible(golden, mode):
         )
 
 
-def test_golden_modes_coincide_at_10myr(golden):
-    """At t_f = 10 Myr the two SN gates agree for this seed: the one star
-    that collapses (t_sn < 10 requires m0 >~ 19 Msun) has m_presn above the
-    13 Msun threshold, so the reference's step-start current-mass gate and
-    our initial-mass gate fire the same SN. The gates only diverge for the
-    13-14.5 Msun bin (m_presn < 13), whose lifetimes exceed 10 Myr — see
-    test_step.py::test_sn_parity_gate_loses_low_bin_sn for that case."""
+def test_golden_modes_diverge_at_10myr(golden):
+    """Round 3: with the published LC18 vel=300 mass anchors, EVERY
+    13-25 Msun pre-SN mass (5.4-9.5 Msun, models/stellar/lc18_anchors)
+    sits below the 13 Msun threshold, so the reference's step-start
+    current-mass gate (sn_parity_mode) now suppresses the golden seed's
+    one SN (m0 ~ 19.5) that the default initial-mass candidacy keeps.
+    sn_parity_mode reproduces the reference's RULE, not its outcome —
+    the outcome depends on the stellar code's mass track, and SeBa's
+    non-rotating winds keep stars heavier than the LC18 rotating models
+    (docs/stellar_model.md). The default gate is therefore the better
+    outcome-parity mode; see also
+    test_step.py::test_sn_parity_gate_loses_low_bin_sn and
+    test_step_transcription.py (the transcription confirms step() applies
+    the same rule the reference's code does)."""
     assert golden["default"]["n_kicked"] == 1
-    assert golden["sn_parity"]["n_kicked"] == 1
     assert golden["default"]["sum_sne_26al"] > 0.0
-    assert (golden["sn_parity"]["sum_sne_26al"]
-            == golden["default"]["sum_sne_26al"])
+    assert golden["sn_parity"]["n_kicked"] == 0
+    assert golden["sn_parity"]["sum_sne_26al"] == 0.0
+    # the wind channels stay active in parity mode (local identical for
+    # this seed: the gated star is outside every 0.1 pc local bubble)
+    assert golden["sn_parity"]["sum_local_26al"] > 0.0
+    assert (golden["sn_parity"]["sum_global_26al"]
+            < golden["default"]["sum_global_26al"])

@@ -30,7 +30,9 @@ def test_f32_matches_f64_golden_statistics():
     assert got["n_kicked"] == want["n_kicked"]
     assert got["n_disk_alive"] == want["n_disk_alive"]
     for k, w in want.items():
-        if not isinstance(w, float):
+        if isinstance(w, int):
+            # counts (incl. the round-3 n_enriched_*) must agree exactly
+            assert got[k] == w, (k, got[k], w)
             continue
         g = got[k]
         if w == 0.0:

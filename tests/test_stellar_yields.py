@@ -51,7 +51,8 @@ def test_mass_at_consistent_with_mdot():
     m1 = float(st.mass_at(m0, jnp.asarray(t1)))
     m2 = float(st.mass_at(m0, jnp.asarray(t2)))
     # trapezoid across the MS->post-MS rate discontinuity limits accuracy
-    assert abs((m1 - m2) - dm) < 5e-4
+    # (one interval straddles the jump: error ~ rate_jump * dt / 2)
+    assert abs((m1 - m2) - dm) < 2e-4 * dm
 
 
 def test_sn_signal_is_exact_zero_and_remnant_mass():
@@ -60,7 +61,9 @@ def test_sn_signal_is_exact_zero_and_remnant_mass():
     assert float(st.wind_mdot(m0, jnp.asarray(t_cc * 1.0001))) == 0.0
     assert float(st.wind_mdot(m0, jnp.asarray(t_cc * 0.999))) > 0.0
     m_after = float(st.mass_at(m0, jnp.asarray(t_cc * 1.01)))
-    assert 1.0 < m_after < 2.5  # NS for a 20 Msun star
+    # compact remnant for a 20 Msun star: the LC18 vel=300 [Fe/H]=0
+    # mass-conservation anchor is 3.11 Msun (lc18_anchors)
+    assert 1.0 < m_after < 4.0
 
 
 def test_total_wind_loss_semantics():
@@ -305,3 +308,131 @@ def test_metallicity_config_guard():
     with pytest.raises(ValueError, match="metallicity"):
         init_cluster(SimConfig(n=8, metallicity=0.5,
                                no_massive_star_requirement=True))
+
+
+# ---------------------------------------------------------------------------
+# Round-3 anchor provenance (VERDICT r2 item 1): every mass anchor derives
+# from a published source, pinned here by independent re-derivation.
+# ---------------------------------------------------------------------------
+def _independent_lc18_sums(path, n_mass, vel, feh):
+    """Test-local re-parse of the raw LC18 machine-readable tables: sum of
+    all isotopic yields per initial mass (mass conservation)."""
+    import os
+    import re
+
+    sums = np.zeros(n_mass)
+    row = re.compile(r"^\s*(\d+)\s+(-?\d+)\s+(\S+)\s+(.*)$")
+    with open(path) as f:
+        for line in f:
+            m = row.match(line)
+            if not m:
+                continue
+            vals = m.group(4).split()
+            if len(vals) != n_mass:
+                continue
+            if int(m.group(1)) == vel and int(m.group(2)) == feh:
+                sums += [float(x) for x in vals]
+    return sums
+
+
+def test_lc18_anchors_match_independent_rederivation():
+    """m_rem = m_ini - sum(table 8), m_presn = m_ini - sum(table 9),
+    re-derived in-test from the shipped raw tables for every [Fe/H]."""
+    import os
+
+    from al26_tpu.models.stellar import lc18_anchors as lc
+
+    raw = os.path.join(os.path.dirname(lc.__file__), "..", "..", "data",
+                       "limongi_chieffi_2018", "raw")
+    for feh in lc.FEH_GRID:
+        t8 = _independent_lc18_sums(
+            os.path.join(raw, "limongi-table-8.txt"), 9, 300, feh)
+        t9 = _independent_lc18_sums(
+            os.path.join(raw, "limongi-table-9.txt"), 4, 300, feh)
+        presn, rem = lc.anchors(feh)
+        np.testing.assert_allclose(rem, lc.M_GRID - t8, rtol=1e-12)
+        np.testing.assert_allclose(presn[:4], lc.M_GRID[:4] - t9, rtol=1e-12)
+        # direct collapse above 25 Msun: presn == rem (LC18 set R)
+        np.testing.assert_allclose(presn[4:], rem[4:], rtol=1e-12)
+        # physical ordering
+        assert np.all(rem > 0) and np.all(presn >= rem)
+        assert np.all(presn <= lc.M_GRID)
+
+
+def test_evolution_uses_lc18_anchors():
+    """m_presn / m_remnant / total_wind_loss hit the LC18 anchor values
+    exactly at the grid masses, per [Fe/H] set."""
+    from al26_tpu.models.stellar import lc18_anchors as lc
+
+    for feh, z in [(0, 0.02), (-1, 0.002), (-2, 2e-4), (-3, 2e-5)]:
+        presn, rem = lc.anchors(feh)
+        mg = jnp.asarray(lc.M_GRID)
+        np.testing.assert_allclose(np.asarray(st.m_presn(mg, z)), presn,
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(st.m_remnant(mg, z)), rem,
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(st.total_wind_loss(mg, z)),
+                                   lc.M_GRID - rem, rtol=1e-6)
+    # the [Fe/H] sets genuinely differ (metallicity threads through)
+    assert not np.allclose(np.asarray(st.m_remnant(jnp.asarray(60.0), 0.02)),
+                           np.asarray(st.m_remnant(jnp.asarray(60.0), 2e-5)))
+
+
+def test_tout96_zams_reproduces_the_sun():
+    """Tout et al. (1996) fits at 1 Msun give the ZAMS Sun:
+    L = 0.70 Lsun, R = 0.89 Rsun."""
+    from al26_tpu.models.stellar import hurley2000 as h
+
+    assert abs(float(h.l_zams(1.0)) - 0.70) < 0.02
+    assert abs(float(h.r_zams(1.0)) - 0.89) < 0.02
+    # monotone growth over the massive range
+    ms = np.geomspace(1.0, 150.0, 50)
+    assert np.all(np.diff(h.l_zams(ms)) > 0)
+    assert np.all(np.diff(h.r_zams(ms)) > 0)
+
+
+def test_nj90_formula_transcription():
+    """NJ90: log10(-Mdot) = -14.02 + 1.24 logL + 0.16 logM + 0.81 logR,
+    evaluated independently here against hurley2000.mdot_nj90."""
+    from al26_tpu.models.stellar import hurley2000 as h
+
+    rng = np.random.default_rng(3)
+    for _ in range(20):
+        m = rng.uniform(1.0, 120.0)
+        L = rng.uniform(1.0, 2e6)
+        R = rng.uniform(0.5, 1000.0)
+        expect = 10.0 ** (-14.02 + 1.24 * np.log10(L) + 0.16 * np.log10(m)
+                          + 0.81 * np.log10(R))
+        assert abs(float(h.mdot_nj90(m, L, R)) / expect - 1.0) < 1e-4
+
+
+def test_ms_wind_cap_never_engages_on_grid():
+    """The _MS_BUDGET_CAP guard is inactive for every LC18 grid mass and
+    [Fe/H]: the NJ90-at-ZAMS MS loss stays below half the wind budget, so
+    the post-MS rate is strictly positive (the SN signal is mdot == 0)."""
+    from al26_tpu.models.stellar import hurley2000 as h
+    from al26_tpu.models.stellar import lc18_anchors as lc
+
+    tms = np.asarray(h.t_ms(lc.M_GRID))
+    for feh, z in [(0, 0.02), (-1, 0.002), (-2, 2e-4), (-3, 2e-5)]:
+        presn, _ = lc.anchors(feh)
+        dm_ms = np.asarray(h.ms_wind_mdot(lc.M_GRID, z)) * tms
+        frac = dm_ms / (lc.M_GRID - presn)
+        assert np.all(frac < st._MS_BUDGET_CAP), (feh, frac)
+        _, _, mdot_post, _ = st._phase_rates(jnp.asarray(lc.M_GRID), z)
+        assert np.all(np.asarray(mdot_post) > 0.0), feh
+
+
+def test_ms_mdot_table_matches_closed_form():
+    """The in-jit log-log interpolation table reproduces the host-side
+    NJ90/Tout closed form to < 0.2% (and stays finite in f32 where the
+    raw rational fits overflow)."""
+    from al26_tpu.models.stellar import hurley2000 as h
+
+    ms = np.geomspace(0.8, 150.0, 333)
+    log_mg, log_rate = st._ms_mdot_table(0.02)
+    interp = np.exp(np.interp(np.log(ms), log_mg, log_rate))
+    np.testing.assert_allclose(interp, h.ms_wind_mdot(ms, 0.02), rtol=2e-3)
+    out = st._phase_rates(jnp.asarray([120.0, 150.0], jnp.float32), 0.02)
+    for arr in out:
+        assert np.isfinite(np.asarray(arr)).all()

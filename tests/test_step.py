@@ -282,10 +282,13 @@ def test_sn_fires_for_13msun_star_that_thins_below_threshold():
 
 def test_sn_parity_gate_loses_low_bin_sn():
     """The deliberate physics deviation, demonstrated at the step level:
-    a 13.5 Msun star's pre-SN mass (~12.6) sits BELOW the 13 Msun
-    threshold, so the reference's step-start current-mass gate
-    (sn_parity_mode=True, al26_nbody.py:767,945-948) never fires its
-    supernova, while the default initial-mass candidacy does."""
+    a 13.5 Msun star's pre-SN mass (~5.5 with the round-3 LC18 vel=300
+    anchors) sits BELOW the 13 Msun threshold, so the reference's
+    step-start current-mass gate (sn_parity_mode=True,
+    al26_nbody.py:767,945-948) never fires its supernova, while the
+    default initial-mass candidacy does. (Since round 3 this applies to
+    the whole 13-25 Msun range — see
+    test_golden_stats.test_golden_modes_diverge_at_10myr.)"""
     import dataclasses
 
     import jax.numpy as jnp

@@ -1,0 +1,188 @@
+"""Step-LEVEL reference parity (VERDICT r2 item 3): the composed physics
+step is diffed against an independent pure-numpy transcription of the
+reference's evolve_simulation ordering (tests/reference_step_numpy.py,
+written line-by-line from al26_nbody.py:704-1113).
+
+N = 32 stars, 50 steps, float64, cfg.sn_parity_mode (the reference's
+step-start current-mass gate) — positions frozen so the diff isolates
+the PHYSICS ordering (winds x4 -> SNe -> decay -> condense) plus the
+virial radius, with the N-body advance covered by its own tests. The
+window t = 7.2 .. 7.7 Myr is chosen to exercise every branch:
+
+  * a 60 Msun star already collapsed before the window (kicked, mdot 0);
+  * a 25 Msun star COLLAPSING inside the window (t_sn = 7.59 Myr) whose
+    pre-SN mass (9.48) sits below the 13 Msun threshold -> the
+    current-mass gate must drop both its late wind and its SN;
+  * 20 / 14 Msun stars alive with active winds throughout;
+  * several discs whose tau_disk expires inside the window (condense).
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import reference_step_numpy as ref
+from al26_tpu.config import SimConfig
+from al26_tpu.ops.nbody import virial_radius
+from al26_tpu.sim import init_cluster
+from al26_tpu.sim.init import build_aux
+from al26_tpu.sim.step import physics_after_advance
+from al26_tpu.state import CH_GLOBAL, CH_LOCAL, CH_SNE
+
+N = 32
+N_STEPS = 50
+T0 = 7.2
+
+
+def _setup():
+    from al26_tpu.models.stellar import evolution as st
+
+    cfg = SimConfig(n=N, rc=0.5, final_time=10.0, seed=11, dtype="f64",
+                    no_massive_star_requirement=True, sn_parity_mode=True)
+    state, aux, cfg = init_cluster(cfg)
+    m0 = np.asarray(state.cluster.m0).copy()
+    m0[0], m0[1], m0[2], m0[3] = 60.0, 25.0, 20.0, 14.0
+    assert 7.2 < float(st.t_sn(jnp.asarray(25.0))) < 7.7  # collapses inside
+    assert float(st.t_sn(jnp.asarray(60.0))) < T0         # already dead
+    k0 = int(round(T0 / cfg.dt))
+    t0 = k0 * cfg.dt
+    mass0, mdot0 = st.evolve(jnp.asarray(m0), jnp.asarray(t0))
+    mass0 = np.asarray(mass0, np.float64)
+    mdot0 = np.asarray(mdot0, np.float64)
+    kicked0 = np.asarray(st.t_sn(jnp.asarray(m0))) < t0
+
+    rng = np.random.default_rng(7)
+    wind_ratio = np.zeros((N, 2))
+    sn_yield = np.zeros((N, 2))
+    hm = m0 >= 13.0
+    wind_ratio[hm] = rng.uniform(1e-6, 1e-4, size=(hm.sum(), 2))
+    sn_yield[hm] = rng.uniform(1e-5, 1e-4, size=(hm.sum(), 2))
+
+    tau = np.asarray(state.cluster.tau_disk).copy()
+    lm = (mass0 >= cfg.low_mass_min) & (mass0 <= cfg.low_mass_max)
+    lm_idx = np.flatnonzero(lm)
+    # five discs die inside the window, the rest outlive it
+    tau[lm_idx[:5]] = np.linspace(T0 + 0.05, T0 + 0.45, 5)
+    tau[lm_idx[5:]] = 20.0
+
+    cluster = dataclasses.replace(
+        state.cluster,
+        m0=jnp.asarray(m0), mass=jnp.asarray(mass0),
+        mdot=jnp.asarray(mdot0), kicked=jnp.asarray(kicked0),
+        wind_ratio=jnp.asarray(wind_ratio), sn_yield=jnp.asarray(sn_yield),
+        tau_disk=jnp.asarray(tau),
+    )
+    state = dataclasses.replace(
+        state, cluster=cluster,
+        time=jnp.asarray(t0, jnp.float64),
+        step_count=jnp.asarray(k0, jnp.int32),
+    )
+    aux = build_aux(cfg, m0, jnp.float64)
+    return state, aux, cfg, st
+
+
+def test_step_matches_reference_transcription():
+    state, aux, cfg, st = _setup()
+    c = state.cluster
+    pos = np.asarray(c.pos, np.float64)
+    vel = np.asarray(c.vel, np.float64)
+
+    # --- numpy transcription side -------------------------------------
+    sim = {
+        "pos": pos.copy(), "vel": vel.copy(),
+        "mass": np.asarray(c.mass, np.float64).copy(),
+        "m0": np.asarray(c.m0, np.float64).copy(),
+        "r_disk": np.asarray(c.r_disk, np.float64).copy(),
+        "tau_disk": np.asarray(c.tau_disk, np.float64).copy(),
+        "disk_alive": np.asarray(c.disk_alive).copy(),
+        "kicked": np.asarray(c.kicked).copy(),
+        "wind_ratio_26al": np.asarray(c.wind_ratio[:, 0], np.float64),
+        "wind_ratio_60fe": np.asarray(c.wind_ratio[:, 1], np.float64),
+        "sn_yield_26al": np.asarray(c.sn_yield[:, 0], np.float64),
+        "sn_yield_60fe": np.asarray(c.sn_yield[:, 1], np.float64),
+        "evolve": lambda m0, t: tuple(
+            np.asarray(a, np.float64)
+            for a in st.evolve(jnp.asarray(m0), jnp.asarray(t))
+        ),
+    }
+    for iso in ("26al", "60fe"):
+        for ch in ("local", "global", "sne"):
+            sim[f"mass_{iso}_{ch}"] = np.zeros(N)
+            sim[f"mass_{iso}_{ch}_final"] = np.zeros(N)
+
+    r_virs_ref = []
+    t0 = float(state.time)
+    for k in range(N_STEPS):
+        t_new = float(state.time) + (k + 1) * cfg.dt
+        r_virs_ref.append(ref.reference_step(sim, t_new, cfg.dt))
+
+    # --- al26_tpu side: the jitted composed physics at frozen positions --
+    @jax.jit
+    def run(s):
+        def body(s, _):
+            rv = virial_radius(s.cluster.pos, s.cluster.mass)
+            s2 = physics_after_advance(s, aux, cfg, s.cluster.pos,
+                                       s.cluster.pos, s.cluster.vel, rv)
+            return s2, rv
+        return jax.lax.scan(body, s, None, length=N_STEPS)
+
+    out, r_virs = run(state)
+    oc = out.cluster
+
+    # virial radius: our pairwise-potential helper vs the AMUSE-style
+    # transcription loop
+    np.testing.assert_allclose(np.asarray(r_virs), np.asarray(r_virs_ref),
+                               rtol=1e-12)
+
+    slr = np.asarray(oc.slr, np.float64)
+    slr_final = np.asarray(oc.slr_final, np.float64)
+    iso_idx = {"26al": 0, "60fe": 1}
+    ch_idx = {"local": CH_LOCAL, "global": CH_GLOBAL, "sne": CH_SNE}
+    for iso, s_i in iso_idx.items():
+        for ch, c_i in ch_idx.items():
+            np.testing.assert_allclose(
+                slr[:, s_i, c_i], sim[f"mass_{iso}_{ch}"],
+                rtol=1e-12, atol=1e-22,
+                err_msg=f"{iso}/{ch} accumulated reservoir diverges",
+            )
+            np.testing.assert_allclose(
+                slr_final[:, s_i, c_i], sim[f"mass_{iso}_{ch}_final"],
+                rtol=1e-12, atol=1e-22,
+                err_msg=f"{iso}/{ch} condensed finals diverge",
+            )
+    np.testing.assert_array_equal(np.asarray(oc.kicked), sim["kicked"])
+    np.testing.assert_array_equal(np.asarray(oc.disk_alive),
+                                  sim["disk_alive"])
+    np.testing.assert_allclose(np.asarray(oc.mass, np.float64), sim["mass"],
+                               rtol=1e-14)
+
+    # the window really exercised every branch
+    assert sim["kicked"][0]                       # pre-window collapse
+    assert not sim["kicked"][1]                   # 25 Msun SN gated away
+    assert slr[:, 0, CH_SNE].sum() == 0.0         # (current-mass gate)
+    assert slr[:, 0, CH_LOCAL].sum() > 0.0 or slr[:, 0, CH_GLOBAL].sum() > 0
+    assert (~sim["disk_alive"][np.flatnonzero(
+        (sim["mass"] >= cfg.low_mass_min)
+        & (sim["mass"] <= cfg.low_mass_max))[:5]]).all()
+
+
+def test_transcription_default_gate_fires_the_gated_sn():
+    """Same window WITHOUT sn_parity_mode: the initial-mass candidacy
+    keeps the 25 Msun star's supernova (the documented deliberate
+    deviation, ops.deposition.sn_injection docstring)."""
+    state, aux, cfg, st = _setup()
+    cfg = cfg.replace(sn_parity_mode=False)
+
+    @jax.jit
+    def run(s):
+        def body(s, _):
+            rv = virial_radius(s.cluster.pos, s.cluster.mass)
+            return physics_after_advance(s, aux, cfg, s.cluster.pos,
+                                         s.cluster.pos, s.cluster.vel,
+                                         rv), None
+        return jax.lax.scan(body, s, None, length=N_STEPS)[0]
+
+    out = run(state)
+    assert bool(out.cluster.kicked[1])
+    assert float(np.asarray(out.cluster.slr)[:, 0, CH_SNE].sum()) > 0.0
