@@ -126,6 +126,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--leapfrog_n_sub", type=int, default=None,
                    help="Leapfrog substeps per outer step; default: BHTree "
                         "parity (1/64 N-body time unit)")
+    p.add_argument("--no_force_cache", dest="force_cache",
+                   action="store_false",
+                   help="Disable the cross-step force cache (two full "
+                        "O(N^2) sweeps per step like the reference instead "
+                        "of one; see SimConfig.force_cache)")
     p.add_argument("--no_validate", dest="validate", action="store_false",
                    help="Disable state invariant checks at checkpoints")
     p.add_argument("--orbax_dir", type=str, default=None,

@@ -101,6 +101,14 @@ class SimConfig:
     #   (docs/precision.md). Single-cluster path only: flattened ensembles
     #   keep the raw-pot virial radius (their group-masked sweeps use the
     #   exact VPU sums, so there is nothing to save).
+    force_cache: bool = True           # carry each step's closing force
+    #   evaluation into the next step's opening one (mass-delta-corrected;
+    #   sim/step.py) — ONE full O(N^2) sweep per step instead of two, on
+    #   the Pallas single-chip AND sharded-mesh paths. Exact for leapfrog;
+    #   P(EC) semantics for the Hermite integrators (the opening eval is
+    #   the last substep's predicted-state one — measured energy drift
+    #   unchanged, docs/precision.md). False = re-evaluate every step
+    #   (the reference's behavior, al26_nbody.py:871-876).
     dtype: str = "f64"                 # "f32" | "f64" compute precision
 
     natal_kicks: bool = False          # apply a Maxwellian natal kick to the

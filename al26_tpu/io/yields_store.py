@@ -100,14 +100,25 @@ class Yields:
         for iso in ISO_NAMES:
             for ch in ("local", "global", "sne", "agb", "agb_raw"):
                 vals = getattr(particles, f"mass_{iso}_{ch}").value_in(msol)
-                getattr(self, f"{ch}_{iso}").append(list(map(float, vals)))
+                if self._bounded:
+                    # numpy snapshot: encodes to the IDENTICAL UBJSON
+                    # typed-array wire bytes as a float list, without
+                    # boxing N floats per series per save (~50x faster at
+                    # N=1e5; the unbounded store keeps the reference's
+                    # list-of-floats attribute layout)
+                    snap = np.asarray(vals, np.float64)
+                else:
+                    snap = list(map(float, vals))
+                getattr(self, f"{ch}_{iso}").append(snap)
                 if ch != "agb_raw":
                     getattr(self, f"sum_{ch}_{iso}").append(float(np.sum(vals)))
+                    fin = getattr(
+                        particles, f"mass_{iso}_{ch}_final"
+                    ).value_in(msol)
                     setattr(
                         self, f"{ch}_{iso}_final",
-                        list(map(float, getattr(
-                            particles, f"mass_{iso}_{ch}_final"
-                        ).value_in(msol))),
+                        np.asarray(fin, np.float64) if self._bounded
+                        else list(map(float, fin)),
                     )
         if self.first_write:
             self.write_csv_header()
@@ -164,43 +175,59 @@ class Yields:
     def _marinate_streamed(self, filename: str, frames_path: str,
                            level: int = 8) -> None:
         """Write the reference-format blob without materialising the run
-        history: the uncompressed UBJSON streams to a temp file (object
-        composed key-by-key, each series replayed frame-by-frame from the
-        framed file — UBJSON containers are compositional, ubjson.encode_key),
-        then zstd-compresses file-to-file with the content size recorded in
-        the frame header so the reference's one-shot decompress
-        (al26_nbody.py:335-345) still reads it. Decodes identically to the
-        unbounded in-memory marinate (tests/test_io.py)."""
+        history: ONE pass over the framed file decodes each frame once and
+        spools every series' per-save encodings to its own temp file
+        (UBJSON containers are compositional, ubjson.encode_key); the
+        spools are then concatenated into the uncompressed object stream
+        and zstd-compressed file-to-file with the content size recorded in
+        the frame header, so the reference's one-shot decompress
+        (al26_nbody.py:335-345) still reads it. O(N) peak memory; decodes
+        identically to the unbounded in-memory marinate (tests/test_io)."""
+        import shutil
+
         import zstandard as zstd
 
         tmp = filename + ".tmp-ubj"
-        with open(tmp, "wb") as out:
-            out.write(b"{")
-
-            def put(key, value):
-                out.write(ubjson.encode_key(key))
-                out.write(ubjson.dumpb(value))
-
-            put("filename", self.filename)
-            put("time", self.time)
-            for name in _SERIES:
-                out.write(ubjson.encode_key(name))
-                out.write(b"[")
-                for fr in _iter_frames(frames_path):
-                    out.write(ubjson.dumpb(fr[name]))
-                out.write(b"]")
-            for name in _SUMS:
-                put(name, getattr(self, name))
-            for name in _FINALS:
-                put(name, getattr(self, name))
-            put("first_write", self.first_write)
-            out.write(b"}")
+        spools = {name: filename + f".tmp-{name}" for name in _SERIES}
         try:
+            handles = {n: open(p, "wb") for n, p in spools.items()}
+            try:
+                for fr in _iter_frames(frames_path):
+                    for name in _SERIES:
+                        handles[name].write(ubjson.dumpb(fr[name]))
+            finally:
+                for h in handles.values():
+                    h.close()
+            with open(tmp, "wb") as out:
+                out.write(b"{")
+
+                def put(key, value):
+                    out.write(ubjson.encode_key(key))
+                    out.write(ubjson.dumpb(value))
+
+                put("filename", self.filename)
+                put("time", self.time)
+                for name in _SERIES:
+                    out.write(ubjson.encode_key(name))
+                    out.write(b"[")
+                    with open(spools[name], "rb") as sp:
+                        shutil.copyfileobj(sp, out)
+                    out.write(b"]")
+                for name in _SUMS:
+                    put(name, getattr(self, name))
+                for name in _FINALS:
+                    put(name, getattr(self, name))
+                put("first_write", self.first_write)
+                out.write(b"}")
             cctx = zstd.ZstdCompressor(level=level, threads=-1)
             with open(tmp, "rb") as ifh, open(filename, "wb") as ofh:
                 cctx.copy_stream(ifh, ofh, size=os.path.getsize(tmp))
         finally:
-            os.remove(tmp)
+            for p in spools.values():
+                if os.path.exists(p):
+                    os.remove(p)
+            if os.path.exists(tmp):
+                os.remove(tmp)
 
     def plate(self, filename: str) -> None:
         """Restore attributes from a marinated file (also reads files

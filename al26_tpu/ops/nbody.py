@@ -84,19 +84,24 @@ def acc_jerk_pot_dense(
     return acc, jerk, pot
 
 
-def _row_block_acc_jerk_pot(pos_i, vel_i, pos, vel, mass, eps2, g, self_rows):
+def _row_block_acc_jerk_pot(pos_i, vel_i, pos, vel, mass, eps2, g, self_rows,
+                            pot_eps2=None, col_offset=0):
     """Force on a row block [B,3] from all sources [N,3].
 
     `self_rows` gives the global indices of the block rows so the self pair
-    can be masked out exactly.
-    """
+    can be masked out exactly; `col_offset` is the global index of the
+    FIRST source column (nonzero when the caller shards the columns —
+    parallel.sharded.make_sharded_force_rows). `pot_eps2` softens the
+    potential separately from the forces (1e-30 ~ unsoftened) so one sweep
+    serves both the integrator and the virial radius, mirroring the Pallas
+    kernel (ops.pallas_nbody)."""
     n = pos.shape[0]
     dx = pos[None, :, :] - pos_i[:, None, :]
     dv = vel[None, :, :] - vel_i[:, None, :]
     r2 = jnp.sum(dx * dx, axis=-1) + eps2
     inv_r = jax.lax.rsqrt(r2)
     inv_r3 = inv_r / r2
-    cols = jnp.arange(n)
+    cols = col_offset + jnp.arange(n)
     self_mask = cols[None, :] == self_rows[:, None]
     inv_r = jnp.where(self_mask, 0.0, inv_r)
     inv_r3 = jnp.where(self_mask, 0.0, inv_r3)
@@ -108,7 +113,12 @@ def _row_block_acc_jerk_pot(pos_i, vel_i, pos, vel, mass, eps2, g, self_rows):
         jnp.einsum("ij,ijk->ik", mj3, dv)
         - 3.0 * jnp.einsum("ij,ijk->ik", mj3 * xv / r2_safe, dx)
     )
-    pot = -g * jnp.sum(mass[None, :] * inv_r, axis=1)
+    if pot_eps2 is None:
+        inv_rp = inv_r
+    else:
+        r2p = r2 - eps2 + pot_eps2
+        inv_rp = jnp.where(self_mask, 0.0, jax.lax.rsqrt(r2p))
+    pot = -g * jnp.sum(mass[None, :] * inv_rp, axis=1)
     return acc, jerk, pot
 
 

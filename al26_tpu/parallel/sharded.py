@@ -43,13 +43,17 @@ def pad_to_multiple(n: int, d: int) -> int:
 
 def _local_rows_force(pos_l, vel_l, mass_l, eps2, g, axis,
                       use_pallas: bool | None = None,
-                      with_jerk: bool = True):
+                      with_jerk: bool = True,
+                      pot_eps2: float | None = None):
     """Per-shard body: gather all columns, compute this shard's row block.
 
     On a real TPU backend with f32 data and a big enough block, the row
     sweep runs through the Pallas row-block kernel
     (ops.pallas_nbody.pallas_acc_jerk_pot_rows) — the multi-chip path uses
-    the same 52 Gpairs/s-per-chip kernel as the single-chip one."""
+    the same 52 Gpairs/s-per-chip kernel as the single-chip one.
+    `pot_eps2` separates the potential softening from the force softening
+    so ONE sweep serves both the integrator and the virial radius
+    (al26_nbody.py:767-770; same convention as the Pallas kernel)."""
     pos = jax.lax.all_gather(pos_l, axis, tiled=True)
     vel = jax.lax.all_gather(vel_l, axis, tiled=True)
     mass = jax.lax.all_gather(mass_l, axis, tiled=True)
@@ -65,10 +69,12 @@ def _local_rows_force(pos_l, vel_l, mass_l, eps2, g, axis,
 
         return pallas_acc_jerk_pot_rows(
             pos_l, vel_l, rows, pos, vel, mass, eps2=float(eps2), g=g,
+            with_jerk=with_jerk, pot_eps2=pot_eps2,
         )
     from ..ops.nbody import _row_block_acc_jerk_pot
 
-    return _row_block_acc_jerk_pot(pos_l, vel_l, pos, vel, mass, eps2, g, rows)
+    return _row_block_acc_jerk_pot(pos_l, vel_l, pos, vel, mass, eps2, g,
+                                   rows, pot_eps2=pot_eps2)
 
 
 def make_sharded_force(
@@ -106,8 +112,14 @@ def sharded_acc_jerk_pot(
     eps2: float | jax.Array = 0.0,
     g: float = G_INTERNAL,
     axis: str = ROW_AXIS,
+    pot_eps2: float | None = None,
+    with_jerk: bool = True,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Row-sharded (acc, jerk, pot) over the mesh."""
+    """Row-sharded (acc, jerk, pot) over the mesh. With `pot_eps2` set,
+    the returned potential is softened separately from the forces, so the
+    mesh step needs no second O(N^2/D) sweep for the virial radius
+    (sim/step.py round-3 fusion; previously sharded_potential_energy ran
+    as an extra full pass every step)."""
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
@@ -116,9 +128,47 @@ def sharded_acc_jerk_pot(
         check_vma=False,  # pallas_call outputs carry no vma annotation
     )
     def _f(pos_l, vel_l, mass_l):
-        return _local_rows_force(pos_l, vel_l, mass_l, eps2, g, axis)
+        return _local_rows_force(pos_l, vel_l, mass_l, eps2, g, axis,
+                                 with_jerk=with_jerk, pot_eps2=pot_eps2)
 
     return _f(pos, vel, mass)
+
+
+def make_sharded_force_rows(
+    mesh: Mesh,
+    mass: jax.Array,
+    eps2: float | jax.Array = 0.0,
+    g: float = G_INTERNAL,
+    axis: str = ROW_AXIS,
+):
+    """`force_rows_fn(pos_rows, vel_rows, row_ids, pos_all, vel_all) ->
+    (acc, jerk)` for the block-timestep Hermite subcycle under a mesh
+    (ops.integrators.hermite4_block_advance): the K fast rows are
+    REPLICATED, the N source columns are row-sharded, each device sums its
+    K x N/D partial forces and a psum completes the reduction — O(K*N/D)
+    pair work per chip per substep, the sharded analogue of the Pallas row
+    kernel. Self pairs are masked by global column index."""
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(None), P(None), P(None), P(axis), P(axis), P(axis)),
+        out_specs=(P(None), P(None)),
+    )
+    def _rows(pr, vr, ids, pos_l, vel_l, mass_l):
+        from ..ops.nbody import _row_block_acc_jerk_pot
+
+        block = pos_l.shape[0]
+        start = jax.lax.axis_index(axis) * block
+        a, j, _ = _row_block_acc_jerk_pot(
+            pr, vr, pos_l, vel_l, mass_l, eps2, g, ids,
+            col_offset=start,
+        )
+        return (jax.lax.psum(a, axis), jax.lax.psum(j, axis))
+
+    def force_rows_fn(pr, vr, ids, p_all, v_all):
+        return _rows(pr, vr, ids, p_all, v_all, mass)
+
+    return force_rows_fn
 
 
 def sharded_potential_energy(pos, mass, mesh, eps2=0.0, g=G_INTERNAL,

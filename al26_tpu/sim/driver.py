@@ -213,24 +213,36 @@ def run(cfg: SimConfig, progress: bool = True,
         run_steps_cached_strided, stride_active,
     )
 
-    use_cache = (not write_traj) and _cacheable(
+    use_cache = _cacheable(
         cfg, state.cluster.n, state.cluster.pos.dtype, mesh, cfg.force_impl
     )
+    # the stride's interior physics steps have no per-step row collection,
+    # so trajectory runs stay unstrided (cached, though — round 3)
     use_stride = (not write_traj) and stride_active(
         cfg, state.cluster.n, state.cluster.pos.dtype, mesh, cfg.force_impl
     )
     cache = [None]
 
+    def seed_cache(s):
+        if cache[0] is None:
+            cache[0] = fresh_cache(s, cfg,
+                                   _resolve_integ(cfg, s.cluster.n), mesh)
+
     def advance_steps(s, n):
         if write_traj:
-            s, rows = run_steps_traj(s, aux, cfg, n, mesh=mesh,
-                                     force_impl=cfg.force_impl)
+            if use_cache:
+                from .step import run_steps_traj_cached
+
+                seed_cache(s)
+                s, cache[0], rows = run_steps_traj_cached(
+                    s, cache[0], aux, cfg, n, mesh, cfg.force_impl)
+            else:
+                s, rows = run_steps_traj(s, aux, cfg, n, mesh=mesh,
+                                         force_impl=cfg.force_impl)
             _append_trajectory(np.asarray(rows))
             return s
         if use_cache:
-            if cache[0] is None:
-                cache[0] = fresh_cache(s, cfg,
-                                       _resolve_integ(cfg, s.cluster.n))
+            seed_cache(s)
             if use_stride:
                 s, cache[0] = run_steps_cached_strided(
                     s, cache[0], aux, cfg, n, mesh, cfg.force_impl)

@@ -123,18 +123,24 @@ def _cacheable(cfg: SimConfig, n, dtype, mesh, force_impl) -> bool:
     (leapfrog's closing eval is at the final positions exactly;
     hermite4's and hermite4_block's under P(EC) semantics — the last
     substep's evaluation at its predicted state, exactly what the loop
-    itself consumed)."""
+    itself consumed). Round 3: the MESH path caches too (the sharded
+    sweep returns acc/jerk/pot in one pass, the cache lives row-sharded,
+    and the mass-delta correction is plain jnp that GSPMD partitions);
+    only the ring backend stays uncached (its streamed force returns no
+    potential)."""
     integ = _resolve_integ(cfg, n)
+    if not getattr(cfg, "force_cache", True):
+        return False
     # natal kicks change velocities outside the advance: the cached acc/pot
     # (position/mass-only) stay exact, but the Hermite integrators' cached
     # JERK is velocity-dependent and would go stale on SN steps
     if cfg.natal_kicks and integ in ("hermite4", "hermite4_block"):
         return False
-    return (
-        mesh is None
-        and integ in ("leapfrog", "hermite4", "hermite4_block")
-        and _pallas_here(cfg, n, dtype, mesh, force_impl)
-    )
+    if integ not in ("leapfrog", "hermite4", "hermite4_block"):
+        return False
+    if mesh is not None:
+        return force_impl in ("auto", "sharded")
+    return _pallas_here(cfg, n, dtype, mesh, force_impl)
 
 
 def _step_impl(state: SimState, aux: SimAux, cfg: SimConfig,
@@ -155,13 +161,26 @@ def _step_impl(state: SimState, aux: SimAux, cfg: SimConfig,
                                          force_impl)
 
     # -- 1. cluster virial radius from the step-start state (:767-770) ------
-    # On the Pallas path the SAME sweep yields the integrator's step-start
-    # forces (softened, cfg.eps2) and the UNsoftened potential the virial
-    # radius needs — no second O(N^2) pass. With a cache, even that sweep
-    # is the previous step's closing evaluation.
+    # On the Pallas AND sharded-mesh paths the SAME sweep yields the
+    # integrator's step-start forces (softened, cfg.eps2) and the
+    # UNsoftened potential the virial radius needs — no second O(N^2)
+    # pass. With a cache, even that sweep is the previous step's closing
+    # evaluation.
     init_eval = None
     needs_jerk = integ in ("hermite4", "hermite4_block")
-    if mesh is not None:
+    fused_mesh = mesh is not None and force_impl in ("auto", "sharded")
+    if fused_mesh:
+        from ..parallel.sharded import sharded_acc_jerk_pot
+        if cache is not None:
+            a0, j0, pot = cache
+        else:
+            a0, j0, pot = sharded_acc_jerk_pot(
+                c.pos, c.vel, c.mass, mesh, eps2=cfg.eps2,
+                pot_eps2=_pot_eps2(cfg), with_jerk=needs_jerk,
+            )
+        u = 0.5 * jnp.sum(c.mass * pot)
+        init_eval = (a0, j0) if needs_jerk else (a0, None)
+    elif mesh is not None:
         from ..parallel.sharded import sharded_potential_energy
         u = sharded_potential_energy(c.pos, c.mass, mesh)
     elif pallas_here:
@@ -191,11 +210,27 @@ def _step_impl(state: SimState, aux: SimAux, cfg: SimConfig,
                                        force_impl)
     force_rows_fn = None
     if integ == "hermite4_block":
-        force_rows_fn = _build_force_rows_fn(
-            c.mass, cfg.eps2, "pallas" if pallas_here else "default"
-        )
+        if fused_mesh:
+            # round 3: the subcycle's K x N row sweeps shard their columns
+            # over the mesh (previously fell back to dense rows)
+            from ..parallel.sharded import make_sharded_force_rows
+            force_rows_fn = make_sharded_force_rows(mesh, c.mass, cfg.eps2)
+        else:
+            force_rows_fn = _build_force_rows_fn(
+                c.mass, cfg.eps2, "pallas" if pallas_here else "default"
+            )
     final_eval_fn = None
-    if cache_ok:
+    if cache_ok and fused_mesh:
+        from ..parallel.sharded import sharded_acc_jerk_pot
+
+        def final_eval_fn(p, v):
+            a, j, pot = sharded_acc_jerk_pot(
+                p, jnp.zeros_like(p) if v is None else v, c.mass, mesh,
+                eps2=cfg.eps2, pot_eps2=_pot_eps2(cfg),
+                with_jerk=needs_jerk,
+            )
+            return a, (j if needs_jerk else None), pot
+    elif cache_ok:
         from ..ops.pallas_nbody import pallas_acc_jerk_pot
 
         def final_eval_fn(p, v):
@@ -256,14 +291,24 @@ def step(state: SimState, aux: SimAux, cfg: SimConfig,
     return new_state
 
 
-def fresh_cache(state: SimState, cfg: SimConfig, integ: str):
-    """Opening (acc, jerk, pot) evaluation to seed the force cache."""
+def fresh_cache(state: SimState, cfg: SimConfig, integ: str, mesh=None):
+    """Opening (acc, jerk, pot) evaluation to seed the force cache
+    (row-sharded over `mesh` when given)."""
+    c = state.cluster
+    needs_jerk = integ in ("hermite4", "hermite4_block")
+    if mesh is not None:
+        from ..parallel.sharded import sharded_acc_jerk_pot
+
+        a, j, pot = sharded_acc_jerk_pot(
+            c.pos, c.vel, c.mass, mesh, eps2=cfg.eps2,
+            pot_eps2=_pot_eps2(cfg), with_jerk=needs_jerk,
+        )
+        return a, j, pot
     from ..ops.pallas_nbody import pallas_acc_jerk_pot
 
-    c = state.cluster
     a, j, pot = pallas_acc_jerk_pot(
         c.pos, c.vel, c.mass, cfg.eps2,
-        with_jerk=(integ in ("hermite4", "hermite4_block")),
+        with_jerk=needs_jerk,
         pot_eps2=_pot_eps2(cfg),
     )
     return a, j, pot
@@ -393,7 +438,7 @@ def run_steps(state: SimState, aux: SimAux, cfg: SimConfig,
     if _cacheable(cfg, state.cluster.n, state.cluster.pos.dtype, mesh,
                   force_impl):
         cache = fresh_cache(state, cfg,
-                            _resolve_integ(cfg, state.cluster.n))
+                            _resolve_integ(cfg, state.cluster.n), mesh)
         if stride_active(cfg, state.cluster.n, state.cluster.pos.dtype,
                          mesh, force_impl):
             state, _ = run_steps_cached_strided(state, cache, aux, cfg,
@@ -505,10 +550,12 @@ def run_strides_cached(state: SimState, cache, aux: SimAux, cfg: SimConfig,
 
 
 def stride_active(cfg: SimConfig, n, dtype, mesh, force_impl) -> bool:
-    """gravity_stride > 1 engages only on the cache-capable
-    hermite4_block Pallas path (sim/step.py:_stride_impl)."""
+    """gravity_stride > 1 engages only on the cache-capable SINGLE-CHIP
+    hermite4_block Pallas path (sim/step.py:_stride_impl calls the Pallas
+    kernel directly; the mesh path caches but does not stride yet)."""
     return (
         getattr(cfg, "gravity_stride", 1) > 1
+        and mesh is None
         and _resolve_integ(cfg, n) == "hermite4_block"
         and _cacheable(cfg, n, dtype, mesh, force_impl)
     )
@@ -538,19 +585,42 @@ def run_steps_traj(state: SimState, aux: SimAux, cfg: SimConfig,
     step: (t_sim, t_interloper, x, y, z, barycentre distance) — the data the
     reference appends to interloper_trajectory.dat each step
     (al26_nbody.py:1030-1037)."""
-    from ..ops.nbody import center_of_mass
-
     def body(s, _):
         s_new = step(s, aux, cfg, mesh, force_impl)
-        c = s_new.cluster
-        pos_int = c.pos[-1]
-        com = center_of_mass(c.pos, c.mass)
-        bary_dist = jnp.sqrt(jnp.sum((pos_int - com) ** 2))
-        t_int = s.time - jnp.asarray(cfg.interloper_offset_time, c.pos.dtype)
-        row = jnp.concatenate([
-            s.time[None], t_int[None], pos_int, bary_dist[None]
-        ])
-        return s_new, row
+        return s_new, _traj_row(s, s_new, cfg)
 
     state, rows = jax.lax.scan(body, state, None, length=n_steps)
     return state, rows
+
+
+def _traj_row(s_old: SimState, s_new: SimState, cfg: SimConfig):
+    """One interloper-trajectory row (al26_nbody.py:1030-1037):
+    (t_sim, t_interloper, x, y, z, barycentre distance)."""
+    from ..ops.nbody import center_of_mass
+
+    c = s_new.cluster
+    pos_int = c.pos[-1]
+    com = center_of_mass(c.pos, c.mass)
+    bary_dist = jnp.sqrt(jnp.sum((pos_int - com) ** 2))
+    t_int = s_old.time - jnp.asarray(cfg.interloper_offset_time, c.pos.dtype)
+    return jnp.concatenate([s_old.time[None], t_int[None], pos_int,
+                            bary_dist[None]])
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "mesh",
+                                              "force_impl"))
+def run_steps_traj_cached(state: SimState, cache, aux: SimAux,
+                          cfg: SimConfig, n_steps: int, mesh=None,
+                          force_impl: str = "auto"):
+    """run_steps_traj carrying the cross-step force cache: interloper
+    science runs get the same one-full-sweep-per-step economics as plain
+    runs (round 3; previously the trajectory path always paid the second
+    sweep). Returns (state, cache, rows)."""
+    def body(carry, _):
+        s, ch = carry
+        s_new, ch_new = _step_impl(s, aux, cfg, mesh, force_impl, ch)
+        return (s_new, ch_new), _traj_row(s, s_new, cfg)
+
+    (state, cache), rows = jax.lax.scan(body, (state, cache), None,
+                                        length=n_steps)
+    return state, cache, rows

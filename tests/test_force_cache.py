@@ -209,3 +209,50 @@ def test_hermite4_energy_conserved_with_cache():
     e0 = etot(state)
     s_end = run_steps(state, aux, cfg, 20, force_impl="pallas")
     assert abs(etot(s_end) - e0) / abs(e0) < 5e-4
+
+
+def test_cached_trajectory_matches_uncached():
+    """run_steps_traj_cached (round 3: interloper runs keep the force
+    cache) matches the uncached trajectory run — with no mass evolution
+    the mass-delta correction adds exactly 0.0, so the physics and the
+    trajectory rows are identical."""
+    from al26_tpu.sim.step import run_steps_traj, run_steps_traj_cached
+
+    cfg = SimConfig(n=64, rc=0.5, final_time=1.0, seed=6, dtype="f32",
+                    integrator="leapfrog", leapfrog_n_sub=2,
+                    star_max_mass=3.0, no_massive_star_requirement=True,
+                    interloper=True, interloper_mass=3.0,
+                    interloper_velocity=20.0, interloper_radius=0.05,
+                    interloper_offset_time=0.0,
+                    interloper_trajectory=True)
+    state, aux, cfg = init_cluster(cfg)
+    from al26_tpu.sim.step import fresh_cache
+
+    cache = fresh_cache(state, cfg, "leapfrog")
+    s_c, _, rows_c = run_steps_traj_cached(state, cache, aux, cfg, 10,
+                                           None, "pallas")
+    s_u, rows_u = run_steps_traj(state, aux, cfg, 10, force_impl="pallas")
+    np.testing.assert_allclose(np.asarray(rows_c), np.asarray(rows_u),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(s_c.cluster.pos),
+                               np.asarray(s_u.cluster.pos),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(s_c.cluster.agb_raw),
+                               np.asarray(s_u.cluster.agb_raw),
+                               rtol=1e-6, atol=1e-32)
+    # driver path: a trajectory run engages the cache (writes the file)
+    import os
+    import tempfile
+
+    from al26_tpu.sim.driver import run
+
+    cwd = os.getcwd()
+    with tempfile.TemporaryDirectory() as d:
+        os.chdir(d)
+        try:
+            run(cfg.replace(filename="tj", final_time=0.1, n_plot=2,
+                            steps_per_plot=5, force_impl="pallas"),
+                progress=False)
+            assert os.path.exists("interloper_trajectory.dat")
+        finally:
+            os.chdir(cwd)

@@ -13,6 +13,10 @@ import pytest
 
 from golden_stats import run_golden, summarize
 
+# two full N=1k 1000-step f64 runs: excluded from the default selection
+# (pyproject addopts); run with `pytest -m slow`
+pytestmark = pytest.mark.slow
+
 GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "golden",
                            "n1k_stats.json")
 

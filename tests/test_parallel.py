@@ -41,8 +41,11 @@ def test_sharded_force_matches_dense():
 
 def test_sharded_step_matches_single_device():
     """The full physics step under row sharding must equal the
-    single-device result."""
-    cfg = SimConfig(n=64, rc=1.0, final_time=10.0, seed=13)
+    single-device result (cache off on both sides: the CPU single-device
+    path has no cache, and the round-3 mesh cache changes hermite4 to
+    P(EC) semantics — pinned separately below)."""
+    cfg = SimConfig(n=64, rc=1.0, final_time=10.0, seed=13,
+                    force_cache=False)
     state, aux, cfg = init_cluster(cfg)
     mesh = make_mesh(8)
     s_ref = run_steps(state, aux, cfg, 5)
@@ -100,8 +103,12 @@ def test_driver_with_mesh_matches_unsharded(tmp_path):
     cwd = os.getcwd()
     os.chdir(tmp_path)
     try:
+        # force_cache off for BOTH: the plain CPU run has no cache path,
+        # and the round-3 meshed cache switches hermite4 to P(EC)
+        # semantics — the cached-vs-uncached agreement is pinned
+        # separately (test_mesh_cached_matches_uncached)
         base_cfg = SimConfig(n=64, rc=0.5, final_time=0.5, seed=17,
-                             n_plot=2, steps_per_plot=5)
+                             n_plot=2, steps_per_plot=5, force_cache=False)
         r1 = run(base_cfg.replace(filename="plain"), progress=False)
         r2 = run(base_cfg.replace(filename="meshed", mesh_shape=(8,)),
                  progress=False)
@@ -301,3 +308,136 @@ def test_ensemble_resume_roundtrip(tmp_path):
                                   np.asarray(full.cluster.pos))
     np.testing.assert_array_equal(np.asarray(resumed.cluster.slr),
                                   np.asarray(full.cluster.slr))
+
+
+# ---------------------------------------------------------------------------
+# Round-3 mesh-path parity with the single-chip cache machinery
+# (VERDICT r2 weak item 3 / next-round item 4)
+# ---------------------------------------------------------------------------
+def test_mesh_cached_one_sweep_per_step(monkeypatch):
+    """The sharded step runs NO sweep beyond the integrator's own: the
+    virial potential rides the fused force sweep (no
+    sharded_potential_energy pass), and the opening evaluation comes from
+    the cache — counted by tracing run_steps with instrumented per-shard
+    sweeps (everything funnels through parallel.sharded)."""
+    import al26_tpu.parallel.sharded as shd
+    from al26_tpu.sim.step import _cacheable
+
+    counter = {"n": 0}
+    pots = {"n": 0}
+    real = shd._local_rows_force
+    real_pot = shd.sharded_potential_energy
+
+    def counting(*a, **kw):
+        counter["n"] += 1
+        return real(*a, **kw)
+
+    def counting_pot(*a, **kw):
+        pots["n"] += 1
+        return real_pot(*a, **kw)
+
+    monkeypatch.setattr(shd, "_local_rows_force", counting)
+    monkeypatch.setattr(shd, "sharded_potential_energy", counting_pot)
+
+    from al26_tpu.sim.step import _step_impl, fresh_cache
+
+    cfg = SimConfig(n=64, rc=1.0, final_time=10.0, seed=23021,
+                    integrator="hermite4_block", k_fast=16)
+    state, aux, cfg = init_cluster(cfg)
+    mesh = make_mesh(8)
+    assert _cacheable(cfg, 64, state.cluster.pos.dtype, mesh, "auto")
+    state = shard_state_rows(state, mesh)
+    cache = fresh_cache(state, cfg, "hermite4_block", mesh)
+    counter["n"] = 0
+    # one EAGER step with the cache: the only full-row sweep is the
+    # closing evaluation (the subcycle's K x N row work goes through the
+    # column-sharded rows fn, counted as zero here) and the virial
+    # potential rides it — no sharded_potential_energy pass
+    _step_impl(state, aux, cfg, mesh, "auto", cache)
+    assert counter["n"] == 1, counter["n"]
+    assert pots["n"] == 0, "virial potential must ride the fused sweep"
+
+    counter["n"] = 0
+    _step_impl(state, aux, cfg.replace(force_cache=False), mesh, "auto",
+               None, want_cache=False)
+    # uncached: opening + closing full sweeps (the round-2 single-chip
+    # economics, now on the mesh; previously this path ALSO paid a
+    # separate potential sweep)
+    assert counter["n"] == 2, counter["n"]
+    assert pots["n"] == 0
+
+
+def test_mesh_cached_matches_uncached():
+    """Meshed cached (P(EC)) vs meshed uncached trajectories agree at the
+    force-cache tolerance established on the single-chip path
+    (test_force_cache.py)."""
+    cfg = SimConfig(n=64, rc=1.0, final_time=10.0, seed=29)
+    state, aux, cfg = init_cluster(cfg)
+    mesh = make_mesh(8)
+    state = shard_state_rows(state, mesh)
+    s_cached = run_steps(state, aux, cfg, 50, mesh=mesh)
+    s_plain = run_steps(state, aux, cfg.replace(force_cache=False), 50,
+                        mesh=mesh)
+    np.testing.assert_allclose(
+        np.asarray(s_cached.cluster.pos), np.asarray(s_plain.cluster.pos),
+        rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(s_cached.cluster.slr), np.asarray(s_plain.cluster.slr),
+        rtol=2e-3, atol=1e-30)
+
+
+def test_sharded_force_rows_matches_dense():
+    """make_sharded_force_rows (replicated rows x sharded columns + psum)
+    equals the dense row-subset force."""
+    from al26_tpu.ops.nbody import _row_block_acc_jerk_pot
+    from al26_tpu.parallel.sharded import make_sharded_force_rows
+
+    rng = np.random.default_rng(5)
+    n, k = 64, 8
+    pos = jnp.asarray(rng.normal(size=(n, 3)))
+    vel = jnp.asarray(rng.normal(size=(n, 3)))
+    mass = jnp.asarray(rng.uniform(0.1, 2.0, size=n))
+    ids = jnp.asarray(rng.choice(n, size=k, replace=False).astype(np.int32))
+    pr, vr = pos[ids], vel[ids]
+    mesh = make_mesh(8)
+    fn = make_sharded_force_rows(mesh, mass, eps2=0.0)
+    a_s, j_s = fn(pr, vr, ids, pos, vel)
+    from al26_tpu.units import G_INTERNAL
+
+    a_d, j_d, _ = _row_block_acc_jerk_pot(pr, vr, pos, vel, mass, 0.0,
+                                          G_INTERNAL, ids)
+    np.testing.assert_allclose(np.asarray(a_s), np.asarray(a_d),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(j_s), np.asarray(j_d),
+                               rtol=1e-10, atol=1e-12)
+
+
+def test_mesh_block_integrator_uses_sharded_rows(monkeypatch):
+    """hermite4_block under a mesh routes its subcycle through the
+    column-sharded rows function (no dense fallback), and matches the
+    unsharded block integrator."""
+    import al26_tpu.parallel.sharded as shd
+
+    made = {"n": 0}
+    real = shd.make_sharded_force_rows
+
+    def counting(*a, **kw):
+        made["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(shd, "make_sharded_force_rows", counting)
+
+    cfg = SimConfig(n=64, rc=1.0, final_time=10.0, seed=31,
+                    integrator="hermite4_block", k_fast=16,
+                    force_cache=False)
+    state, aux, cfg = init_cluster(cfg)
+    mesh = make_mesh(8)
+    s_ref = run_steps(state, aux, cfg, 5)
+    s_shd = run_steps(shard_state_rows(state, mesh), aux, cfg, 5, mesh=mesh)
+    assert made["n"] > 0
+    np.testing.assert_allclose(
+        np.asarray(s_ref.cluster.pos), np.asarray(s_shd.cluster.pos),
+        rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(s_ref.cluster.slr), np.asarray(s_shd.cluster.slr),
+        rtol=1e-9, atol=1e-30)

@@ -6,6 +6,11 @@ import json
 import os
 
 import numpy as np
+import pytest
+
+# one full N=1k 1000-step run: excluded from the default selection
+# (pyproject addopts); run with `pytest -m slow`
+pytestmark = pytest.mark.slow
 
 from al26_tpu.config import SimConfig
 from al26_tpu.sim import init_cluster, run_steps
