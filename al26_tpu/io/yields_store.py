@@ -45,27 +45,27 @@ _FINALS = [
 
 def _iter_frames(filename: str, with_offsets: bool = False):
     """Yield decoded frame dicts from a framed yields file (optionally as
-    (byte_offset, frame) pairs). A torn trailing frame — crash mid-append —
-    is dropped; anything else malformed raises."""
+    (byte_offset, frame) pairs), reading ONE frame at a time — the file is
+    never held in memory (it reaches ~200 MB at the flagship N=102400).
+    A torn trailing frame — crash mid-append — is dropped; anything else
+    malformed raises."""
+    size = os.path.getsize(filename)
     with open(filename, "rb") as f:
-        data = f.read()
-    if data[:8] != _FRAMES_MAGIC:
-        raise IOError(f"{filename}: not an al26 framed yields file")
-    off = 8
-    while off < len(data):
-        head = data[off:off + 12]
-        if len(head) < 12 or head[:4] != _FRAME_TAG:
-            if off + 12 >= len(data):
-                break  # torn header at EOF
-            raise IOError(f"{filename}: corrupt frame header @ {off}")
-        ln = int.from_bytes(head[4:12], "little")
-        start = off
-        off += 12
-        if off + ln > len(data):
-            break  # torn payload at EOF: keep the complete prefix
-        frame = ubjson.loadb(decompress(data[off:off + ln]))
-        yield (start, frame) if with_offsets else frame
-        off += ln
+        if f.read(8) != _FRAMES_MAGIC:
+            raise IOError(f"{filename}: not an al26 framed yields file")
+        off = 8
+        while off < size:
+            head = f.read(12)
+            if len(head) < 12 or head[:4] != _FRAME_TAG:
+                if off + 12 >= size:
+                    break  # torn header at EOF
+                raise IOError(f"{filename}: corrupt frame header @ {off}")
+            ln = int.from_bytes(head[4:12], "little")
+            if off + 12 + ln > size:
+                break  # torn payload at EOF: keep the complete prefix
+            frame = ubjson.loadb(decompress(f.read(ln)))
+            yield (off, frame) if with_offsets else frame
+            off += 12 + ln
 
 
 class Yields:
