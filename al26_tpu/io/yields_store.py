@@ -64,7 +64,7 @@ def _iter_frames(filename: str, with_offsets: bool = False):
             if off + 12 + ln > size:
                 break  # torn payload at EOF: keep the complete prefix
             frame = ubjson.loadb(decompress(f.read(ln)))
-            yield (off, frame) if with_offsets else frame
+            yield (off, off + 12 + ln, frame) if with_offsets else frame
             off += 12 + ln
 
 
@@ -88,6 +88,7 @@ class Yields:
         # saves that is tens of GB of host RAM.
         self._bounded = bounded
         self._frame_offsets: list | None = None
+        self._frames_end: int | None = None
 
     # -- state update (al26_nbody.py:169-220) ------------------------------
     def update_state(self, model_time_myr: float, particles) -> None:
@@ -274,8 +275,10 @@ class Yields:
             setattr(self, name, [])
         frames_tail = None
         self._frame_offsets = []
-        for off, fr in _iter_frames(filename, with_offsets=True):
+        self._frames_end = len(_FRAMES_MAGIC)
+        for off, end, fr in _iter_frames(filename, with_offsets=True):
             self._frame_offsets.append(off)
+            self._frames_end = end
             self.time.append(fr["time"])
             for name in _SERIES + _SUMS:
                 getattr(self, name).append(fr[name])
@@ -295,36 +298,54 @@ class Yields:
             if len(lst) > 1:
                 del lst[:-1]
 
-    def truncate_frames(self, filename: str, t_max: float) -> None:
-        """Drop snapshots with time > t_max from BOTH the store and the
-        framed file. A resume from an earlier checkpoint (-nc K) must not
-        leave the later saves' frames in the file: the run re-simulates
-        from K and appends fresh frames, and a stale tail would make the
-        series non-monotonic. (The reference's whole-blob rewrite self-heals
-        here only because it discards the file each save.) Requires the
-        store to have been loaded by plate_frames (for the byte offsets)."""
+    def truncate_memory(self, t_max: float) -> int:
+        """Drop snapshots with time > t_max from the STORE only; returns
+        the number kept. Finals are left as restored — used on blob-only
+        resumes, where the blob carries only the final snapshot's finals
+        (reference layout, al26_nbody.py:134-155), so there is nothing to
+        roll them back to (the reference has the same wart)."""
         eps = 1e-9 * max(1.0, abs(t_max))
         k = sum(1 for t in self.time if t <= t_max + eps)
-        if k == len(self.time):
-            return
+        if k < len(self.time):
+            self.time = self.time[:k]
+            for name in _SERIES + _SUMS:
+                setattr(self, name, getattr(self, name)[:k])
+            self.first_write = k == 0
+        return k
+
+    def truncate_frames(self, filename: str, t_max: float) -> None:
+        """Drop snapshots with time > t_max from BOTH the store and the
+        framed file, and ALWAYS truncate the file to the end of the last
+        kept frame. A resume from an earlier checkpoint (-nc K) must not
+        leave the later saves' frames in the file (the run re-simulates
+        from K and appends fresh frames — a stale tail would make the
+        series non-monotonic), and a resume after a crash mid-append must
+        not leave the torn trailing fragment (appending after garbage
+        bytes would corrupt every later read). The reference's whole-blob
+        rewrite self-heals both cases only because it discards the file
+        each save. Requires a plate_frames-loaded store (byte offsets)."""
         if self._frame_offsets is None:
             raise ValueError("truncate_frames needs a plate_frames-loaded store")
-        self.time = self.time[:k]
-        for name in _SERIES + _SUMS:
-            setattr(self, name, getattr(self, name)[:k])
-        if k > 0:
-            last = None
+        n_frames = len(self._frame_offsets)
+        k = self.truncate_memory(t_max)
+        if 0 < k < n_frames:
+            # finals roll back to the last kept frame's
             for i, fr in enumerate(_iter_frames(filename)):
                 if i == k - 1:
-                    last = fr
+                    for name in _FINALS:
+                        setattr(self, name, fr[name])
                     break
-            for name in _FINALS:
-                setattr(self, name, last[name])
-        end = self._frame_offsets[k] if k > 0 else len(_FRAMES_MAGIC)
-        with open(filename, "r+b") as f:
-            f.truncate(end)
+        if k == 0:
+            end = len(_FRAMES_MAGIC)
+        elif k < n_frames:
+            end = self._frame_offsets[k]
+        else:
+            end = self._frames_end  # keep all frames, drop any torn tail
+        if os.path.getsize(filename) > end:
+            with open(filename, "r+b") as f:
+                f.truncate(end)
         self._frame_offsets = self._frame_offsets[:k]
-        self.first_write = k == 0
+        self._frames_end = end
 
     def backfill_frames(self, filename: str) -> None:
         """Write every in-memory snapshot as a frame (oldest first),

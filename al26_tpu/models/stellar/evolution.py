@@ -35,11 +35,16 @@ conservation (models.stellar.lc18_anchors: m_rem = m_ini - sum of all
 table-8 yields, m_presn = m_ini - sum of all table-9 wind yields; direct
 collapse above 25 Msun), on the [Fe/H] set matching `z` — the SAME data
 reduction the wind/SNe SLR yield tables come from, so total_wind_loss
-(the wind_ratio normalisation, al26_nbody.py:1583-1594) is exactly
-self-consistent with the yields it normalises: a star's
-lifetime-integrated SLR release equals its LC18 wind yield by
-construction (also true of the reference, whose SeBa-derived mass loss
-cancels out of the integral the same way). Below the 13 Msun grid edge:
+(the wind_ratio normalisation, al26_nbody.py:1583-1594) is
+self-consistent with the yields it normalises. Precisely: the
+lifetime-integrated SLR release is (m0 - m_presn)/(m0 - m_remnant) of
+the LC18 wind yield — the SN collapse is a mass discontinuity, not wind,
+so exploding 13-25 Msun stars release ~70% of the tabulated wind yield
+and only direct-collapse stars (m_presn == m_remnant) release 100%.
+The reference shares this exact construction: its SeBa-derived
+integral of wind_mass_loss_rate also stops at the pre-SN mass while its
+calc_total_mass_loss denominator includes the ejecta
+(al26_nbody.py:467-493). Below the 13 Msun grid edge:
 an 8 Msun zero-wind boundary with a 1.4 Msun neutron-star remnant (the
 canonical NS mass, Hurley+2000 §6; this 8-13 band sits below the
 reference's high-mass threshold so it never enters the physics), and the

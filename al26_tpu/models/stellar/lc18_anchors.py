@@ -26,9 +26,14 @@ Everything is recomputed at import from the raw machine-readable tables in
 al26_tpu/data/limongi_chieffi_2018/raw/ — the same files
 scripts/gen_yield_tables.py reduces to the wind/SNe SLR yield tables — so
 the wind_ratio normalisation (total_wind_loss = m0 - m_remnant,
-al26_nbody.py:467-493, 1583-1594) is now exactly self-consistent with the
-yields it normalises: the lifetime-integrated SLR release of a star equals
-its LC18 wind yield by construction.
+al26_nbody.py:467-493, 1583-1594) is self-consistent with the yields it
+normalises: a star's lifetime-integrated SLR release is
+(m0 - m_presn)/(m0 - m_remnant) of its LC18 wind yield (100% for
+direct-collapse stars, where m_presn == m_remnant; ~70% for the 13-25
+Msun exploders, whose SN collapse is a mass discontinuity the wind
+integral excludes while the normalisation's denominator includes it —
+the same construction as the reference's SeBa-based one; see
+models.stellar.evolution).
 
 The rotation velocity is fixed at 300 km/s, matching the reference's
 reduction (fit-data.py selects vel==300); the [Fe/H] grid {0,-1,-2,-3}

@@ -85,7 +85,7 @@ def acc_jerk_pot_dense(
 
 
 def _row_block_acc_jerk_pot(pos_i, vel_i, pos, vel, mass, eps2, g, self_rows,
-                            pot_eps2=None, col_offset=0):
+                            pot_eps2=None, col_offset=0, with_jerk=True):
     """Force on a row block [B,3] from all sources [N,3].
 
     `self_rows` gives the global indices of the block rows so the self pair
@@ -105,14 +105,18 @@ def _row_block_acc_jerk_pot(pos_i, vel_i, pos, vel, mass, eps2, g, self_rows,
     self_mask = cols[None, :] == self_rows[:, None]
     inv_r = jnp.where(self_mask, 0.0, inv_r)
     inv_r3 = jnp.where(self_mask, 0.0, inv_r3)
-    xv = jnp.sum(dx * dv, axis=-1)
     mj3 = mass[None, :] * inv_r3
-    r2_safe = jnp.where(self_mask, 1.0, r2)         # diagonal: 0/0 guard
     acc = g * jnp.einsum("ij,ijk->ik", mj3, dx)
-    jerk = g * (
-        jnp.einsum("ij,ijk->ik", mj3, dv)
-        - 3.0 * jnp.einsum("ij,ijk->ik", mj3 * xv / r2_safe, dx)
-    )
+    if with_jerk:
+        xv = jnp.sum(dx * dv, axis=-1)
+        r2_safe = jnp.where(self_mask, 1.0, r2)     # diagonal: 0/0 guard
+        jerk = g * (
+            jnp.einsum("ij,ijk->ik", mj3, dv)
+            - 3.0 * jnp.einsum("ij,ijk->ik", mj3 * xv / r2_safe, dx)
+        )
+    else:
+        # leapfrog / potential-only sweeps skip ~40% of the pair work
+        jerk = jnp.zeros_like(acc)
     if pot_eps2 is None:
         inv_rp = inv_r
     else:

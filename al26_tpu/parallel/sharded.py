@@ -74,7 +74,8 @@ def _local_rows_force(pos_l, vel_l, mass_l, eps2, g, axis,
     from ..ops.nbody import _row_block_acc_jerk_pot
 
     return _row_block_acc_jerk_pot(pos_l, vel_l, pos, vel, mass, eps2, g,
-                                   rows, pot_eps2=pot_eps2)
+                                   rows, pot_eps2=pot_eps2,
+                                   with_jerk=with_jerk)
 
 
 def make_sharded_force(

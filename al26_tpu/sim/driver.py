@@ -119,6 +119,11 @@ def _bound_resumed_yields(yields: Yields, base: str, cfg: SimConfig,
     if os.path.exists(frames_path):
         yields.truncate_frames(frames_path, t_myr)
     else:
+        # blob-only resume: a -nc resume from an earlier checkpoint must
+        # not seed the framed file with the blob's FUTURE snapshots (the
+        # re-simulated run appends fresh ones — the series would go
+        # non-monotonic)
+        yields.truncate_memory(t_myr)
         yields.backfill_frames(frames_path)
     yields.bound()
 

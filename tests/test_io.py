@@ -526,3 +526,62 @@ def test_read_yields_accepts_frames(tmp_path):
     np.testing.assert_array_equal(yf.time, yb.time)
     np.testing.assert_array_equal(yf.local_26al, yb.local_26al)
     np.testing.assert_array_equal(yf.sne_60fe_final, yb.sne_60fe_final)
+
+
+def test_truncate_frames_removes_torn_tail_on_resume(tmp_path):
+    """Crash mid-append, then resume: the torn trailing fragment must be
+    truncated before new frames are appended — otherwise every later read
+    (and the final streamed blob) hits the garbage bytes (round-3 review
+    finding)."""
+    from al26_tpu.io.yields_store import Yields
+
+    base = os.path.join(tmp_path, "tt")
+    frames = base + "-yields.ubjf"
+    y = Yields(base, bounded=True)
+    for k in range(4):
+        _feed_one(y, k)
+        y.marinate_frame(frames)
+    with open(frames, "ab") as f:  # simulate a crash mid-append
+        f.write(b"FRME" + (10**6).to_bytes(8, "little") + b"torn!")
+    loaded = Yields(base)
+    loaded.plate_frames(frames)  # drops the torn tail in memory
+    # resume at the LATEST time: nothing to drop, but the file tail must go
+    loaded.truncate_frames(frames, loaded.time[-1])
+    loaded.bound()
+    _feed_one(loaded, 4)
+    loaded.marinate_frame(frames)  # append after the (now clean) end
+    again = Yields(base)
+    again.plate_frames(frames)  # must read all 5 frames, no corruption
+    assert again.time == pytest.approx([0.0, 0.1, 0.2, 0.3, 0.4])
+    blob = base + ".ubj.zst"
+    loaded.marinate(blob, frames_path=frames)  # streamed blob sees 5 too
+    from al26_tpu.io import ubjson
+    from al26_tpu.io.compression import decompress
+
+    with open(blob, "rb") as f:
+        d = ubjson.loadb(decompress(f.read()))
+    assert len(d["local_26al"]) == 5
+
+
+def test_blob_only_resume_truncates_future_before_backfill(tmp_path):
+    """Resuming a blob-only (rewrite-mode / reference-written) run from an
+    EARLIER checkpoint must not seed the framed file with the blob's
+    future snapshots (round-3 review finding)."""
+    from al26_tpu.io.checkpoint import load_checkpoint
+    from al26_tpu.io.yields_store import Yields
+
+    _small_run(tmp_path, yields_frames=False)  # blob-only, 7 saves to t=1
+    base = os.path.join(tmp_path, "testrun")
+    _, _, yields, md = load_checkpoint(base, 3)
+    assert len(yields.time) == 7  # blob holds the whole history
+    from al26_tpu.config import SimConfig
+    from al26_tpu.sim.driver import _bound_resumed_yields
+
+    cfg = SimConfig(n=48, rc=0.5, final_time=1.0, yields_frames=True)
+    t_resume = yields.time[3]
+    _bound_resumed_yields(yields, base, cfg, t_resume)
+    assert len(yields.time) == 4  # 0.0 .. t_resume, future snapshots gone
+    back = Yields(base)
+    back.plate_frames(base + "-yields.ubjf")
+    assert len(back.time) == 4  # no stale future frames
+    assert back.time[-1] == pytest.approx(t_resume)
