@@ -25,9 +25,12 @@ RING_AXIS = "rows"
 
 
 def _partial_block_force(pos_r, vel_r, row_ids, pos_c, vel_c, mass_c,
-                         col_ids, eps2, g):
+                         col_ids, eps2, g, pot_eps2=None, with_jerk=True):
     """acc/jerk/pot contribution of one column block onto the row block.
-    Self pairs masked by global id equality."""
+    Self pairs masked by global id equality. `pot_eps2` softens the
+    potential separately from the forces (same convention as
+    parallel.sharded / the Pallas kernel) so one ring pass serves both
+    the integrator and the virial radius."""
     dx = pos_c[None, :, :] - pos_r[:, None, :]
     dv = vel_c[None, :, :] - vel_r[:, None, :]
     r2 = jnp.sum(dx * dx, axis=-1) + eps2
@@ -35,15 +38,23 @@ def _partial_block_force(pos_r, vel_r, row_ids, pos_c, vel_c, mass_c,
     self_mask = col_ids[None, :] == row_ids[:, None]
     inv_r = jnp.where(self_mask, 0.0, inv_r)
     inv_r3 = inv_r * inv_r * inv_r
-    r2_safe = jnp.where(self_mask, 1.0, r2)
-    xv = jnp.sum(dx * dv, axis=-1)
     mj3 = mass_c[None, :] * inv_r3
     acc = g * jnp.einsum("ij,ijk->ik", mj3, dx)
-    jerk = g * (
-        jnp.einsum("ij,ijk->ik", mj3, dv)
-        - 3.0 * jnp.einsum("ij,ijk->ik", mj3 * xv / r2_safe, dx)
-    )
-    pot = -g * jnp.sum(mass_c[None, :] * inv_r, axis=1)
+    if with_jerk:
+        r2_safe = jnp.where(self_mask, 1.0, r2)
+        xv = jnp.sum(dx * dv, axis=-1)
+        jerk = g * (
+            jnp.einsum("ij,ijk->ik", mj3, dv)
+            - 3.0 * jnp.einsum("ij,ijk->ik", mj3 * xv / r2_safe, dx)
+        )
+    else:
+        jerk = jnp.zeros_like(acc)
+    if pot_eps2 is None:
+        inv_rp = inv_r
+    else:
+        r2p = r2 - eps2 + pot_eps2
+        inv_rp = jnp.where(self_mask, 0.0, jax.lax.rsqrt(r2p))
+    pot = -g * jnp.sum(mass_c[None, :] * inv_rp, axis=1)
     return acc, jerk, pot
 
 
@@ -55,6 +66,8 @@ def ring_acc_jerk_pot(
     eps2: float | jax.Array = 0.0,
     g: float = G_INTERNAL,
     axis: str = RING_AXIS,
+    pot_eps2: float | None = None,
+    with_jerk: bool = True,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Row-sharded (acc, jerk, pot) with ring-streamed columns. Matches
     parallel.sharded.sharded_acc_jerk_pot bit-for-bit up to summation
@@ -79,7 +92,8 @@ def ring_acc_jerk_pot(
             src = jnp.mod(me - step, n_dev)
             col_ids = src * block + jnp.arange(block)
             a, j, p = _partial_block_force(
-                pos_l, vel_l, row_ids, pc, vc, mc, col_ids, eps2, g
+                pos_l, vel_l, row_ids, pc, vc, mc, col_ids, eps2, g,
+                pot_eps2=pot_eps2, with_jerk=with_jerk,
             )
             # rotate the column block one hop around the ring
             pc = jax.lax.ppermute(pc, axis, perm)

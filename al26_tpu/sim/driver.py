@@ -231,7 +231,8 @@ def run(cfg: SimConfig, progress: bool = True,
     def seed_cache(s):
         if cache[0] is None:
             cache[0] = fresh_cache(s, cfg,
-                                   _resolve_integ(cfg, s.cluster.n), mesh)
+                                   _resolve_integ(cfg, s.cluster.n), mesh,
+                                   cfg.force_impl)
 
     def advance_steps(s, n):
         if write_traj:

@@ -87,6 +87,20 @@ def _build_force_rows_fn(mass, eps2, force_impl_resolved):
     return None
 
 
+def _mesh_sweep(mesh, force_impl: str):
+    """Full-sweep function `(pos, vel, mass, *, eps2, pot_eps2, with_jerk)
+    -> (acc, jerk, pot)` for the mesh backends: ppermute ring streaming
+    for force_impl="ring" (O(N/D) peak memory per chip), the all-gather
+    row sweep otherwise."""
+    if force_impl == "ring":
+        from ..parallel.ring import ring_acc_jerk_pot
+
+        return lambda p, v, m, **kw: ring_acc_jerk_pot(p, v, m, mesh, **kw)
+    from ..parallel.sharded import sharded_acc_jerk_pot
+
+    return lambda p, v, m, **kw: sharded_acc_jerk_pot(p, v, m, mesh, **kw)
+
+
 def _pot_eps2(cfg: SimConfig):
     """Potential softening for the per-step sweep: the reference computes
     the virial radius from the RAW potential (AMUSE virial_radius,
@@ -123,11 +137,10 @@ def _cacheable(cfg: SimConfig, n, dtype, mesh, force_impl) -> bool:
     (leapfrog's closing eval is at the final positions exactly;
     hermite4's and hermite4_block's under P(EC) semantics — the last
     substep's evaluation at its predicted state, exactly what the loop
-    itself consumed). Round 3: the MESH path caches too (the sharded
-    sweep returns acc/jerk/pot in one pass, the cache lives row-sharded,
-    and the mass-delta correction is plain jnp that GSPMD partitions);
-    only the ring backend stays uncached (its streamed force returns no
-    potential)."""
+    itself consumed). Round 3: the MESH paths cache too — both the
+    all-gather sharded sweep and the ppermute ring sweep return
+    acc/jerk/pot in one pass, the cache lives row-sharded, and the
+    mass-delta correction is plain jnp that GSPMD partitions."""
     integ = _resolve_integ(cfg, n)
     if not getattr(cfg, "force_cache", True):
         return False
@@ -139,7 +152,7 @@ def _cacheable(cfg: SimConfig, n, dtype, mesh, force_impl) -> bool:
     if integ not in ("leapfrog", "hermite4", "hermite4_block"):
         return False
     if mesh is not None:
-        return force_impl in ("auto", "sharded")
+        return force_impl in ("auto", "sharded", "ring")
     return _pallas_here(cfg, n, dtype, mesh, force_impl)
 
 
@@ -168,21 +181,18 @@ def _step_impl(state: SimState, aux: SimAux, cfg: SimConfig,
     # evaluation.
     init_eval = None
     needs_jerk = integ in ("hermite4", "hermite4_block")
-    fused_mesh = mesh is not None and force_impl in ("auto", "sharded")
+    fused_mesh = mesh is not None
     if fused_mesh:
-        from ..parallel.sharded import sharded_acc_jerk_pot
+        sweep = _mesh_sweep(mesh, force_impl)
         if cache is not None:
             a0, j0, pot = cache
         else:
-            a0, j0, pot = sharded_acc_jerk_pot(
-                c.pos, c.vel, c.mass, mesh, eps2=cfg.eps2,
+            a0, j0, pot = sweep(
+                c.pos, c.vel, c.mass, eps2=cfg.eps2,
                 pot_eps2=_pot_eps2(cfg), with_jerk=needs_jerk,
             )
         u = 0.5 * jnp.sum(c.mass * pot)
         init_eval = (a0, j0) if needs_jerk else (a0, None)
-    elif mesh is not None:
-        from ..parallel.sharded import sharded_potential_energy
-        u = sharded_potential_energy(c.pos, c.mass, mesh)
     elif pallas_here:
         if cache is not None:
             a0, j0, pot = cache
@@ -221,11 +231,9 @@ def _step_impl(state: SimState, aux: SimAux, cfg: SimConfig,
             )
     final_eval_fn = None
     if cache_ok and fused_mesh:
-        from ..parallel.sharded import sharded_acc_jerk_pot
-
         def final_eval_fn(p, v):
-            a, j, pot = sharded_acc_jerk_pot(
-                p, jnp.zeros_like(p) if v is None else v, c.mass, mesh,
+            a, j, pot = sweep(
+                p, jnp.zeros_like(p) if v is None else v, c.mass,
                 eps2=cfg.eps2, pot_eps2=_pot_eps2(cfg),
                 with_jerk=needs_jerk,
             )
@@ -291,16 +299,16 @@ def step(state: SimState, aux: SimAux, cfg: SimConfig,
     return new_state
 
 
-def fresh_cache(state: SimState, cfg: SimConfig, integ: str, mesh=None):
+def fresh_cache(state: SimState, cfg: SimConfig, integ: str, mesh=None,
+                force_impl: str = "auto"):
     """Opening (acc, jerk, pot) evaluation to seed the force cache
-    (row-sharded over `mesh` when given)."""
+    (row-sharded over `mesh` when given; ring-streamed for
+    force_impl="ring")."""
     c = state.cluster
     needs_jerk = integ in ("hermite4", "hermite4_block")
     if mesh is not None:
-        from ..parallel.sharded import sharded_acc_jerk_pot
-
-        a, j, pot = sharded_acc_jerk_pot(
-            c.pos, c.vel, c.mass, mesh, eps2=cfg.eps2,
+        a, j, pot = _mesh_sweep(mesh, force_impl)(
+            c.pos, c.vel, c.mass, eps2=cfg.eps2,
             pot_eps2=_pot_eps2(cfg), with_jerk=needs_jerk,
         )
         return a, j, pot
@@ -438,7 +446,8 @@ def run_steps(state: SimState, aux: SimAux, cfg: SimConfig,
     if _cacheable(cfg, state.cluster.n, state.cluster.pos.dtype, mesh,
                   force_impl):
         cache = fresh_cache(state, cfg,
-                            _resolve_integ(cfg, state.cluster.n), mesh)
+                            _resolve_integ(cfg, state.cluster.n), mesh,
+                            force_impl)
         if stride_active(cfg, state.cluster.n, state.cluster.pos.dtype,
                          mesh, force_impl):
             state, _ = run_steps_cached_strided(state, cache, aux, cfg,

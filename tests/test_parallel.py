@@ -168,7 +168,10 @@ def test_ring_force_matches_allgather():
 
 
 def test_step_with_ring_force_matches():
-    cfg = SimConfig(n=64, rc=1.0, final_time=10.0, seed=13)
+    # cache off for like-for-like (the CPU single-device side cannot
+    # cache; the ring cache is pinned separately below)
+    cfg = SimConfig(n=64, rc=1.0, final_time=10.0, seed=13,
+                    force_cache=False)
     state, aux, cfg = init_cluster(cfg)
     mesh = make_mesh(8)
     s_ref = run_steps(state, aux, cfg, 3)
@@ -441,3 +444,61 @@ def test_mesh_block_integrator_uses_sharded_rows(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(s_ref.cluster.slr), np.asarray(s_shd.cluster.slr),
         rtol=1e-9, atol=1e-30)
+
+
+def test_ring_cached_matches_sharded_cached():
+    """Round 3: the ring backend joins the fused/cached family — ONE
+    ppermute-streamed sweep per step carrying the cross-step cache; it
+    must track the all-gather sharded cached path to summation-order
+    round-off, with no separate potential sweep."""
+    import al26_tpu.parallel.sharded as shd
+    from al26_tpu.sim.step import _cacheable
+
+    cfg = SimConfig(n=64, rc=1.0, final_time=10.0, seed=37)
+    state, aux, cfg = init_cluster(cfg)
+    mesh = make_mesh(8)
+    assert _cacheable(cfg, 64, state.cluster.pos.dtype, mesh, "ring")
+    state = shard_state_rows(state, mesh)
+    s_ring = run_steps(state, aux, cfg, 10, mesh=mesh, force_impl="ring")
+    s_shd = run_steps(state, aux, cfg, 10, mesh=mesh, force_impl="sharded")
+    np.testing.assert_allclose(
+        np.asarray(s_ring.cluster.pos), np.asarray(s_shd.cluster.pos),
+        rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(s_ring.cluster.slr), np.asarray(s_shd.cluster.slr),
+        rtol=1e-9, atol=1e-30)
+
+
+def test_ring_one_sweep_per_step(monkeypatch):
+    """Eager per-step accounting for the ring path, mirroring
+    test_mesh_cached_one_sweep_per_step."""
+    import al26_tpu.parallel.ring as ring
+    import al26_tpu.parallel.sharded as shd
+    from al26_tpu.sim.step import _step_impl, fresh_cache
+
+    sweeps = {"n": 0}
+    pots = {"n": 0}
+    real = ring.ring_acc_jerk_pot
+    real_pot = shd.sharded_potential_energy
+
+    def counting(*a, **kw):
+        sweeps["n"] += 1
+        return real(*a, **kw)
+
+    def counting_pot(*a, **kw):
+        pots["n"] += 1
+        return real_pot(*a, **kw)
+
+    monkeypatch.setattr(ring, "ring_acc_jerk_pot", counting)
+    monkeypatch.setattr(shd, "sharded_potential_energy", counting_pot)
+
+    cfg = SimConfig(n=64, rc=1.0, final_time=10.0, seed=41,
+                    integrator="hermite4_block", k_fast=16)
+    state, aux, cfg = init_cluster(cfg)
+    mesh = make_mesh(8)
+    state = shard_state_rows(state, mesh)
+    cache = fresh_cache(state, cfg, "hermite4_block", mesh, "ring")
+    sweeps["n"] = 0
+    _step_impl(state, aux, cfg, mesh, "ring", cache)
+    assert sweeps["n"] == 1, sweeps["n"]   # the closing evaluation only
+    assert pots["n"] == 0
