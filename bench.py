@@ -261,6 +261,9 @@ def main() -> None:
             print(f"# wall-clock per simulated Myr, N=102400 "
                   f"(gravity_stride=2, docs/precision.md): {spm2:.3f} "
                   f"s/Myr", file=sys.stderr)
+            spm4 = bench_wallclock_per_myr(409600, 5)
+            print(f"# wall-clock per simulated Myr, N=409600 (scaling "
+                  f"headroom, one chip): {spm4:.3f} s/Myr", file=sys.stderr)
             es = bench_ensemble()
             print(f"# 16-realization ensemble (N=1024, block-diagonal "
                   f"flattened leapfrog): {es:.3f} s/Myr total",
