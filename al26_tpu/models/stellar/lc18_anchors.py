@@ -63,8 +63,10 @@ _RAW_DIR = os.path.join(
 _ROW = re.compile(r"^\s*(\d+)\s+(-?\d+)\s+(\S+)\s+(.*)$")
 
 
+@lru_cache(maxsize=None)
 def _yield_sums(path: str, n_mass: int) -> dict:
-    """{(vel, feh): per-mass total ejected mass} summed over all isotopes."""
+    """{(vel, feh): per-mass total ejected mass} summed over all isotopes.
+    One parse per table file covers every [Fe/H] set (cached)."""
     out: dict = {}
     with open(path) as f:
         for line in f:

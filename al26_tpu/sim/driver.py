@@ -17,6 +17,7 @@ more useful and format-identical).
 """
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 from typing import Optional
@@ -114,8 +115,6 @@ def _bound_resumed_yields(yields: Yields, base: str, cfg: SimConfig,
     if not getattr(cfg, "yields_frames", False):
         return
     frames_path = ckpt.yields_frames_filename(base)
-    import os
-
     if os.path.exists(frames_path):
         yields.truncate_frames(frames_path, t_myr)
     else:
@@ -334,7 +333,6 @@ def load_ensemble(tag_root: str, n_checkpoint: Optional[int] = None):
     Extends the reference's single-run resume semantics
     (al26_nbody.py:1647-1656) across the ensemble axis."""
     import glob
-    import os
     import re
 
     cand = sorted(glob.glob(os.path.join(tag_root, "**", "pt-*", ""),
@@ -376,8 +374,6 @@ def run_ensemble(cfg: SimConfig, progress: bool = True,
     SURVEY.md §2c item 4). With cfg.reload set (a tag directory or any root
     containing the pt-<k> folders), every realization resumes from its most
     recent checkpoint (or cfg.n_checkpoint)."""
-    import os
-
     import jax
 
     from ..parallel.ensemble import (

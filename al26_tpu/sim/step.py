@@ -182,31 +182,25 @@ def _step_impl(state: SimState, aux: SimAux, cfg: SimConfig,
     init_eval = None
     needs_jerk = integ in ("hermite4", "hermite4_block")
     fused_mesh = mesh is not None
+    sweep_eval = None  # (pos, vel) -> (acc, jerk, pot) full fused sweep
     if fused_mesh:
         sweep = _mesh_sweep(mesh, force_impl)
-        if cache is not None:
-            a0, j0, pot = cache
-        else:
-            a0, j0, pot = sweep(
-                c.pos, c.vel, c.mass, eps2=cfg.eps2,
-                pot_eps2=_pot_eps2(cfg), with_jerk=needs_jerk,
-            )
-        u = 0.5 * jnp.sum(c.mass * pot)
-        init_eval = (a0, j0) if needs_jerk else (a0, None)
+
+        def sweep_eval(p, v):
+            return sweep(p, v, c.mass, eps2=cfg.eps2,
+                         pot_eps2=_pot_eps2(cfg), with_jerk=needs_jerk)
     elif pallas_here:
-        if cache is not None:
-            a0, j0, pot = cache
-        else:
-            from ..ops.pallas_nbody import pallas_acc_jerk_pot
-            a0, j0, pot = pallas_acc_jerk_pot(
-                c.pos, c.vel, c.mass, cfg.eps2, with_jerk=needs_jerk,
-                pot_eps2=_pot_eps2(cfg),
-            )
+        from ..ops.pallas_nbody import pallas_acc_jerk_pot
+
+        def sweep_eval(p, v):
+            return pallas_acc_jerk_pot(p, v, c.mass, cfg.eps2,
+                                       with_jerk=needs_jerk,
+                                       pot_eps2=_pot_eps2(cfg))
+    if sweep_eval is not None:
+        a0, j0, pot = cache if cache is not None else sweep_eval(c.pos,
+                                                                 c.vel)
         u = 0.5 * jnp.sum(c.mass * pot)
         init_eval = (a0, j0) if needs_jerk else (a0, None)
-    else:
-        u = None
-    if u is not None:
         mtot = jnp.sum(c.mass)
         r_vir = -G_INTERNAL * mtot * mtot / (2.0 * u)
     else:
@@ -230,23 +224,9 @@ def _step_impl(state: SimState, aux: SimAux, cfg: SimConfig,
                 c.mass, cfg.eps2, "pallas" if pallas_here else "default"
             )
     final_eval_fn = None
-    if cache_ok and fused_mesh:
+    if cache_ok:
         def final_eval_fn(p, v):
-            a, j, pot = sweep(
-                p, jnp.zeros_like(p) if v is None else v, c.mass,
-                eps2=cfg.eps2, pot_eps2=_pot_eps2(cfg),
-                with_jerk=needs_jerk,
-            )
-            return a, (j if needs_jerk else None), pot
-    elif cache_ok:
-        from ..ops.pallas_nbody import pallas_acc_jerk_pot
-
-        def final_eval_fn(p, v):
-            a, j, pot = pallas_acc_jerk_pot(
-                p, jnp.zeros_like(p) if v is None else v, c.mass,
-                cfg.eps2, with_jerk=needs_jerk,
-                pot_eps2=_pot_eps2(cfg),
-            )
+            a, j, pot = sweep_eval(p, jnp.zeros_like(p) if v is None else v)
             return a, (j if needs_jerk else None), pot
 
     out = advance(
