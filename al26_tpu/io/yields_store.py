@@ -313,6 +313,33 @@ class Yields:
             self.first_write = k == 0
         return k
 
+    def truncate_csv(self, t_max: float) -> None:
+        """Drop CSV rows with time > t_max. A resume from an earlier
+        checkpoint re-appends the re-simulated rows; without this the
+        append-only CSV (al26_nbody.py:221-241) keeps the stale tail and
+        its time column goes non-monotonic — the same defect the framed
+        file and blob paths truncate away (the reference itself leaves
+        the duplicated tail; truncating is a strict improvement since
+        its post-processing reads the blob, not the CSV)."""
+        path = f"{self.filename}-cluster-yields.csv"
+        if not os.path.exists(path):
+            return
+        eps = 1e-9 * max(1.0, abs(t_max))
+        with open(path) as f:
+            lines = f.readlines()
+        keep = lines[:1]  # header
+        for ln in lines[1:]:
+            try:
+                t = float(ln.split(",", 1)[0])
+            except ValueError:
+                keep.append(ln)
+                continue
+            if t <= t_max + eps:
+                keep.append(ln)
+        if len(keep) != len(lines):
+            with open(path, "w") as f:
+                f.writelines(keep)
+
     def truncate_frames(self, filename: str, t_max: float) -> None:
         """Drop snapshots with time > t_max from BOTH the store and the
         framed file, and ALWAYS truncate the file to the end of the last
@@ -329,12 +356,17 @@ class Yields:
         n_frames = len(self._frame_offsets)
         k = self.truncate_memory(t_max)
         if 0 < k < n_frames:
-            # finals roll back to the last kept frame's
-            for i, fr in enumerate(_iter_frames(filename)):
-                if i == k - 1:
-                    for name in _FINALS:
-                        setattr(self, name, fr[name])
-                    break
+            # finals roll back to the last kept frame's: seek straight to
+            # it (the offsets are this method's precondition) instead of
+            # decoding every earlier frame
+            start = self._frame_offsets[k - 1]
+            with open(filename, "rb") as f:
+                f.seek(start)
+                head = f.read(12)
+                ln = int.from_bytes(head[4:12], "little")
+                fr = ubjson.loadb(decompress(f.read(ln)))
+            for name in _FINALS:
+                setattr(self, name, fr[name])
         if k == 0:
             end = len(_FRAMES_MAGIC)
         elif k < n_frames:

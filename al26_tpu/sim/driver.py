@@ -107,11 +107,13 @@ def _rebuild_aux(cfg: SimConfig, cluster, data_dir=None) -> SimAux:
 
 def _bound_resumed_yields(yields: Yields, base: str, cfg: SimConfig,
                           t_myr: float) -> None:
-    """Prepare a resumed yields store for frames-mode writing: truncate
-    stale future frames (resume from an earlier checkpoint, -nc K), seed
-    the framed file from the blob history when only the reference-format
-    blob exists (e.g. a reference-written run), then drop the per-star
+    """Prepare a resumed yields store for writing: truncate the CSV's
+    stale future rows (resume from an earlier checkpoint, -nc K; all
+    modes), then in frames mode truncate stale future frames, seed the
+    framed file from the blob history when only the reference-format
+    blob exists (e.g. a reference-written run), and drop the per-star
     history from RAM (io.yields_store bounded mode)."""
+    yields.truncate_csv(t_myr)
     if not getattr(cfg, "yields_frames", False):
         return
     frames_path = ckpt.yields_frames_filename(base)

@@ -585,3 +585,26 @@ def test_blob_only_resume_truncates_future_before_backfill(tmp_path):
     back.plate_frames(base + "-yields.ubjf")
     assert len(back.time) == 4  # no stale future frames
     assert back.time[-1] == pytest.approx(t_resume)
+
+
+def test_resume_truncates_stale_csv_rows(tmp_path):
+    """Resume from an earlier checkpoint must drop the CSV's future rows
+    before the re-simulated run appends fresh ones (round-3 review
+    finding; the frames file and blob already truncate)."""
+    from al26_tpu.config import SimConfig
+    from al26_tpu.sim.driver import run
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        cfg = SimConfig(n=32, rc=0.5, final_time=1.0, seed=9,
+                        filename="csvr", n_plot=5, steps_per_plot=4)
+        run(cfg, progress=False)
+        run(SimConfig(reload="csvr", n_checkpoint=3), progress=False)
+        rows = open("csvr-cluster-yields.csv").read().strip().splitlines()
+        times = [float(r.split(",")[0]) for r in rows[1:]]
+        assert times == sorted(times)
+        assert len(times) == len(set(times)), "duplicated stale tail"
+        assert times[-1] == pytest.approx(1.0)
+    finally:
+        os.chdir(cwd)
