@@ -269,6 +269,14 @@ def run(cfg: SimConfig, progress: bool = True,
         writer = AsyncCheckpointWriter()
 
     def do_save(s, increment=True, final=False):
+        if writer is not None and mesh is not None:
+            # gather the sharded state on the MAIN thread: a background
+            # device->host pull racing the next chunk's collectives starves
+            # XLA's in-process CPU rendezvous (20 s timeout -> hard abort)
+            # on the virtual mesh; serialisation/compression still overlap
+            import jax
+
+            s = jax.device_get(s)
         job = lambda: _save(base, metadata, converter, yields, s, cfg,
                             increment=increment, verbose=cfg.verbose,
                             final=final)
@@ -454,6 +462,11 @@ def run_ensemble(cfg: SimConfig, progress: bool = True,
 
     def save_all(bs, increment=True, final=False):
         if writer is not None:
+            # pull on the MAIN thread before handing to the writer (see
+            # do_save in run(): a background pull racing sharded compute
+            # can starve the CPU backend's collective rendezvous); the
+            # writer-thread device_get then no-ops on numpy leaves
+            bs = jax.device_get(bs)
             writer.submit(lambda: _save_all_sync(bs, increment, final))
         else:
             _save_all_sync(bs, increment, final)

@@ -461,7 +461,7 @@ def run_steps_cached(state: SimState, cache, aux: SimAux, cfg: SimConfig,
 
 
 def _stride_impl(state: SimState, aux: SimAux, cfg: SimConfig, cache,
-                 m: int):
+                 m: int, mesh=None, force_impl: str = "auto"):
     """m physics steps sharing ONE hermite4_block force advance over m*dt
     (the gravity stride, cfg.gravity_stride).
 
@@ -474,25 +474,43 @@ def _stride_impl(state: SimState, aux: SimAux, cfg: SimConfig, cache,
     wind bubble) is held at its stride-start value for the interior steps
     (it moves O(0.1%) per dt). Stellar mass loss feeds back into gravity
     at stride boundaries through the exact mass-delta cache correction —
-    an m*dt lag instead of the unstrided scheme's dt lag."""
+    an m*dt lag instead of the unstrided scheme's dt lag.
+
+    Under a `mesh` the stride's two sweep points go through the mesh
+    backends: the closing full evaluation is the row-sharded (or ring-
+    streamed) fused sweep and the subcycle's K x N row sweeps shard their
+    columns over the mesh (parallel.sharded.make_sharded_force_rows) —
+    the stride economics carry to multi-chip unchanged."""
     c = state.cluster
     dt = jnp.asarray(cfg.dt, c.pos.dtype)
     dt_total = m * dt
     eps2 = jnp.asarray(cfg.eps2, c.pos.dtype)
 
     from ..units import G_INTERNAL
-    from ..ops.pallas_nbody import pallas_acc_jerk_pot
 
     a0, j0, pot = cache
     u = 0.5 * jnp.sum(c.mass * pot)
     mtot = jnp.sum(c.mass)
     r_vir = -G_INTERNAL * mtot * mtot / (2.0 * u)
 
-    def final_eval_fn(p, v):
-        return pallas_acc_jerk_pot(p, v, c.mass, cfg.eps2, with_jerk=True,
-                                   pot_eps2=_pot_eps2(cfg))
+    if mesh is not None:
+        sweep = _mesh_sweep(mesh, force_impl)
 
-    force_rows_fn = _build_force_rows_fn(c.mass, cfg.eps2, "pallas")
+        def final_eval_fn(p, v):
+            return sweep(p, v, c.mass, eps2=cfg.eps2,
+                         pot_eps2=_pot_eps2(cfg), with_jerk=True)
+
+        from ..parallel.sharded import make_sharded_force_rows
+        force_rows_fn = make_sharded_force_rows(mesh, c.mass, cfg.eps2)
+    else:
+        from ..ops.pallas_nbody import pallas_acc_jerk_pot
+
+        def final_eval_fn(p, v):
+            return pallas_acc_jerk_pot(p, v, c.mass, cfg.eps2,
+                                       with_jerk=True,
+                                       pot_eps2=_pot_eps2(cfg))
+
+        force_rows_fn = _build_force_rows_fn(c.mass, cfg.eps2, "pallas")
     pos_c, vel_c, (a1, j1, pot1), (pos_s, vel_s) = advance(
         c.pos, c.vel, c.mass, dt_total,
         integrator="hermite4_block", eta=cfg.eta_hermite,
@@ -525,13 +543,15 @@ def _stride_impl(state: SimState, aux: SimAux, cfg: SimConfig, cache,
     return s, (a1, j1, pot1)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_strides", "m"))
+@functools.partial(jax.jit, static_argnames=("cfg", "n_strides", "m",
+                                              "mesh", "force_impl"))
 def run_strides_cached(state: SimState, cache, aux: SimAux, cfg: SimConfig,
-                       n_strides: int, m: int):
+                       n_strides: int, m: int, mesh=None,
+                       force_impl: str = "auto"):
     """Scan n_strides gravity strides of m physics steps each."""
     def body(carry, _):
         s, ch = carry
-        return _stride_impl(s, aux, cfg, ch, m), None
+        return _stride_impl(s, aux, cfg, ch, m, mesh, force_impl), None
 
     (state, cache), _ = jax.lax.scan(body, (state, cache), None,
                                      length=n_strides)
@@ -539,12 +559,12 @@ def run_strides_cached(state: SimState, cache, aux: SimAux, cfg: SimConfig,
 
 
 def stride_active(cfg: SimConfig, n, dtype, mesh, force_impl) -> bool:
-    """gravity_stride > 1 engages only on the cache-capable SINGLE-CHIP
-    hermite4_block Pallas path (sim/step.py:_stride_impl calls the Pallas
-    kernel directly; the mesh path caches but does not stride yet)."""
+    """gravity_stride > 1 engages on every cache-capable hermite4_block
+    path: the single-chip Pallas path and (round 3) the mesh backends —
+    _stride_impl routes its closing sweep and subcycle rows through the
+    sharded/ring sweeps when a mesh is given."""
     return (
         getattr(cfg, "gravity_stride", 1) > 1
-        and mesh is None
         and _resolve_integ(cfg, n) == "hermite4_block"
         and _cacheable(cfg, n, dtype, mesh, force_impl)
     )
@@ -559,7 +579,8 @@ def run_steps_cached_strided(state: SimState, cache, aux: SimAux,
     m = cfg.gravity_stride
     n_str, rem = divmod(n_steps, m)
     if n_str:
-        state, cache = run_strides_cached(state, cache, aux, cfg, n_str, m)
+        state, cache = run_strides_cached(state, cache, aux, cfg, n_str, m,
+                                          mesh, force_impl)
     if rem:
         state, cache = run_steps_cached(state, cache, aux, cfg, rem,
                                         mesh, force_impl)

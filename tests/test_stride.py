@@ -92,6 +92,92 @@ def test_run_steps_auto_engages_stride():
                                   np.asarray(s_manual.cluster.pos))
 
 
+def test_stride_on_mesh_tracks_unstrided():
+    """Round 3: the gravity stride engages on the mesh path (previously
+    single-chip only) — one column-sharded force advance spanning m steps,
+    tracking the unstrided mesh run at the single-chip stride tolerances."""
+    from al26_tpu.parallel.sharded import make_mesh, shard_state_rows
+
+    cfg1 = _cfg()
+    state, aux, cfg1 = init_cluster(cfg1)
+    cfg2 = cfg1.replace(gravity_stride=2)
+    mesh = make_mesh(8)
+    assert stride_active(cfg2, 96, jnp.float32, mesh, "auto")
+    assert stride_active(cfg2, 96, jnp.float32, mesh, "ring")
+    state_m = shard_state_rows(state, mesh)
+    s1 = run_steps(state_m, aux, cfg1, 10, mesh=mesh)
+    cache = fresh_cache(state_m, cfg2, "hermite4_block", mesh)
+    s2, _ = run_steps_cached_strided(state_m, cache, aux, cfg2, 10,
+                                     mesh=mesh, force_impl="auto")
+    assert int(s2.step_count) == 10
+    assert float(s2.time) == float(s1.time)
+    np.testing.assert_allclose(np.asarray(s2.cluster.pos),
+                               np.asarray(s1.cluster.pos),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s2.cluster.slr),
+                               np.asarray(s1.cluster.slr),
+                               rtol=5e-3, atol=1e-30)
+    # per-dt physics ran every step on both sides
+    np.testing.assert_array_equal(np.asarray(s2.cluster.mass),
+                                  np.asarray(s1.cluster.mass))
+
+
+def test_stride_mesh_one_sweep_per_stride(monkeypatch):
+    """One eager mesh stride of m=2 physics steps runs exactly ONE full
+    row sweep (the closing evaluation; the subcycle's K x N row work goes
+    through the column-sharded rows fn)."""
+    import al26_tpu.parallel.sharded as shd
+    from al26_tpu.sim.step import _stride_impl
+
+    counter = {"n": 0}
+    real = shd._local_rows_force
+
+    def counting(*a, **kw):
+        counter["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(shd, "_local_rows_force", counting)
+
+    cfg = _cfg(gravity_stride=2)
+    state, aux, cfg = init_cluster(cfg)
+    mesh = shd.make_mesh(8)
+    state = shd.shard_state_rows(state, mesh)
+    cache = fresh_cache(state, cfg, "hermite4_block", mesh)
+    counter["n"] = 0
+    s, _ = _stride_impl(state, aux, cfg, cache, 2, mesh, "auto")
+    assert int(s.step_count) == 2
+    assert counter["n"] == 1, counter["n"]
+
+
+def test_driver_mesh_async_saves(tmp_path):
+    """Regression: a mesh_shape driver run with the DEFAULT async writer
+    must not deadlock. The writer's background device->host pull used to
+    race the next chunk's all_gather and starve XLA's in-process CPU
+    collective rendezvous (20 s timeout -> process abort); the driver now
+    gathers sharded state on the main thread before submitting the job."""
+    import os
+
+    from al26_tpu.sim.driver import run
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        common = dict(n=96, rc=1.0, final_time=0.5, seed=8, dtype="f32",
+                      integrator="hermite4_block", k_fast=16,
+                      n_plot=5, steps_per_plot=4)
+        r1 = run(SimConfig(filename="m0", **common), progress=False)
+        r2 = run(SimConfig(filename="m1", mesh_shape=(8,),
+                           gravity_stride=2, async_saves=True, **common),
+                 progress=False)
+    finally:
+        os.chdir(cwd)
+    assert float(r2.state.time) == float(r1.state.time)
+    np.testing.assert_allclose(np.asarray(r2.state.cluster.pos),
+                               np.asarray(r1.state.cluster.pos),
+                               rtol=1e-4, atol=1e-5)
+    assert (tmp_path / "m1-cluster-yields.csv").exists()
+
+
 def test_driver_runs_with_stride(tmp_path):
     """End-to-end driver run with gravity_stride=2 produces the full file
     set and a final state matching stride=1 closely."""
