@@ -68,6 +68,7 @@ t_sn.
 from __future__ import annotations
 
 from functools import lru_cache
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -282,10 +283,57 @@ def agb_mdot(m0: jax.Array, t: jax.Array, z: float = 0.02) -> jax.Array:
     return jnp.where((s >= 0.0) & (s <= 1.0), rate, 0.0)
 
 
+class PhaseTable(NamedTuple):
+    """Per-star phase constants — every (m0, z)-only quantity `evolve`
+    needs, precomputed ONCE (init/resume) instead of per step.
+
+    The per-step `evolve` call was 10.6 ms of the 11.5 ms non-gravity
+    physics at N=102400 on a v5e chip (the Hurley fits' zeta polynomials,
+    non-integer powers and log-log interpolations re-ran every step on
+    quantities that depend only on the CONSTANT initial masses); with the
+    table it is ~10 elementwise ops. Arrays keep the precision they were
+    computed in (f64 under x64) so `evolve_from_table` reproduces
+    `evolve`'s promote-then-cast results bit-identically."""
+
+    t_ms: jax.Array       # [N] Myr: end of the MS wind phase
+    mdot_ms: jax.Array    # [N] Msun/Myr: MS wind rate
+    mdot_post: jax.Array  # [N] Msun/Myr: post-MS (RSG/WR) wind rate
+    t_cc: jax.Array       # [N] Myr: core collapse (= t_end)
+    m_rem: jax.Array      # [N] Msun: remnant mass
+    is_sn: jax.Array      # [N] bool: m0 >= SN_MIN_MASS
+
+
+def phase_table(m0: jax.Array, z: float = 0.02) -> PhaseTable:
+    """Precompute the (m0, z)-only inputs of `evolve` (see PhaseTable)."""
+    t_ms, mdot_ms, mdot_post, t_cc = _phase_rates(m0, z)
+    return PhaseTable(t_ms, mdot_ms, mdot_post, t_cc,
+                      m_remnant(m0, z), m0 >= SN_MIN_MASS)
+
+
+def evolve_from_table(tbl: PhaseTable, m0: jax.Array, t: jax.Array):
+    """(mass, wind_mdot) at age t from the precomputed PhaseTable —
+    the same where-structure as `mass_at` + `wind_mdot`, minus the
+    per-step recomputation of their (m0, z)-only inputs."""
+    lost = jnp.where(
+        t < tbl.t_ms,
+        tbl.mdot_ms * t,
+        tbl.mdot_ms * tbl.t_ms
+        + tbl.mdot_post * (jnp.minimum(t, tbl.t_cc) - tbl.t_ms),
+    )
+    mass = jnp.where((t >= tbl.t_cc) & tbl.is_sn, tbl.m_rem, m0 - lost)
+    mass = jnp.where(tbl.is_sn, mass, m0)
+    rate = jnp.where(t < tbl.t_ms, tbl.mdot_ms, tbl.mdot_post)
+    rate = jnp.where(t < tbl.t_cc, rate, 0.0)
+    mdot = jnp.where(tbl.is_sn, rate, 0.0)
+    return mass, mdot
+
+
 def evolve(m0: jax.Array, t: jax.Array, z: float = 0.02):
     """One-call stellar-evolution step: (mass, wind_mdot) at age t.
     This is the per-step replacement for `stellar.evolve_model(t)` +
     channel copies (al26_nbody.py:841, 871-876); z is the SeBa
     `parameters.metallicity` analogue (al26_nbody.py:483), static because
-    it comes from the frozen SimConfig."""
+    it comes from the frozen SimConfig. Equals
+    evolve_from_table(phase_table(m0, z), m0, t) by construction
+    (tests/test_stellar_yields.py); the step uses the table form."""
     return mass_at(m0, t, z), wind_mdot(m0, t, z)

@@ -51,6 +51,14 @@ class SimAux:
     #                           dedicated seed stream so cold init and
     #                           resume agree and the main RNG stream is
     #                           untouched.
+    stellar_tbl: stellar.PhaseTable  # per-star (m0, z)-only phase
+    #                           constants, precomputed once — the per-step
+    #                           stellar.evolve was 10.6 ms of an 11.5 ms
+    #                           physics block at N=102400 (the Hurley fits
+    #                           re-ran every step on constant inputs);
+    #                           evolve_from_table is ~10 elementwise ops.
+    #                           Stored in the precision it was computed in
+    #                           (f64 under x64) for bit-identical results.
 
     def replace(self, **kw):
         import dataclasses
@@ -89,6 +97,20 @@ def _mass_source_slots(cfg: SimConfig, m0: np.ndarray,
     return idx, np.ones(len(idx), bool)
 
 
+def _stellar_table(cfg: SimConfig, m0: np.ndarray, dtype):
+    """stellar.PhaseTable from the initial masses, as numpy arrays.
+
+    Computed on the CPU backend (eager jnp on a tunneled TPU is a network
+    round-trip per op) from the STATE-dtype m0, so the table holds exactly
+    the values the per-step stellar.evolve used to compute (including the
+    promotion to f64 under x64 — the arrays keep that precision)."""
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        tbl = stellar.phase_table(jnp.asarray(np.asarray(m0, dtype)),
+                                  z=cfg.metallicity)
+    return stellar.PhaseTable(*(np.asarray(a) for a in tbl))
+
+
 def build_aux(cfg: SimConfig, m0: np.ndarray, dtype,
               data_dir: str | None = None,
               is_interloper: np.ndarray | None = None) -> SimAux:
@@ -115,6 +137,9 @@ def build_aux(cfg: SimConfig, m0: np.ndarray, dtype,
         agb_grid_rates=jnp.asarray(agb_grid_rates, dtype=dtype),
         kick_vel=jnp.asarray(_draw_kicks(cfg, len(hm_candidates)),
                              dtype=dtype),
+        stellar_tbl=stellar.PhaseTable(
+            *(jnp.asarray(a) for a in _stellar_table(cfg, m0, dtype))
+        ),
     )
 
 
@@ -331,5 +356,12 @@ def init_cluster(cfg: SimConfig, data_dir: str | None = None,
         agb_grid_t=f(agb_grid_t),
         agb_grid_rates=f(agb_grid_rates),
         kick_vel=f(_draw_kicks(resolved, len(hm_candidates))),
+        # NOT passed through f: the table keeps its computed precision
+        # (f64 under x64) so evolve_from_table reproduces the per-step
+        # evolve's promote-then-cast results bit-identically
+        stellar_tbl=stellar.PhaseTable(*(
+            (a if as_numpy else jnp.asarray(a))
+            for a in _stellar_table(resolved, masses, dtype)
+        )),
     )
     return state, aux, resolved

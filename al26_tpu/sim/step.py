@@ -317,7 +317,13 @@ def physics_after_advance(state: SimState, aux: SimAux, cfg: SimConfig,
     lm_mask = c.low_mass_mask(cfg.low_mass_min, cfg.low_mass_max)
 
     # -- 3. stellar evolution ------------------------------------------
-    mass_new, mdot_new = stellar.evolve(c.m0, t_new, z=cfg.metallicity)
+    # the (m0, z)-only Hurley-fit machinery is precomputed in
+    # aux.stellar_tbl (sim.init): the per-step call is ~10 elementwise
+    # ops instead of 10.6 ms of zeta polynomials / powers / interps at
+    # N=102400 (92% of the non-gravity physics block, measured on v5e)
+    mass_new, mdot_new = stellar.evolve_from_table(
+        aux.stellar_tbl, c.m0, t_new
+    )
     # the anchor tables are f64 constants: under x64 they would promote an
     # f32 state and break the scan carry
     mass_new = mass_new.astype(c.pos.dtype)

@@ -1,5 +1,6 @@
 """Stellar-evolution module and yield-pipeline tests (SURVEY.md §7 hard
 part 1: SeBa-replacement fidelity checks)."""
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -436,3 +437,45 @@ def test_ms_mdot_table_matches_closed_form():
     out = st._phase_rates(jnp.asarray([120.0, 150.0], jnp.float32), 0.02)
     for arr in out:
         assert np.isfinite(np.asarray(arr)).all()
+
+
+def test_evolve_from_table_matches_evolve_bitwise():
+    """The precomputed PhaseTable path (the per-step fast path, sim.step)
+    reproduces evolve() EXACTLY: phase_table factors out only (m0, z)-only
+    subexpressions and evolve_from_table keeps the same where-structure,
+    so no float op ordering changes."""
+    rng = np.random.default_rng(7)
+    m0 = jnp.asarray(np.concatenate([
+        rng.uniform(0.1, 150.0, 500),
+        [7.999, 8.0, 8.001, 13.0, 25.0, 25.001, 120.0],
+    ]))
+    for z in (0.02, 0.002):
+        tbl = st.phase_table(m0, z=z)
+        for t in (0.0, 2.7, 9.99, 40.0):
+            mass_a, mdot_a = st.evolve(m0, jnp.asarray(t), z=z)
+            mass_b, mdot_b = st.evolve_from_table(tbl, m0, jnp.asarray(t))
+            np.testing.assert_array_equal(np.asarray(mass_a),
+                                          np.asarray(mass_b))
+            np.testing.assert_array_equal(np.asarray(mdot_a),
+                                          np.asarray(mdot_b))
+
+
+def test_phase_table_f32_state_promotion_matches():
+    """Under x64 an f32-state run used to promote inside evolve (f64
+    anchor constants) and cast the result back; the table path must
+    reproduce that bit-for-bit: the table is computed from the f32-cast
+    m0 but STORED in the promoted f64 (sim.init._stellar_table)."""
+    assert jax.config.jax_enable_x64
+    rng = np.random.default_rng(11)
+    m0_f32 = jnp.asarray(rng.uniform(0.5, 120.0, 300), jnp.float32)
+    tbl = st.phase_table(m0_f32, z=0.02)
+    assert tbl.t_ms.dtype == jnp.float64   # promotion preserved
+    t = jnp.asarray(5.5)
+    mass_a, mdot_a = st.evolve(m0_f32, t, z=0.02)
+    mass_b, mdot_b = st.evolve_from_table(tbl, m0_f32, t)
+    np.testing.assert_array_equal(
+        np.asarray(mass_a.astype(jnp.float32)),
+        np.asarray(mass_b.astype(jnp.float32)))
+    np.testing.assert_array_equal(
+        np.asarray(mdot_a.astype(jnp.float32)),
+        np.asarray(mdot_b.astype(jnp.float32)))

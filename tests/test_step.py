@@ -93,9 +93,10 @@ def test_supernova_fires_once():
         total_wind_loss=jnp.asarray(twl),
         disk_alive=jnp.asarray((m >= 0.1) & (m <= 3.0)),
     ))
-    import dataclasses
-    aux = dataclasses.replace(aux, hm_idx=jnp.asarray([0], jnp.int32),
-                              hm_slot_valid=jnp.ones(1, bool))
+    # rebuild aux from the modified m0: the massive-star slots AND (round 3)
+    # the precomputed stellar PhaseTable derive from the initial masses
+    from al26_tpu.sim.init import build_aux
+    aux = build_aux(cfg, m, state.cluster.pos.dtype)
 
     t_sn = float(st.t_sn(jnp.asarray(60.0)))
     assert t_sn < 6.0
