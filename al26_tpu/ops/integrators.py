@@ -178,6 +178,37 @@ def hermite4_advance(
     return pos, vel
 
 
+def _fast_override_delta(pr, vr, pc_s, vc_s, pc_p, vc_p, mc, eps2, g):
+    """Exact source-linearity correction for the predicted-columns kernel
+    (ops.pallas_nbody.make_pred_force_rows).
+
+    Pair forces sum linearly over SOURCES, so replacing the fast columns'
+    step-start-predicted states with their subcycled states equals adding
+      sum_{j in fast} [f(x_j^sub) - f(x_j^pred)]
+    — two K x K dense pair evaluations (self pairs masked in both terms,
+    mirroring the kernel's row-id mask). Returns (delta_acc, delta_jerk)
+    on the K rows (pr, vr)."""
+    k = pr.shape[0]
+    eye = jnp.eye(k, dtype=bool)
+
+    def pair(pc, vc):
+        dx = pc[None, :, :] - pr[:, None, :]          # [K,K,3]
+        dv = vc[None, :, :] - vr[:, None, :]
+        r2 = jnp.sum(dx * dx, axis=-1) + eps2
+        inv_r = jnp.where(eye, 0.0, jax.lax.rsqrt(r2))
+        inv_r2 = inv_r * inv_r
+        w = mc[None, :] * (inv_r * inv_r2)            # m_j / r^3, masked
+        acc = jnp.einsum("ij,ijc->ic", w, dx)
+        s = 3.0 * jnp.sum(dx * dv, axis=-1) * inv_r2
+        jerk = (jnp.einsum("ij,ijc->ic", w, dv)
+                - jnp.einsum("ij,ijc->ic", w * s, dx))
+        return acc, jerk
+
+    a_s, j_s = pair(pc_s, vc_s)
+    a_p, j_p = pair(pc_p, vc_p)
+    return g * (a_s - a_p), g * (j_s - j_p)
+
+
 def hermite4_block_advance(
     pos: jax.Array,
     vel: jax.Array,
@@ -194,6 +225,7 @@ def hermite4_block_advance(
     final_eval_fn=None,
     interior_samples: int = 0,
     k_ultra: int = 0,
+    force_rows_at_factory=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Two-group block-timestep Hermite (ph4-style, TPU fixed shapes).
 
@@ -288,6 +320,15 @@ def hermite4_block_advance(
     af0 = a0[fast_idx]
     jf0 = j0[fast_idx]
     h_min = dt / max_substeps
+    # predicted-columns fast path: ONE kernel launch per substep, columns
+    # predicted in-kernel from the step-start state (no per-substep O(N)
+    # predict_all / scatter), fast-column override restored exactly by the
+    # K x K source-linearity delta (_fast_override_delta). Two-tier only:
+    # the k_ultra variant keeps the explicit column path.
+    rows_at = None
+    if force_rows_at_factory is not None and not (0 < k_ultra < k_fast):
+        rows_at = force_rows_at_factory(pos, vel, a0, j0)
+        mass_f = mass[fast_idx]
     m_s = interior_samples
     if m_s:
         # interior sample times k*dt/m, k = 1..m-1 (gravity stride)
@@ -317,12 +358,27 @@ def hermite4_block_advance(
             v_at = vf + th * af + 0.5 * th**2 * jf
             samp_pf = jnp.where(crossed, p_at, samp_pf)
             samp_vf = jnp.where(crossed, v_at, samp_vf)
-        # columns at tau+h: everyone predicted, fast rows replaced by their
-        # subcycled prediction
-        p_cols, v_cols = predict_all(tau + h)
-        p_cols = p_cols.at[fast_idx].set(pfp)
-        v_cols = v_cols.at[fast_idx].set(vfp)
-        a1, j1 = force_rows_fn(pfp, vfp, fast_idx, p_cols, v_cols)
+        if rows_at is not None:
+            # columns predicted in-kernel at tau+h; add the exact
+            # subcycled-fast-column override via source linearity
+            th = tau + h
+            a1, j1 = rows_at(pfp, vfp, fast_idx, th)
+            th2 = th * th
+            pf_pred = (pf0 + th * vf0 + 0.5 * th2 * af0
+                       + (th2 * th / 6.0) * jf0)
+            vf_pred = vf0 + th * af0 + 0.5 * th2 * jf0
+            da, dj = _fast_override_delta(
+                pfp, vfp, pfp, vfp, pf_pred, vf_pred, mass_f, eps2, g
+            )
+            a1 = a1 + da
+            j1 = j1 + dj
+        else:
+            # columns at tau+h: everyone predicted, fast rows replaced by
+            # their subcycled prediction
+            p_cols, v_cols = predict_all(tau + h)
+            p_cols = p_cols.at[fast_idx].set(pfp)
+            v_cols = v_cols.at[fast_idx].set(vfp)
+            a1, j1 = force_rows_fn(pfp, vfp, fast_idx, p_cols, v_cols)
         vf1 = vf + 0.5 * h * (af + a1) + (h2 / 12.0) * (jf - j1)
         pf1 = pf + 0.5 * h * (vf + vf1) + (h2 / 12.0) * (af - a1)
         return (tau + h, pf1, vf1, a1, j1, samp_pf, samp_vf)
@@ -460,6 +516,7 @@ def advance(
     max_substeps: int = 4096, force_block=None, force_fn=None, acc_fn=None,
     k_fast: int = 0, force_rows_fn=None, init_eval=None, final_eval_fn=None,
     interior_samples: int = 0, k_ultra: int = 0,
+    force_rows_at_factory=None,
 ):
     """Static dispatch over the configured integrator.
 
@@ -485,6 +542,7 @@ def advance(
             pos, vel, mass, dt, k,
             eta, eps2, g, max_substeps, force_fn, force_rows_fn, init_eval,
             final_eval_fn, interior_samples, k_ultra,
+            force_rows_at_factory,
         )
     if integrator == "leapfrog":
         if acc_fn is None and force_fn is not None:

@@ -480,3 +480,258 @@ def make_pallas_force_rows(mass: jax.Array, eps2: float | jax.Array = 0.0,
         return a, j
 
     return force_rows_fn
+
+
+# --------------------------------------------------------------------------
+# Predicted-columns kernel: the fast-group subcycle's K x N row sweep with
+# the Hermite column prediction fused INTO the kernel
+# --------------------------------------------------------------------------
+
+def _nbody_predcols_kernel(
+    n_ref,            # [1,1] SMEM: true source count
+    tau_ref,          # [1,1] SMEM f32: column prediction offset from the
+    #                   step-start state
+    row_ids_ref,      # [TILE_I, 1] VMEM int32 (see _nbody_kernel)
+    pos_row,          # [TILE_I, 3] predicted fast rows (centred, shifted)
+    vel_row,          # [TILE_I, 3]
+    pos_t,            # [3, Np] centred STEP-START columns
+    vel_t,            # [3, Np]
+    a_t,              # [3, Np] step-start acceleration (column derivative)
+    j_t,              # [3, Np] step-start jerk
+    mass2d,           # [1, Np]
+    acc_out,          # [TILE_I, 3]
+    jerk_out,         # [TILE_I, 3]
+    c8_scratch,       # [8, TILE_J] VMEM scratch: the per-tile MXU operand
+    *,
+    eps2: float,
+    g: float,
+    n_padded: int,
+    use_mxu: bool,
+    tile_i: int,
+):
+    """K x N forces on predicted fast rows from columns PREDICTED IN-KERNEL.
+
+    The unfused subcycle materialises the full predicted column set every
+    substep in XLA (predict_all + fast-row scatter, sim ops on [N,3] HBM
+    arrays) before each K x N row sweep — at N=102400 that per-substep O(N)
+    prep cost as much as the pair work itself. Here each column tile is
+    predicted on the VPU from the step-start (pos, vel, acc, jerk) already
+    resident in VMEM:  p(tau) = p + tau v + tau^2/2 a + tau^3/6 j  (the
+    same Hermite predictor polynomial, al26_nbody.py's AMUSE predictor
+    analogue), so a substep is ONE kernel launch with no O(N) XLA ops.
+
+    Fast columns are NOT overridden with their subcycled state here — pair
+    forces are linear in source terms, so the caller adds the exact
+    correction  sum_{j in fast} [f(x_j^sub) - f(x_j^pred)]  from a K x K
+    dense evaluation (ops.integrators._fast_override_delta)."""
+    n_true = n_ref[0, 0]
+    tau = tau_ref[0, 0]
+    row_ids = row_ids_ref[:, 0:1]
+
+    xi = pos_row[:, 0:1]
+    yi = pos_row[:, 1:2]
+    zi = pos_row[:, 2:3]
+    vxi = vel_row[:, 0:1]
+    vyi = vel_row[:, 1:2]
+    vzi = vel_row[:, 2:3]
+
+    t2h = 0.5 * tau * tau
+    t3h = t2h * tau * (1.0 / 3.0)
+    num_j = n_padded // TILE_J
+
+    def _cols(jt):
+        """Predict the [3, TILE_J] column block at tau, plus per-pair w."""
+        j0 = jt * TILE_J
+        ds = pl.ds(j0, TILE_J)
+        p = pos_t[:, ds]
+        v = vel_t[:, ds]
+        a = a_t[:, ds]
+        jj = j_t[:, ds]
+        pj3 = p + tau * v + t2h * a + t3h * jj       # [3, TILE_J]
+        vj3 = v + tau * a + t2h * jj
+        mj = mass2d[0:1, ds]
+
+        dx = pj3[0:1, :] - xi                        # [TILE_I, TILE_J]
+        dy = pj3[1:2, :] - yi
+        dz = pj3[2:3, :] - zi
+        r2 = dx * dx + dy * dy + dz * dz + eps2
+
+        col_ids = j0 + jax.lax.broadcasted_iota(jnp.int32, (1, TILE_J), 1)
+        valid = (col_ids != row_ids) & (col_ids < n_true)
+        inv_r = jax.lax.rsqrt(r2)
+        inv_r = jnp.where(valid, inv_r, 0.0)
+        inv_r2 = inv_r * inv_r
+        w = mj * (inv_r * inv_r2)                    # m_j / r^3, masked
+        return j0, pj3, vj3, w, inv_r2, dx, dy, dz
+
+    def body(jt, carry):
+        ax, ay, az, jx, jy, jz = carry
+        j0, pj3, vj3, w, inv_r2, dx, dy, dz = _cols(jt)
+        dvx = vj3[0:1, :] - vxi
+        dvy = vj3[1:2, :] - vyi
+        dvz = vj3[2:3, :] - vzi
+        ax = ax + jnp.sum(w * dx, axis=1, keepdims=True)
+        ay = ay + jnp.sum(w * dy, axis=1, keepdims=True)
+        az = az + jnp.sum(w * dz, axis=1, keepdims=True)
+        s = 3.0 * (dx * dvx + dy * dvy + dz * dvz) * inv_r2
+        jx = jx + jnp.sum(w * (dvx - s * dx), axis=1, keepdims=True)
+        jy = jy + jnp.sum(w * (dvy - s * dy), axis=1, keepdims=True)
+        jz = jz + jnp.sum(w * (dvz - s * dz), axis=1, keepdims=True)
+        return ax, ay, az, jx, jy, jz
+
+    def body_mxu(jt, carry):
+        # same MXU offload as _nbody_kernel.body_mxu, with the C8 operand
+        # (x, y, z, vx, vy, vz, 1, |x|^2) built per tile from the
+        # PREDICTED columns in VMEM scratch
+        Sw, Sws = carry
+        j0, pj3, vj3, w, inv_r2, dx, dy, dz = _cols(jt)
+        c8_scratch[0:3, :] = pj3
+        c8_scratch[3:6, :] = vj3
+        c8_scratch[6:7, :] = jnp.ones((1, TILE_J), jnp.float32)
+        c8_scratch[7:8, :] = jnp.sum(pj3 * pj3, axis=0, keepdims=True)
+        c8t = c8_scratch[:, :]
+        dn = (((1,), (1,)), ((), ()))
+        Sw = Sw + jax.lax.dot_general(
+            w, c8t, dn, preferred_element_type=jnp.float32)
+        dvx = vj3[0:1, :] - vxi
+        dvy = vj3[1:2, :] - vyi
+        dvz = vj3[2:3, :] - vzi
+        s = (dx * dvx + dy * dvy + dz * dvz) * inv_r2
+        Sws = Sws + jax.lax.dot_general(
+            w * s, c8t, dn, preferred_element_type=jnp.float32)
+        return Sw, Sws
+
+    bounds = (jnp.int32(0), jnp.int32(num_j))
+    if use_mxu:
+        zeros8 = jnp.zeros((tile_i, 8), jnp.float32)
+        Sw, Sws = jax.lax.fori_loop(bounds[0], bounds[1], body_mxu,
+                                    (zeros8, zeros8))
+        sw1 = Sw[:, 6:7]
+        ax = Sw[:, 0:1] - xi * sw1
+        ay = Sw[:, 1:2] - yi * sw1
+        az = Sw[:, 2:3] - zi * sw1
+        sws1 = Sws[:, 6:7]
+        jx = (Sw[:, 3:4] - vxi * sw1) - 3.0 * (Sws[:, 0:1] - xi * sws1)
+        jy = (Sw[:, 4:5] - vyi * sw1) - 3.0 * (Sws[:, 1:2] - yi * sws1)
+        jz = (Sw[:, 5:6] - vzi * sw1) - 3.0 * (Sws[:, 2:3] - zi * sws1)
+    else:
+        zeros = jnp.zeros((tile_i, 1), jnp.float32)
+        ax, ay, az, jx, jy, jz = jax.lax.fori_loop(
+            bounds[0], bounds[1], body, (zeros,) * 6
+        )
+    acc_out[:, 0:1] = g * ax
+    acc_out[:, 1:2] = g * ay
+    acc_out[:, 2:3] = g * az
+    jerk_out[:, 0:1] = g * jx
+    jerk_out[:, 1:2] = g * jy
+    jerk_out[:, 2:3] = g * jz
+
+
+def make_pred_force_rows(
+    pos0: jax.Array,   # [N,3] step-start positions
+    vel0: jax.Array,   # [N,3]
+    a0: jax.Array,     # [N,3] step-start acceleration
+    j0: jax.Array,     # [N,3] step-start jerk
+    mass: jax.Array,   # [N]
+    eps2: float = 0.0,
+    g: float = G_INTERNAL,
+    interpret: bool | None = None,
+    use_mxu: bool = True,
+    tile_i: int = TILE_I,
+):
+    """`rows_at(pos_rows, vel_rows, row_ids, tau) -> (acc, jerk)` with the
+    column prediction fused into the kernel (_nbody_predcols_kernel).
+
+    The one-time column prep (mean-centring, padding, [3,N] transposes)
+    happens HERE, outside the substep loop; each substep then costs one
+    kernel launch. Centring uses the step-start means; predicted columns
+    from centred inputs drift by tau * c_vel, so the row states are shifted
+    by c_pos + tau * c_vel per call to stay translation-consistent (forces
+    are invariant, so outputs need no uncentring)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if not interpret and jax.config.jax_enable_x64:
+        raise RuntimeError(
+            "the Pallas N-body kernel cannot compile with jax_enable_x64 "
+            "(Mosaic has no i64 support); disable x64 or use the jnp "
+            "force path (ops.nbody)"
+        )
+    if eps2 == 0.0:
+        eps2 = 1e-30  # Mosaic hang guard, see pallas_acc_jerk_pot_rows
+    f32 = jnp.float32
+    n = pos0.shape[0]
+    n_padded = -(-n // TILE_J) * TILE_J
+
+    c_pos = jnp.mean(pos0, axis=0)
+    c_vel = jnp.mean(vel0, axis=0)
+    pos_t = _pad_rows((pos0 - c_pos).astype(f32), n_padded).T   # [3, Np]
+    vel_t = _pad_rows((vel0 - c_vel).astype(f32), n_padded).T
+    a_t = _pad_rows(a0.astype(f32), n_padded).T
+    j_t = _pad_rows(j0.astype(f32), n_padded).T
+    mass2d = _pad_rows(mass.astype(f32), n_padded)[None, :]
+    n_arr = jnp.full((1, 1), n, jnp.int32)
+
+    kernel = functools.partial(
+        _nbody_predcols_kernel, eps2=float(eps2), g=float(g),
+        n_padded=n_padded, use_mxu=use_mxu, tile_i=tile_i,
+    )
+
+    def rows_at(pos_rows, vel_rows, row_ids, tau):
+        dtype = pos_rows.dtype
+        b = pos_rows.shape[0]
+        b_padded = -(-b // tile_i) * tile_i
+        tau32 = tau.astype(f32)
+        rowsp = _pad_rows(
+            (pos_rows - (c_pos + tau * c_vel)).astype(f32), b_padded)
+        vrowsp = _pad_rows((vel_rows - c_vel).astype(f32), b_padded)
+        idsp = jnp.pad(row_ids.astype(jnp.int32), (0, b_padded - b),
+                       constant_values=-1)[:, None]
+        tau_arr = jnp.full((1, 1), tau32, f32)
+        grid = (b_padded // tile_i,)
+        acc, jerk = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((tile_i, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_i, 3), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_i, 3), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, n_padded), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, n_padded), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, n_padded), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, n_padded), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n_padded), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((tile_i, 3), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_i, 3), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b_padded, 3), f32),
+                jax.ShapeDtypeStruct((b_padded, 3), f32),
+            ],
+            scratch_shapes=[pltpu.VMEM((8, TILE_J), f32)],
+            cost_estimate=pl.CostEstimate(
+                flops=50 * b_padded * n_padded,
+                bytes_accessed=13 * 4 * (b_padded + n_padded),
+                transcendentals=b_padded * n_padded,
+            ),
+            interpret=interpret,
+        )(n_arr, tau_arr, idsp, rowsp, vrowsp,
+          pos_t, vel_t, a_t, j_t, mass2d)
+        return acc[:b].astype(dtype), jerk[:b].astype(dtype)
+
+    return rows_at

@@ -87,6 +87,22 @@ def _build_force_rows_fn(mass, eps2, force_impl_resolved):
     return None
 
 
+def _build_rows_at_factory(mass, eps2, pallas_here: bool):
+    """Predicted-columns subcycle backend (single-chip Pallas only): the
+    per-substep K x N row sweep predicts its columns IN-KERNEL from the
+    step-start state, eliminating the per-substep O(N) predict/scatter XLA
+    ops (ops.pallas_nbody.make_pred_force_rows; the fast-column override
+    is restored exactly via ops.integrators._fast_override_delta)."""
+    if not pallas_here:
+        return None
+    from ..ops.pallas_nbody import make_pred_force_rows
+
+    def factory(pos, vel, a0, j0):
+        return make_pred_force_rows(pos, vel, a0, j0, mass, float(eps2))
+
+    return factory
+
+
 def _mesh_sweep(mesh, force_impl: str):
     """Full-sweep function `(pos, vel, mass, *, eps2, pot_eps2, with_jerk)
     -> (acc, jerk, pot)` for the mesh backends: ppermute ring streaming
@@ -213,6 +229,7 @@ def _step_impl(state: SimState, aux: SimAux, cfg: SimConfig,
     force_fn, acc_fn = _build_force_fn(c.mass, cfg.eps2, cfg, mesh,
                                        force_impl)
     force_rows_fn = None
+    rows_at_factory = None
     if integ == "hermite4_block":
         if fused_mesh:
             # round 3: the subcycle's K x N row sweeps shard their columns
@@ -222,6 +239,9 @@ def _step_impl(state: SimState, aux: SimAux, cfg: SimConfig,
         else:
             force_rows_fn = _build_force_rows_fn(
                 c.mass, cfg.eps2, "pallas" if pallas_here else "default"
+            )
+            rows_at_factory = _build_rows_at_factory(
+                c.mass, cfg.eps2, pallas_here
             )
     final_eval_fn = None
     if cache_ok:
@@ -237,6 +257,7 @@ def _step_impl(state: SimState, aux: SimAux, cfg: SimConfig,
         acc_fn=acc_fn, k_fast=cfg.k_fast or 0,
         force_rows_fn=force_rows_fn, init_eval=init_eval,
         final_eval_fn=final_eval_fn, k_ultra=cfg.k_ultra,
+        force_rows_at_factory=rows_at_factory,
     )
     if cache_ok:
         pos, vel, (a1, j1, pot1) = out
@@ -517,6 +538,7 @@ def _stride_impl(state: SimState, aux: SimAux, cfg: SimConfig, cache,
                                        pot_eps2=_pot_eps2(cfg))
 
         force_rows_fn = _build_force_rows_fn(c.mass, cfg.eps2, "pallas")
+        rows_at_factory = _build_rows_at_factory(c.mass, cfg.eps2, True)
     pos_c, vel_c, (a1, j1, pot1), (pos_s, vel_s) = advance(
         c.pos, c.vel, c.mass, dt_total,
         integrator="hermite4_block", eta=cfg.eta_hermite,
@@ -528,6 +550,8 @@ def _stride_impl(state: SimState, aux: SimAux, cfg: SimConfig, cache,
         force_rows_fn=force_rows_fn, init_eval=(a0, j0),
         final_eval_fn=final_eval_fn, interior_samples=m - 1,
         k_ultra=cfg.k_ultra,
+        force_rows_at_factory=(None if mesh is not None
+                               else rows_at_factory),
     )
 
     s = state

@@ -216,3 +216,98 @@ def test_pallas_pot_eps2_fused_sweep():
                                rtol=1e-6, atol=0)
     np.testing.assert_allclose(np.asarray(p), np.asarray(p_u),
                                rtol=2e-5, atol=1e-8)
+
+
+@pytest.mark.parametrize("use_mxu", [False, True])
+def test_pred_cols_kernel_matches_explicit_columns(use_mxu):
+    """The predicted-columns kernel (columns Hermite-predicted IN-KERNEL at
+    tau) + the K x K source-linearity override delta together equal the
+    explicit path: predict_all + fast-row scatter + the plain rows kernel."""
+    from al26_tpu.ops.integrators import _fast_override_delta
+    from al26_tpu.ops.pallas_nbody import (
+        make_pred_force_rows, pallas_acc_jerk_pot_rows,
+    )
+    from al26_tpu.units import G_INTERNAL
+
+    n, k = 700, 64
+    pos, vel, mass = _system(n, seed=3)
+    pos = pos * 2.0 + 1.5
+    rng = np.random.default_rng(4)
+    a0 = jnp.asarray(rng.normal(size=(n, 3)) * 0.1, jnp.float32)
+    j0 = jnp.asarray(rng.normal(size=(n, 3)) * 0.05, jnp.float32)
+    fast_idx = jnp.asarray(
+        rng.choice(n, size=k, replace=False), jnp.int32)
+    tau = jnp.float32(0.0037)
+    eps2 = 1e-3
+
+    # subcycled fast-row states (differ from their predicted states)
+    pfp = pos[fast_idx] + jnp.asarray(
+        rng.normal(size=(k, 3)) * 1e-3, jnp.float32)
+    vfp = vel[fast_idx] + jnp.asarray(
+        rng.normal(size=(k, 3)) * 1e-3, jnp.float32)
+
+    # explicit path: predict every column, overwrite fast columns
+    t2 = tau * tau
+    p_cols = pos + tau * vel + 0.5 * t2 * a0 + (t2 * tau / 6.0) * j0
+    v_cols = vel + tau * a0 + 0.5 * t2 * j0
+    pf_pred = p_cols[fast_idx]
+    vf_pred = v_cols[fast_idx]
+    p_cols = p_cols.at[fast_idx].set(pfp)
+    v_cols = v_cols.at[fast_idx].set(vfp)
+    a_ref, j_ref, _ = pallas_acc_jerk_pot_rows(
+        pfp, vfp, fast_idx, p_cols, v_cols, mass, eps2=eps2,
+        use_mxu=use_mxu, tile_i=64,
+    )
+
+    # fused path: in-kernel prediction + override delta
+    rows_at = make_pred_force_rows(pos, vel, a0, j0, mass, eps2=eps2,
+                                   use_mxu=use_mxu, tile_i=64)
+    a_f, j_f = rows_at(pfp, vfp, fast_idx, tau)
+    da, dj = _fast_override_delta(pfp, vfp, pfp, vfp, pf_pred, vf_pred,
+                                  mass[fast_idx], eps2, G_INTERNAL)
+    a_f = a_f + da
+    j_f = j_f + dj
+
+    tol = 5e-4 if use_mxu else 2e-5
+    sa = float(jnp.max(jnp.abs(a_ref)))
+    sj = float(jnp.max(jnp.abs(j_ref)))
+    assert float(jnp.max(jnp.abs(a_f - a_ref))) / sa < tol
+    assert float(jnp.max(jnp.abs(j_f - j_ref))) / sj < tol
+
+
+def test_block_advance_pred_cols_matches_explicit():
+    """hermite4_block_advance with the predicted-columns factory tracks the
+    explicit-columns advance at kernel-error tolerances over a full dt."""
+    from al26_tpu.ops.integrators import hermite4_block_advance
+    from al26_tpu.ops.pallas_nbody import (
+        make_pallas_force_rows, make_pred_force_rows,
+    )
+
+    n, k = 600, 64
+    pos, vel, mass = _system(n, seed=9)
+    pos = pos * 3.0
+    vel = vel * 0.3
+    dt = jnp.float32(0.01)
+    eps2 = 1e-4
+
+    def rows_fn(pr, vr, ids, p_all, v_all):
+        from al26_tpu.ops.pallas_nbody import pallas_acc_jerk_pot_rows
+        a, j, _ = pallas_acc_jerk_pot_rows(
+            pr, vr, ids, p_all, v_all, mass, eps2=eps2, tile_i=64)
+        return a, j
+
+    p1, v1 = hermite4_block_advance(
+        pos, vel, mass, dt, k, eps2=eps2, force_rows_fn=rows_fn)
+
+    def factory(p, v, a0, j0):
+        return make_pred_force_rows(p, v, a0, j0, mass, eps2=eps2,
+                                    tile_i=64)
+
+    p2, v2 = hermite4_block_advance(
+        pos, vel, mass, dt, k, eps2=eps2, force_rows_fn=rows_fn,
+        force_rows_at_factory=factory)
+
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(p1),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v1),
+                               rtol=1e-4, atol=1e-5)
