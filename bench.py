@@ -239,8 +239,24 @@ def bench_ensemble(n_real: int = 16, n: int = 1024,
     return wall / (repeat_steps * cfg.dt)
 
 
+def probe_with_retries(attempts: int = 3, quiet_s: float = 150.0) -> bool:
+    """The tunneled worker's wedge RECOVERS after quiet periods (observed
+    repeatedly; .claude/skills/verify/SKILL.md) — a one-shot probe that
+    falls straight back to XLA can turn a transient window into a 0.26x
+    recorded headline. Retry with a genuinely quiet wait between attempts
+    (nothing touching the device) before giving up."""
+    for i in range(attempts):
+        if pallas_device_healthy():
+            return True
+        if i < attempts - 1:
+            print(f"# probe attempt {i + 1}/{attempts} failed; waiting "
+                  f"{quiet_s:.0f}s quiet before retry", file=sys.stderr)
+            time.sleep(quiet_s)
+    return False
+
+
 def main() -> None:
-    healthy = pallas_device_healthy()
+    healthy = probe_with_retries()
     n_dev = len(jax.devices())
     if healthy:
         if n_dev > 1:
