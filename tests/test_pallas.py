@@ -218,6 +218,33 @@ def test_pallas_pot_eps2_fused_sweep():
                                rtol=2e-5, atol=1e-8)
 
 
+def test_pallas_wide_tile_j_matches_dense():
+    """n >= TILE_J_WIDE auto-selects the 2048-wide column tiles (the
+    ~1.5x-throughput config measured on v5e); results must stay within the
+    kernel's error budget, including with the non-tile-aligned padding a
+    wide tile implies (2100 -> 4096 columns)."""
+    from al26_tpu.ops.pallas_nbody import TILE_J_WIDE, _auto_tile_j
+
+    n = TILE_J_WIDE + 52
+    assert _auto_tile_j(n, 0) == TILE_J_WIDE
+    assert _auto_tile_j(n, 700) == TILE_J    # ensembles keep narrow tiles
+    assert _auto_tile_j(512, 0) == TILE_J    # small n keeps narrow tiles
+    pos, vel, mass = _system(n, seed=21)
+    pos = pos + 4.0
+    a1, j1, p1 = pallas_acc_jerk_pot(pos, vel, mass, 1e-3)
+    a3, j3, p3 = pallas_acc_jerk_pot(pos, vel, mass, 1e-3, tile_j=TILE_J)
+    a2, j2, p2 = acc_jerk_pot_dense(
+        pos.astype(jnp.float64), vel.astype(jnp.float64),
+        mass.astype(jnp.float64), 1e-3,
+    )
+    # the narrow-tile override must meet the same budget (a1 vs a3 differ
+    # only by f32 summation order, so both sit within tol of the truth)
+    for got, ref, tol in ((a1, a2, 3e-4), (j1, j2, 3e-4), (p1, p2, 1e-5),
+                          (a3, a2, 3e-4), (j3, j2, 3e-4), (p3, p2, 1e-5)):
+        assert (float(jnp.max(jnp.abs(got - ref)))
+                / float(jnp.max(jnp.abs(ref)))) < tol
+
+
 @pytest.mark.parametrize("use_mxu", [False, True])
 def test_pred_cols_kernel_matches_explicit_columns(use_mxu):
     """The predicted-columns kernel (columns Hermite-predicted IN-KERNEL at
