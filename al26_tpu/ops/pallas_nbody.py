@@ -44,6 +44,21 @@ def _auto_tile_j(n: int, group_size: int) -> int:
     return TILE_J if (group_size > 0 or n < TILE_J_WIDE) else TILE_J_WIDE
 
 
+# v5e VMEM bound on the kernel's [tile_i, tile_j] f32 temporaries: products
+# above 2^19 (512x2048, 256x4096, 128x8192) fail Mosaic compilation with an
+# opaque remote-compile 500 — reject them eagerly with a readable error
+_MAX_TILE_ELEMS = 512 * 1024
+
+
+def _check_tiles(tile_i: int, tile_j: int) -> None:
+    if tile_i * tile_j > _MAX_TILE_ELEMS:
+        raise ValueError(
+            f"tile_i*tile_j = {tile_i}*{tile_j} exceeds the v5e VMEM bound "
+            f"({_MAX_TILE_ELEMS} f32 elements per pair-block temporary); "
+            f"use tile_i <= {_MAX_TILE_ELEMS // tile_j} at this tile_j"
+        )
+
+
 def use_pallas(n: int, dtype) -> bool:
     """Single source of truth for 'should the tiled kernel run here':
     a real TPU backend, f32 data, enough rows to amortise the launch, and
@@ -384,6 +399,7 @@ def pallas_acc_jerk_pot_rows(
     n = pos.shape[0]
     if tile_j is None:
         tile_j = _auto_tile_j(n, group_size)
+    _check_tiles(tile_i, tile_j)
     b_padded = -(-b // tile_i) * tile_i
     n_padded = -(-n // tile_j) * tile_j
 
@@ -688,6 +704,7 @@ def make_pred_force_rows(
     n = pos0.shape[0]
     if tile_j is None:
         tile_j = _auto_tile_j(n, 0)
+    _check_tiles(tile_i, tile_j)
     n_padded = -(-n // tile_j) * tile_j
 
     c_pos = jnp.mean(pos0, axis=0)

@@ -245,6 +245,19 @@ def test_pallas_wide_tile_j_matches_dense():
                 / float(jnp.max(jnp.abs(ref)))) < tol
 
 
+def test_pallas_tile_vmem_guard():
+    """Oversized tile_i x tile_j products fail Mosaic with an opaque
+    remote-compile 500 on the real device — the wrapper must reject them
+    eagerly with a readable error."""
+    from al26_tpu.ops.pallas_nbody import pallas_acc_jerk_pot_rows
+
+    pos, vel, mass = _system(256, seed=1)
+    with pytest.raises(ValueError, match="VMEM bound"):
+        pallas_acc_jerk_pot_rows(
+            pos, vel, jnp.arange(256, dtype=jnp.int32), pos, vel, mass,
+            eps2=1e-3, tile_i=512, tile_j=2048)
+
+
 @pytest.mark.parametrize("use_mxu", [False, True])
 def test_pred_cols_kernel_matches_explicit_columns(use_mxu):
     """The predicted-columns kernel (columns Hermite-predicted IN-KERNEL at
