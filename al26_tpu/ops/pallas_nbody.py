@@ -44,18 +44,23 @@ def _auto_tile_j(n: int, group_size: int) -> int:
     return TILE_J if (group_size > 0 or n < TILE_J_WIDE) else TILE_J_WIDE
 
 
-# v5e VMEM bound on the kernel's [tile_i, tile_j] f32 temporaries: products
-# above 2^19 (512x2048, 256x4096, 128x8192) fail Mosaic compilation with an
-# opaque remote-compile 500 — reject them eagerly with a readable error
+# v5e VMEM bound on the kernel's [tile_i, tile_j] f32 temporaries: with
+# jerk, products above 2^19 (512x2048, 256x4096, 128x8192) fail Mosaic
+# compilation with an opaque remote-compile 500; the jerk-free variant
+# holds fewer live temporaries and 256x4096 (2^20) compiles and runs
+# (measured, docs/precision.md) — reject over-budget combinations eagerly
+# with a readable error
 _MAX_TILE_ELEMS = 512 * 1024
 
 
-def _check_tiles(tile_i: int, tile_j: int) -> None:
-    if tile_i * tile_j > _MAX_TILE_ELEMS:
+def _check_tiles(tile_i: int, tile_j: int, with_jerk: bool = True) -> None:
+    limit = _MAX_TILE_ELEMS if with_jerk else 2 * _MAX_TILE_ELEMS
+    if tile_i * tile_j > limit:
         raise ValueError(
             f"tile_i*tile_j = {tile_i}*{tile_j} exceeds the v5e VMEM bound "
-            f"({_MAX_TILE_ELEMS} f32 elements per pair-block temporary); "
-            f"use tile_i <= {_MAX_TILE_ELEMS // tile_j} at this tile_j"
+            f"({limit} f32 elements per pair-block temporary at "
+            f"with_jerk={with_jerk}); use tile_i <= {limit // tile_j} at "
+            f"this tile_j"
         )
 
 
@@ -398,8 +403,12 @@ def pallas_acc_jerk_pot_rows(
     b = pos_rows.shape[0]
     n = pos.shape[0]
     if tile_j is None:
-        tile_j = _auto_tile_j(n, group_size)
-    _check_tiles(tile_i, tile_j)
+        # the pure-VPU body (use_mxu=False, incl. all group-windowed
+        # sweeps) holds more live [tile_i, tile_j] temporaries and fails
+        # to compile at 256x2048 (measured) — wide tiles are an
+        # MXU-body-only optimisation
+        tile_j = _auto_tile_j(n, group_size) if use_mxu else TILE_J
+    _check_tiles(tile_i, tile_j, with_jerk)
     b_padded = -(-b // tile_i) * tile_i
     n_padded = -(-n // tile_j) * tile_j
 
@@ -703,7 +712,8 @@ def make_pred_force_rows(
     f32 = jnp.float32
     n = pos0.shape[0]
     if tile_j is None:
-        tile_j = _auto_tile_j(n, 0)
+        # wide tiles are MXU-body-only, as in pallas_acc_jerk_pot_rows
+        tile_j = _auto_tile_j(n, 0) if use_mxu else TILE_J
     _check_tiles(tile_i, tile_j)
     n_padded = -(-n // tile_j) * tile_j
 

@@ -66,6 +66,7 @@ def _digest_dir(path, skip_substr=None):
     return out
 
 
+@pytest.mark.slow
 def test_async_and_sync_runs_write_identical_files(tmp_path):
     """End-to-end: the background writer must be invisible in the output —
     same files, same bytes — modulo the pickled Metadata timestamps, so

@@ -1,6 +1,7 @@
 """Force-cache correctness: each step's closing evaluation, mass-delta
 corrected, IS the next step's opening evaluation (sim/step.py), so the
 Pallas leapfrog/hermite4_block paths run ONE full O(N^2) sweep per step."""
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -125,6 +126,7 @@ def test_cached_run_steps_cached_threads_across_chunks():
                                   np.asarray(s2.cluster.pos))
 
 
+@pytest.mark.slow
 def test_ensemble_flat_cache_matches_uncached(monkeypatch):
     """The flat ensemble's cached scan equals the uncached flat stepping
     (bitwise without mass evolution; the mass-delta correction is exact, so
@@ -211,6 +213,7 @@ def test_hermite4_energy_conserved_with_cache():
     assert abs(etot(s_end) - e0) / abs(e0) < 5e-4
 
 
+@pytest.mark.slow
 def test_cached_trajectory_matches_uncached():
     """run_steps_traj_cached (round 3: interloper runs keep the force
     cache) matches the uncached trajectory run — with no mass evolution

@@ -92,12 +92,21 @@ def _kepler_two_body(e=0.5):
 
 def test_hermite_kepler_orbit():
     pos, vel, mass, period, a, e = _kepler_two_body(0.5)
-    # integrate one full orbit in 100 outer steps
+    # integrate one full orbit in 100 outer steps (one jitted scan: the
+    # eager per-step dispatch dominated the test's wall time)
     dt = period / 100
-    p, v = pos, vel
-    for _ in range(100):
-        p, v = hermite4_advance(p, v, mass, jnp.asarray(dt), eta=0.02,
-                                eps2=0.0, max_substeps=65536)
+
+    @jax.jit
+    def orbit(p, v):
+        def body(carry, _):
+            p, v = carry
+            p, v = hermite4_advance(p, v, mass, jnp.asarray(dt), eta=0.02,
+                                    eps2=0.0, max_substeps=65536)
+            return (p, v), None
+        (p, v), _ = jax.lax.scan(body, (p, v), None, length=100)
+        return p, v
+
+    p, v = orbit(pos, vel)
     # back to apoapsis
     sep = np.linalg.norm(np.asarray(p[1] - p[0]))
     assert abs(sep / (a * (1 + e)) - 1) < 1e-3
@@ -119,8 +128,17 @@ def test_energy_conservation_plummer():
     eps2 = 0.125  # BHTree-parity softening at rc=1
     e0 = float(total_energy(pos, vel, mass, eps2))
     dt = jnp.asarray(0.01)  # Myr
-    for _ in range(50):
-        pos, vel = hermite4_advance(pos, vel, mass, dt, eta=0.1, eps2=eps2)
+
+    @jax.jit
+    def run(p, v):
+        def body(carry, _):
+            p, v = carry
+            p, v = hermite4_advance(p, v, mass, dt, eta=0.1, eps2=eps2)
+            return (p, v), None
+        (p, v), _ = jax.lax.scan(body, (p, v), None, length=50)
+        return p, v
+
+    pos, vel = run(pos, vel)
     e1 = float(total_energy(pos, vel, mass, eps2))
     assert abs((e1 - e0) / e0) < 1e-5, (e0, e1)
 
@@ -175,14 +193,20 @@ def test_hermite_block_matches_shared_adaptive():
     mass = jnp.full(n, 0.5)
     eps2 = 1e-4
     dt = jnp.asarray(0.005)
-    p_ref, v_ref = pos, vel
-    p_blk, v_blk = pos, vel
-    for _ in range(10):
-        p_ref, v_ref = hermite4_advance(p_ref, v_ref, mass, dt, eta=0.02,
+    @jax.jit
+    def run_both(p, v):
+        def body(carry, _):
+            p_r, v_r, p_b, v_b = carry
+            p_r, v_r = hermite4_advance(p_r, v_r, mass, dt, eta=0.02,
                                         eps2=eps2, max_substeps=65536)
-        p_blk, v_blk = hermite4_block_advance(p_blk, v_blk, mass, dt,
+            p_b, v_b = hermite4_block_advance(p_b, v_b, mass, dt,
                                               k_fast=16, eta=0.02,
                                               eps2=eps2, max_substeps=65536)
+            return (p_r, v_r, p_b, v_b), None
+        out, _ = jax.lax.scan(body, (p, v, p, v), None, length=10)
+        return out
+
+    p_ref, v_ref, p_blk, v_blk = run_both(pos, vel)
     scale = float(jnp.max(jnp.abs(p_ref)))
     err = float(jnp.max(jnp.abs(p_blk - p_ref))) / scale
     assert err < 2e-4, err
@@ -201,8 +225,17 @@ def test_hermite_block_energy_conservation():
     mass = jnp.full(n, 0.5)
     eps2 = 0.125
     e0 = float(total_energy(pos, vel, mass, eps2))
-    for _ in range(40):
-        pos, vel = hermite4_block_advance(pos, vel, mass, jnp.asarray(0.01),
+
+    @jax.jit
+    def run(p, v):
+        def body(carry, _):
+            p, v = carry
+            p, v = hermite4_block_advance(p, v, mass, jnp.asarray(0.01),
                                           k_fast=16, eta=0.1, eps2=eps2)
+            return (p, v), None
+        (p, v), _ = jax.lax.scan(body, (p, v), None, length=40)
+        return p, v
+
+    pos, vel = run(pos, vel)
     e1 = float(total_energy(pos, vel, mass, eps2))
     assert abs((e1 - e0) / e0) < 1e-5, (e0, e1)

@@ -317,6 +317,7 @@ def test_ensemble_resume_roundtrip(tmp_path):
 # Round-3 mesh-path parity with the single-chip cache machinery
 # (VERDICT r2 weak item 3 / next-round item 4)
 # ---------------------------------------------------------------------------
+@pytest.mark.slow
 def test_mesh_cached_one_sweep_per_step(monkeypatch):
     """The sharded step runs NO sweep beyond the integrator's own: the
     virial potential rides the fused force sweep (no

@@ -1,6 +1,7 @@
 """cfg.softened_virial: the virial radius (global wind-bubble size) from
 the BHTree-softened potential instead of the reference's raw one
 (sim/step.py:_pot_eps2) — a documented speed/parity trade."""
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -9,6 +10,7 @@ from al26_tpu.sim import init_cluster
 from al26_tpu.sim.step import run_steps, step
 
 
+@pytest.mark.slow
 def test_softened_virial_shifts_only_global_channel():
     base = dict(n=256, rc=1.0, final_time=10.0, seed=44, dtype="f32",
                 integrator="hermite4_block", k_fast=64)

@@ -1,6 +1,7 @@
 """Gravity stride (cfg.gravity_stride): one hermite4_block force advance
 spanning m physics steps, interior steps on predictor-sampled positions.
 All SLR physics still runs every dt."""
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -122,6 +123,7 @@ def test_stride_on_mesh_tracks_unstrided():
                                   np.asarray(s1.cluster.mass))
 
 
+@pytest.mark.slow
 def test_stride_mesh_one_sweep_per_stride(monkeypatch):
     """One eager mesh stride of m=2 physics steps runs exactly ONE full
     row sweep (the closing evaluation; the subcycle's K x N row work goes
