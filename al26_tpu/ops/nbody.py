@@ -269,9 +269,49 @@ def local_densities(pos, mass, k: int = 10) -> jax.Array:
     return m_sum / (four_thirds_pi * d_k**3)
 
 
+def _mass_delta_block(acc, jerk, pot, pos_b, vel_b, targets_b, xs, vs,
+                      src_idx, dm, eps2, g, group_size, pot_softened):
+    """mass_delta_correction body on a row block [B] of the N targets.
+    The per-row reduction over the M sources is independent of the block
+    split (chunked == dense up to XLA's per-program reassociation of the
+    tiny M contraction — tests/test_force_cache.py pins ~1 ulp)."""
+    dx = xs[None, :, :] - pos_b[:, None, :]     # [B,M,3]
+    r2 = jnp.sum(dx * dx, axis=-1) + eps2       # [B,M]
+    r2 = jnp.maximum(r2, 1e-30)
+    invalid = targets_b[:, None] == src_idx[None, :]        # self pairs
+    if group_size > 0:
+        invalid = invalid | ((targets_b[:, None] // group_size)
+                             != (src_idx[None, :] // group_size))
+    invr = jnp.where(invalid, 0.0, jax.lax.rsqrt(r2))
+    w = dm[None, :] * invr * invr * invr        # [B,M]
+    acc = acc + g * jnp.einsum("nm,nmk->nk", w, dx)
+    if jerk is not None:
+        dv = vs[None, :, :] - vel_b[:, None, :]
+        s = 3.0 * jnp.sum(dx * dv, axis=-1) / r2
+        jerk = jerk + g * (jnp.einsum("nm,nmk->nk", w, dv)
+                           - jnp.einsum("nm,nmk->nk", w * s, dx))
+    if pot_softened:
+        pot = pot - g * (invr @ dm)
+    else:
+        invr_u = jnp.where(invalid, 0.0,
+                           jax.lax.rsqrt(jnp.maximum(r2 - eps2, 0.0)
+                                         + 1e-30))
+        pot = pot - g * (invr_u @ dm)
+    return acc, jerk, pot
+
+
+# auto row-chunk threshold: above ~2^23 (N*M) pair terms the [N,M,3]
+# broadcast temporaries stop being HBM-trivial (at the flagship
+# N=102400 x M~410 they are ~0.5 GB each; at N=204800 x M~1600 several
+# live multi-GB buffers OOM a 16 GB v5e — measured, run_steps failed to
+# fit at N=204800 before chunking)
+_MDC_DENSE_MAX = 1 << 23
+
+
 def mass_delta_correction(acc, jerk, pot, pos, vel, src_idx, dm,
                           eps2, g=G_INTERNAL, group_size: int = 0,
-                          pot_softened: bool = False):
+                          pot_softened: bool = False,
+                          block: int | None = None):
     """Exact update of a cached force evaluation for SOURCE-MASS changes at
     fixed positions.
 
@@ -290,30 +330,53 @@ def mass_delta_correction(acc, jerk, pot, pos, vel, src_idx, dm,
     the cached potential drifts from the true one on every mass-loss step.
     `jerk=None` skips the jerk update (leapfrog cache). `dm` must already
     be zero for padding slots. group_size > 0 restricts pairs to the same
-    realization (flattened ensembles)."""
+    realization (flattened ensembles).
+
+    `block` bounds the HBM footprint by lax.map-ing row blocks of the N
+    targets (each per-row sum over M is the same math; XLA may
+    reassociate the small M contraction differently between the two
+    program shapes — ~1 ulp, tests/test_force_cache.py): None
+    auto-chunks above _MDC_DENSE_MAX pair terms, 0 forces the dense path
+    (mesh callers — GSPMD partitions the N axis across chips itself, and
+    a lax.map over row blocks of a sharded array would reshard every
+    iteration)."""
+    n = pos.shape[0]
+    m = src_idx.shape[0]
     xs = pos[src_idx]                           # [M,3]
     vs = vel[src_idx]
-    dx = xs[None, :, :] - pos[:, None, :]       # [N,M,3]
-    r2 = jnp.sum(dx * dx, axis=-1) + eps2       # [N,M]
-    r2 = jnp.maximum(r2, 1e-30)
-    targets = jnp.arange(pos.shape[0], dtype=src_idx.dtype)
-    invalid = targets[:, None] == src_idx[None, :]          # self pairs
-    if group_size > 0:
-        invalid = invalid | ((targets[:, None] // group_size)
-                             != (src_idx[None, :] // group_size))
-    invr = jnp.where(invalid, 0.0, jax.lax.rsqrt(r2))
-    w = dm[None, :] * invr * invr * invr        # [N,M]
-    acc = acc + g * jnp.einsum("nm,nmk->nk", w, dx)
-    if jerk is not None:
-        dv = vs[None, :, :] - vel[:, None, :]
-        s = 3.0 * jnp.sum(dx * dv, axis=-1) / r2
-        jerk = jerk + g * (jnp.einsum("nm,nmk->nk", w, dv)
-                           - jnp.einsum("nm,nmk->nk", w * s, dx))
-    if pot_softened:
-        pot = pot - g * (invr @ dm)
-    else:
-        invr_u = jnp.where(invalid, 0.0,
-                           jax.lax.rsqrt(jnp.maximum(r2 - eps2, 0.0)
-                                         + 1e-30))
-        pot = pot - g * (invr_u @ dm)
+    targets = jnp.arange(n, dtype=src_idx.dtype)
+    if block is None and n * m > _MDC_DENSE_MAX:
+        block = max(1024, _MDC_DENSE_MAX // max(m, 1))
+    if not block or block >= n:
+        return _mass_delta_block(acc, jerk, pot, pos, vel, targets, xs, vs,
+                                 src_idx, dm, eps2, g, group_size,
+                                 pot_softened)
+    nb = -(-n // block) * block
+    pad = nb - n
+
+    def prep(a):
+        if pad:
+            a = jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+        return a.reshape(nb // block, block, *a.shape[1:])
+
+    # padded target ids are -1: never equal a source index, and under
+    # group_size they land in group -1 (no source group) — contributions 0
+    tgt = targets if not pad else jnp.pad(targets, (0, pad),
+                                          constant_values=-1)
+    has_jerk = jerk is not None
+    ins = (prep(acc), prep(jerk if has_jerk else acc), prep(pot),
+           prep(pos), prep(vel), tgt.reshape(nb // block, block))
+
+    def one(t):
+        a_b, j_b, p_b, pb, vb, tb = t
+        a_b, j_b, p_b = _mass_delta_block(
+            a_b, j_b if has_jerk else None, p_b, pb, vb, tb, xs, vs,
+            src_idx, dm, eps2, g, group_size, pot_softened,
+        )
+        return a_b, (j_b if has_jerk else a_b), p_b
+
+    a_o, j_o, p_o = jax.lax.map(one, ins)
+    acc = a_o.reshape(nb, 3)[:n]
+    jerk = j_o.reshape(nb, 3)[:n] if has_jerk else None
+    pot = p_o.reshape(nb)[:n]
     return acc, jerk, pot

@@ -287,6 +287,7 @@ def _step_impl(state: SimState, aux: SimAux, cfg: SimConfig,
         a1, j1, pot1 = mass_delta_correction(
             a1, j1, pot1, pos, vel, aux.msrc_idx, dm, eps2,
             pot_softened=cfg.softened_virial,
+            block=0 if mesh is not None else None,
         )
         new_cache = (a1, jnp.zeros_like(a1) if j1 is None else j1, pot1)
     return new_state, new_cache
@@ -569,6 +570,7 @@ def _stride_impl(state: SimState, aux: SimAux, cfg: SimConfig, cache,
     a1, j1, pot1 = mass_delta_correction(
         a1, j1, pot1, pos_c, vel_c, aux.msrc_idx, dm, eps2,
         pot_softened=cfg.softened_virial,
+        block=0 if mesh is not None else None,
     )
     return s, (a1, j1, pot1)
 

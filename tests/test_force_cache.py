@@ -47,6 +47,48 @@ def test_mass_delta_correction_is_exact():
     np.testing.assert_array_equal(np.asarray(p), np.asarray(p2))
 
 
+def test_mass_delta_correction_chunked_bitwise():
+    """The row-chunked path (block > 0, the large-N HBM-bounded variant
+    that keeps run_steps compilable at N >= 2e5) equals the dense
+    evaluation to compile-variation round-off: chunking splits the N
+    targets, never the per-row sum over the M sources (XLA may
+    reassociate the tiny M contraction differently between the two
+    program shapes — observed 1 ulp on 1/300 elements in f64). Covers row
+    padding (n not a multiple of block), jerk=None, pot_softened and the
+    ensemble group mask."""
+    from al26_tpu.ops.nbody import mass_delta_correction
+
+    rng = np.random.default_rng(11)
+    n = 100  # not a multiple of block: exercises the -1 target padding
+    pos = jnp.asarray(rng.normal(size=(n, 3)))
+    vel = jnp.asarray(rng.normal(size=(n, 3)))
+    acc = jnp.asarray(rng.normal(size=(n, 3)))
+    jerk = jnp.asarray(rng.normal(size=(n, 3)))
+    pot = jnp.asarray(rng.normal(size=n))
+    src = jnp.asarray([3, 17, 40, 77, 0], jnp.int32)
+    dm = jnp.asarray([-0.5, 1.2, -0.05, -0.3, 0.0])
+
+    for kw in ({}, {"jerk_none": True}, {"pot_softened": True},
+               {"group_size": 25}):
+        j_in = None if kw.pop("jerk_none", False) else jerk
+        dense = mass_delta_correction(acc, j_in, pot, pos, vel, src, dm,
+                                      0.05, block=0, **kw)
+        chunk = mass_delta_correction(acc, j_in, pot, pos, vel, src, dm,
+                                      0.05, block=32, **kw)
+        np.testing.assert_allclose(np.asarray(dense[0]),
+                                   np.asarray(chunk[0]),
+                                   rtol=1e-14, atol=1e-16)
+        if j_in is not None:
+            np.testing.assert_allclose(np.asarray(dense[1]),
+                                       np.asarray(chunk[1]),
+                                       rtol=1e-14, atol=1e-16)
+        else:
+            assert dense[1] is None and chunk[1] is None
+        np.testing.assert_allclose(np.asarray(dense[2]),
+                                   np.asarray(chunk[2]),
+                                   rtol=1e-14, atol=1e-16)
+
+
 def test_cached_leapfrog_equals_uncached():
     """Without mass evolution the cache is mathematically identical to a
     fresh opening sweep (same kernel call at the same operands): step-level
