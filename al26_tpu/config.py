@@ -49,12 +49,15 @@ class SimConfig:
     mass_frac_56fe: float = 1.828e-4   # stable 56Fe per stellar mass (:1567)
     sn_parity_mode: bool = False       # True: gate wind/SN sources on
     #   CURRENT mass >= high_mass_threshold exactly like the reference
-    #   (al26_nbody.py:945-948 via get_high_mass_star_indices:1194-1216) —
-    #   needed for reference-matching statistics. Default False: candidacy
-    #   is INITIAL-mass based, so a 13-14 Msun star whose strong post-MS
-    #   wind drops it below 13 Msun still sheds wind and still explodes
-    #   (the reference silently loses both for that most-populous massive
-    #   bin; see docs/deviations in ops/deposition.py:sn_injection).
+    #   (al26_nbody.py:945-948 via get_high_mass_star_indices:1194-1216).
+    #   This is RULE parity, not outcome parity: under the round-3
+    #   published LC18 anchors every 13-25 Msun progenitor's pre-SN mass
+    #   sits below the 13 Msun gate, so the flag suppresses ALL SNe and
+    #   late winds (the reference's SeBa tracks kept some stars above the
+    #   gate longer; see ops/deposition.py:sn_injection and
+    #   docs/stellar_model.md). Default False: candidacy is INITIAL-mass
+    #   based, so a massive star whose strong post-MS wind drops it below
+    #   13 Msun still sheds wind and still explodes.
 
     # -- gravity ----------------------------------------------------------
     integrator: str = "auto"           # "auto" | "hermite4" |

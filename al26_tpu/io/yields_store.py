@@ -324,7 +324,13 @@ class Yields:
         path = f"{self.filename}-cluster-yields.csv"
         if not os.path.exists(path):
             return
-        eps = 1e-9 * max(1.0, abs(t_max))
+        # the CSV time column is written at %.6e (7 significant digits,
+        # write_to_csv) — the tolerance must cover that quantisation
+        # (~5e-7 relative; an f32 checkpoint time like 9.99499988...
+        # rounds UP to 9.995000e+00) or the boundary row at the resume
+        # time itself gets dropped. Stale rows sit >= one dt (~0.01 Myr)
+        # above t_max, far outside this epsilon.
+        eps = 1e-6 * max(1.0, abs(t_max))
         with open(path) as f:
             lines = f.readlines()
         keep = lines[:1]  # header

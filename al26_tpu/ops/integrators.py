@@ -293,7 +293,7 @@ def hermite4_block_advance(
 
         def force_rows_fn(pr, vr, ids, p_all, v_all):
             a, j, _ = _row_block_acc_jerk_pot(
-                pr, vr, p_all, v_all, mass, eps2, g, ids
+                pr, vr, p_all, v_all, mass, eps2, g, ids, with_pot=False
             )
             return a, j
 

@@ -85,7 +85,8 @@ def acc_jerk_pot_dense(
 
 
 def _row_block_acc_jerk_pot(pos_i, vel_i, pos, vel, mass, eps2, g, self_rows,
-                            pot_eps2=None, col_offset=0, with_jerk=True):
+                            pot_eps2=None, col_offset=0, with_jerk=True,
+                            with_pot=True):
     """Force on a row block [B,3] from all sources [N,3].
 
     `self_rows` gives the global indices of the block rows so the self pair
@@ -94,7 +95,8 @@ def _row_block_acc_jerk_pot(pos_i, vel_i, pos, vel, mass, eps2, g, self_rows,
     parallel.sharded.make_sharded_force_rows). `pot_eps2` softens the
     potential separately from the forces (1e-30 ~ unsoftened) so one sweep
     serves both the integrator and the virial radius, mirroring the Pallas
-    kernel (ops.pallas_nbody)."""
+    kernel (ops.pallas_nbody). `with_pot=False` skips the potential
+    reduction (subcycle row sweeps discard it every substep)."""
     n = pos.shape[0]
     dx = pos[None, :, :] - pos_i[:, None, :]
     dv = vel[None, :, :] - vel_i[:, None, :]
@@ -117,6 +119,8 @@ def _row_block_acc_jerk_pot(pos_i, vel_i, pos, vel, mass, eps2, g, self_rows,
     else:
         # leapfrog / potential-only sweeps skip ~40% of the pair work
         jerk = jnp.zeros_like(acc)
+    if not with_pot:
+        return acc, jerk, jnp.zeros(pos_i.shape[0], pos_i.dtype)
     if pot_eps2 is None:
         inv_rp = inv_r
     else:

@@ -162,7 +162,7 @@ def make_sharded_force_rows(
         start = jax.lax.axis_index(axis) * block
         a, j, _ = _row_block_acc_jerk_pot(
             pr, vr, pos_l, vel_l, mass_l, eps2, g, ids,
-            col_offset=start,
+            col_offset=start, with_pot=False,  # discarded every substep
         )
         return (jax.lax.psum(a, axis), jax.lax.psum(j, axis))
 

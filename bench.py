@@ -72,14 +72,17 @@ def pallas_device_healthy(compile_budget_s: float = 600.0,
         "a,_,_ = c(x, x, ids, x, x, m);"
         "print('SUM', float(jnp.sum(np.asarray(a))), flush=True)"
     ) % os.path.dirname(os.path.abspath(__file__))
+    # stderr merged into stdout: a subprocess that CRASHES (ImportError,
+    # device grabbed, compile API error) must surface its traceback here
+    # instead of being misread as a 600 s compile timeout
     proc = subprocess.Popen(["python", "-c", code],
                             stdout=subprocess.PIPE,
-                            stderr=subprocess.DEVNULL, text=True)
+                            stderr=subprocess.STDOUT, text=True)
     lines: list = []
 
     def _reader():
         for line in proc.stdout:
-            lines.append(line.strip())
+            lines.append(line.rstrip())
 
     t = threading.Thread(target=_reader, daemon=True)
     t.start()
@@ -95,23 +98,32 @@ def pallas_device_healthy(compile_budget_s: float = 600.0,
             time.sleep(0.5)
         return False
 
+    def _died_early(stage: str) -> bool:
+        if proc.poll() is None:
+            return False
+        print(f"# pallas probe: subprocess exited rc={proc.returncode} "
+              f"before {stage}; output tail:", file=sys.stderr)
+        for ln in lines[-8:]:
+            print(f"#   {ln}", file=sys.stderr)
+        return True
+
     try:
         if not _wait_for("READY", time.time() + compile_budget_s):
-            print("# pallas probe: compile did not finish in "
-                  f"{compile_budget_s:.0f}s (compile service problem)",
-                  file=sys.stderr)
+            if not _died_early("READY"):
+                print("# pallas probe: compile did not finish in "
+                      f"{compile_budget_s:.0f}s (compile service problem)",
+                      file=sys.stderr)
             return False
         if not _wait_for("SUM", time.time() + exec_budget_s):
-            print("# pallas probe: compiled kernel did not EXECUTE in "
-                  f"{exec_budget_s:.0f}s — device wedged",
-                  file=sys.stderr)
+            if not _died_early("SUM"):
+                print("# pallas probe: compiled kernel did not EXECUTE in "
+                      f"{exec_budget_s:.0f}s — device wedged",
+                      file=sys.stderr)
             return False
         return True
     finally:
         if proc.poll() is None:
             proc.kill()
-        if not any(ln.startswith("SUM") for ln in lines):
-            print("# falling back to the XLA force path", file=sys.stderr)
 
 
 def bench_force_throughput_xla(n: int = 32768) -> float:
@@ -252,6 +264,9 @@ def probe_with_retries(attempts: int = 3, quiet_s: float = 150.0) -> bool:
             print(f"# probe attempt {i + 1}/{attempts} failed; waiting "
                   f"{quiet_s:.0f}s quiet before retry", file=sys.stderr)
             time.sleep(quiet_s)
+    # only after the FINAL failed attempt: a mid-retry fallback line in the
+    # log would contradict a bench whose headline is a Pallas measurement
+    print("# falling back to the XLA force path", file=sys.stderr)
     return False
 
 

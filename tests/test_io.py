@@ -587,6 +587,29 @@ def test_blob_only_resume_truncates_future_before_backfill(tmp_path):
     assert back.time[-1] == pytest.approx(t_resume)
 
 
+def test_truncate_csv_keeps_f32_boundary_row(tmp_path):
+    """The CSV's time column is written at %.6e (7 significant digits), so
+    an f32 checkpoint time like float(np.float32(9.995)) = 9.99499988...
+    appears in the file as 9.995000e+00 — ABOVE the truncation time.
+    truncate_csv's tolerance must cover that quantisation or the boundary
+    row at the resume time itself is dropped on ~half of f32 resumes
+    (round-3 review finding); genuinely stale rows sit a full dt above."""
+    from al26_tpu.io.yields_store import Yields
+
+    y = Yields(str(tmp_path / "f32b"))
+    path = f"{y.filename}-cluster-yields.csv"
+    t_ckpt = float(np.float32(9.995))  # 9.994999885559082
+    with open(path, "w") as f:
+        f.write("time,local_26al,global_26al,sne_26al,"
+                "local_60fe,global_60fe,sne_60fe\n")
+        f.write("{:.6e},0,0,0,0,0,0\n".format(t_ckpt))         # boundary
+        f.write("{:.6e},0,0,0,0,0,0\n".format(t_ckpt + 0.01))  # stale
+    y.truncate_csv(t_ckpt)
+    rows = open(path).read().strip().splitlines()
+    assert len(rows) == 2, "boundary row dropped or stale row kept"
+    assert float(rows[1].split(",")[0]) == pytest.approx(9.995)
+
+
 def test_resume_truncates_stale_csv_rows(tmp_path):
     """Resume from an earlier checkpoint must drop the CSV's future rows
     before the re-simulated run appends fresh ones (round-3 review
