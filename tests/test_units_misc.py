@@ -90,3 +90,32 @@ def test_state_validation_catches_corruption():
     bad2["mass"][0] = -1.0
     with _pytest.raises(StateValidationError, match="negative stellar mass"):
         validate_cluster_dict(bad2, 1.0)
+
+
+def test_phase_timers_accumulate_and_report():
+    """utils/timing.py: the structured replacement for the reference's
+    manual time.time() brackets (al26_nbody.py:764-1109) — totals/counts
+    accumulate per phase and the report sorts by total."""
+    import time
+
+    from al26_tpu.utils.timing import PhaseTimers
+
+    tm = PhaseTimers()
+    for _ in range(3):
+        with tm.phase("physics"):
+            time.sleep(0.002)
+    with tm.phase("checkpoint"):
+        time.sleep(0.02)
+    try:
+        with tm.phase("failing"):
+            raise ValueError("boom")
+    except ValueError:
+        pass  # the finally path must still record the phase
+    assert tm.counts["physics"] == 3
+    assert tm.counts["failing"] == 1
+    assert tm.totals["checkpoint"] >= 0.02
+    assert tm.last["physics"] <= tm.totals["physics"]
+    rep = tm.report()
+    # sorted by descending total: checkpoint (20 ms) before physics (6 ms)
+    assert rep.index("checkpoint") < rep.index("physics")
+    assert "x3" in rep
