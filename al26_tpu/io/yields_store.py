@@ -232,11 +232,16 @@ class Yields:
 
     def plate(self, filename: str) -> None:
         """Restore attributes from a marinated file (also reads files
-        written by the reference's py-ubjson)."""
+        written by the reference's py-ubjson). The store's IDENTITY —
+        `filename`, the base path future CSV/blob writes go to — is NOT
+        restored: the blob records the base as of save time (possibly
+        relative to a different cwd), and restoring it would redirect a
+        path-qualified resume's writes into the wrong directory
+        (plate_frames never restored it; round-3 review finding)."""
         with open(filename, "rb") as f:
             preserve = ubjson.loadb(decompress(f.read()))
         for attr in self.__dict__:
-            if attr in preserve:
+            if attr in preserve and attr != "filename":
                 self.__dict__[attr] = preserve[attr]
 
     # -- appendable framed format (round-2 extra; module docstring) --------

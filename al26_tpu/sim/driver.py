@@ -105,6 +105,58 @@ def _rebuild_aux(cfg: SimConfig, cluster, data_dir=None) -> SimAux:
                      data_dir, np.asarray(cluster.is_interloper))
 
 
+def _drop_stale_state_files(base: str, k: int) -> None:
+    """Delete state files numbered ABOVE the resumed checkpoint. A -nc K
+    resume truncates the CSV/frames/blob to t_K, but the higher-numbered
+    state files of the abandoned timeline would survive — and a LATER
+    plain resume picks the global max (most_recent_checkpoint), silently
+    restarting from the stale timeline while the yields artifacts track
+    the new one."""
+    import glob
+    import re
+
+    rx = re.compile(re.escape(base) + r"-state-(\d+)\.pkl\.zst$")
+    for f in glob.glob(base + "-state-*"):
+        m = rx.search(f)
+        if m and int(m.group(1)) > k:
+            os.remove(f)
+
+
+def _reset_trajectory(resume_t: Optional[float],
+                      path: str = "interloper_trajectory.dat") -> None:
+    """Trajectory-file analogue of the CSV/frames truncation. Cold run:
+    remove a stale file from a previous run in this cwd (the reference
+    appends blindly across runs, al26_nbody.py:1030-1037; same-base
+    reruns already truncate the CSV/frames/blob). Resume: drop rows with
+    t_sim >= the resumed checkpoint time — STRICT, unlike the CSV's
+    boundary-keeping truncation, because each row carries the PREVIOUS
+    step's time (_traj_row uses s_old.time), so the resumed run's first
+    step re-emits the row AT t_resume. Rows are written at %.3e (4
+    significant digits); the compare happens in that quantised domain."""
+    if resume_t is None:
+        if os.path.exists(path):
+            os.remove(path)
+        return
+    if not os.path.exists(path):
+        return
+    t_cut = float(f"{resume_t:.3e}")
+    eps = 1e-9 * max(1.0, abs(t_cut))
+    with open(path) as f:
+        lines = f.readlines()
+    keep = []
+    for ln in lines:
+        try:
+            t = float(ln.split(",", 1)[0])
+        except ValueError:
+            keep.append(ln)
+            continue
+        if t < t_cut - eps:
+            keep.append(ln)
+    if len(keep) != len(lines):
+        with open(path, "w") as f:
+            f.writelines(keep)
+
+
 def _bound_resumed_yields(yields: Yields, base: str, cfg: SimConfig,
                           t_myr: float) -> None:
     """Prepare a resumed yields store for writing: truncate the CSV's
@@ -115,6 +167,11 @@ def _bound_resumed_yields(yields: Yields, base: str, cfg: SimConfig,
     history from RAM (io.yields_store bounded mode)."""
     yields.truncate_csv(t_myr)
     if not getattr(cfg, "yields_frames", False):
+        # rewrite mode restored the FULL history from the blob: a -nc
+        # resume must drop the future snapshots here too, or update_state
+        # appends the re-simulated ones after them and every rewrite
+        # emits a non-monotonic time series (round-3 review finding)
+        yields.truncate_memory(t_myr)
         return
     frames_path = ckpt.yields_frames_filename(base)
     if os.path.exists(frames_path):
@@ -130,9 +187,12 @@ def _bound_resumed_yields(yields: Yields, base: str, cfg: SimConfig,
 
 
 def load_run(base: str, n_checkpoint: Optional[int] = None,
-             override_cfg: Optional[SimConfig] = None):
+             override_cfg: Optional[SimConfig] = None,
+             data_dir: Optional[str] = None):
     """Resume from checkpoint files (al26_nbody.py:1647-1656, 1734-1737).
-    Returns (state, aux, cfg, metadata, yields, converter)."""
+    Returns (state, aux, cfg, metadata, yields, converter). `data_dir`
+    reaches the aux rebuild (AGB wind tables) — an interloper run started
+    with a custom table directory must resume from the SAME tables."""
     if n_checkpoint is None:
         n_checkpoint = ckpt.most_recent_checkpoint(base)
     particles, converter, yields, metadata = ckpt.load_checkpoint(
@@ -154,7 +214,7 @@ def load_run(base: str, n_checkpoint: Optional[int] = None,
         time=jnp.asarray(t_myr, dtype),
         step_count=jnp.asarray(round(t_myr / cfg.dt), jnp.int32),
     )
-    aux = _rebuild_aux(cfg, cluster)
+    aux = _rebuild_aux(cfg, cluster, data_dir)
     return state, aux, cfg, metadata, yields, converter
 
 
@@ -163,12 +223,24 @@ def run(cfg: SimConfig, progress: bool = True,
     """Full checkpointed run (cold start or resume)."""
     t_wall0 = time.time()
 
-    if cfg.reload:
+    # capture BEFORE load_run replaces cfg with the checkpoint's restored
+    # config (reference semantics, al26_nbody.py:1647) — whose own reload
+    # field is empty
+    reload_base = cfg.reload
+    if reload_base:
         state, aux, cfg, metadata, yields, converter = load_run(
-            cfg.reload, cfg.n_checkpoint
+            reload_base, cfg.n_checkpoint, data_dir=data_dir
         )
-        base = metadata.filename
+        # continue writing at the PATH the user pointed at, not at
+        # metadata.filename: the metadata records only the original base
+        # NAME, so a path-qualified resume ('-r out/sim' from another cwd)
+        # would otherwise split the run's artifacts across two directories
+        base = reload_base
         _bound_resumed_yields(yields, base, cfg, float(state.time))
+        # a -nc K resume rewrites checkpoints K+1... — drop the abandoned
+        # timeline's higher-numbered state files now, as the yields
+        # artifacts were just truncated
+        _drop_stale_state_files(base, metadata.most_recent_checkpoint)
     else:
         state, aux, cfg = init_cluster(cfg, data_dir)
         metadata = _metadata_from_cfg(cfg)
@@ -196,6 +268,11 @@ def run(cfg: SimConfig, progress: bool = True,
     timers = PhaseTimers()
     maybe_start_trace()
     write_traj = cfg.interloper and cfg.interloper_trajectory
+    if write_traj:
+        # cold run: clear a previous run's rows in this cwd; resume: drop
+        # rows beyond the resumed checkpoint (the trajectory analogue of
+        # the CSV/frames truncation)
+        _reset_trajectory(float(state.time) if reload_base else None)
 
     # optional multi-chip row sharding of a single large run
     mesh = None
@@ -292,6 +369,7 @@ def run(cfg: SimConfig, progress: bool = True,
 
     try:
         k = n_done
+        saved_final = False
         while k < n_steps:
             # one step, then save (reference cadence: save after steps
             # 1, 11, ...)
@@ -300,7 +378,12 @@ def run(cfg: SimConfig, progress: bool = True,
                     state = advance_steps(state, 1)
                 k += 1
                 with timers.phase("checkpoint"):
-                    do_save(state)
+                    # a cadence save landing exactly on the last step
+                    # (steps_per_plot=1, or n_steps % spp == 1) IS the
+                    # final save — a second one would duplicate the t_f
+                    # snapshot in the CSV/frames/blob
+                    saved_final = k == n_steps
+                    do_save(state, final=saved_final)
             else:
                 chunk = min(spp - (k % spp), n_steps - k)
                 with timers.phase("physics"):
@@ -310,9 +393,12 @@ def run(cfg: SimConfig, progress: bool = True,
                 bar.n = round(float(state.time), 6)
                 bar.refresh()
 
-        # final checkpoint at exactly t_f
+        # final checkpoint at exactly t_f (skipped when the loop's last
+        # cadence save already was it, or when a resume of an ALREADY
+        # COMPLETE run took zero steps — its final artifacts exist)
         with timers.phase("checkpoint"):
-            do_save(state, final=True)
+            if not saved_final and k > n_done:
+                do_save(state, final=True)
             if writer is not None:
                 writer.close()
                 writer = None
@@ -335,7 +421,8 @@ def run(cfg: SimConfig, progress: bool = True,
     )
 
 
-def load_ensemble(tag_root: str, n_checkpoint: Optional[int] = None):
+def load_ensemble(tag_root: str, n_checkpoint: Optional[int] = None,
+                  data_dir: Optional[str] = None):
     """Reload every realization of a pt-grid ensemble (the directories
     run_ensemble writes): returns (states, auxes, cfgs, metas, yieldses,
     converters, sim_dirs), realizations sorted by their pt-<k> index.
@@ -359,7 +446,8 @@ def load_ensemble(tag_root: str, n_checkpoint: Optional[int] = None):
     for d in sim_dirs:
         state_file = sorted(glob.glob(os.path.join(d, "*-state-*")))[0]
         base = re.sub(r"-state-\d+\.pkl\.zst$", "", state_file)
-        s, a, c, md, ys, conv = load_run(base, n_checkpoint)
+        s, a, c, md, ys, conv = load_run(base, n_checkpoint,
+                                         data_dir=data_dir)
         states.append(s)
         auxes.append(a)
         cfgs.append(c)
@@ -394,16 +482,19 @@ def run_ensemble(cfg: SimConfig, progress: bool = True,
     t_wall0 = time.time()
     if cfg.reload:
         states, auxes, cfgs, metas, yieldses, converters, sim_dirs = (
-            load_ensemble(cfg.reload, cfg.n_checkpoint)
+            load_ensemble(cfg.reload, cfg.n_checkpoint, data_dir)
         )
         n_real = len(sim_dirs)
         batch_state, batch_aux = stack_ensemble(states, auxes)
         cfg = cfgs[0]
         for k in range(n_real):
+            base_k = os.path.join(sim_dirs[k], metas[k].filename)
             _bound_resumed_yields(
-                yieldses[k], os.path.join(sim_dirs[k], metas[k].filename),
-                cfg, float(np.asarray(states[k].time)),
+                yieldses[k], base_k, cfg,
+                float(np.asarray(states[k].time)),
             )
+            _drop_stale_state_files(base_k,
+                                    metas[k].most_recent_checkpoint)
         k_step = int(round(float(np.asarray(batch_state.time[0])) / cfg.dt))
         save_initial = False
     else:
@@ -431,28 +522,16 @@ def run_ensemble(cfg: SimConfig, progress: bool = True,
         batch_state, batch_aux = shard_ensemble(batch_state, batch_aux, mesh)
 
     def _save_all_sync(bs, increment=True, final=False):
-        # ONE batched device_get per save: slicing per realization would
-        # issue ~45 x n_real transfers (tunneled-TPU round-trips)
+        # ONE batched device_get per save (slicing per realization would
+        # issue ~45 x n_real transfers over the tunneled TPU), then the
+        # SAME per-run save protocol as run() — _save keeps the validate
+        # gate / yields-mode plumbing in one place
         host = jax.device_get(bs)
         for k in range(n_real):
             st = jax.tree.map(lambda x: x[k], host)
-            base = os.path.join(sim_dirs[k], metas[k].filename)
-            metas[k].update(float(st.time), increment_checkpoint=increment)
-            from ..state import cluster_to_numpy
-
-            cluster_np = cluster_to_numpy(st.cluster)
-            if getattr(cfg, "validate", True):
-                from ..utils.validate import validate_cluster_dict
-
-                validate_cluster_dict(cluster_np, float(st.time),
-                                      cfg.low_mass_min, cfg.low_mass_max)
-            particles = cluster_to_particles(cluster_np)
-            yieldses[k].update_state(float(st.time), particles)
-            ckpt.save_checkpoint(
-                base, metas[k].most_recent_checkpoint, particles,
-                converters[k], yieldses[k], metas[k],
-                yields_mode=_yields_mode(cfg, final),
-            )
+            _save(os.path.join(sim_dirs[k], metas[k].filename), metas[k],
+                  converters[k], yieldses[k], st, cfg,
+                  increment=increment, final=final)
 
     writer = None
     if getattr(cfg, "async_saves", True):
@@ -485,12 +564,17 @@ def run_ensemble(cfg: SimConfig, progress: bool = True,
                 pass
 
         spp = cfg.steps_per_plot
+        k_start = k_step
+        saved_final = False
         while k_step < cfg.n_steps:
             if k_step % spp == 0:
                 batch_state = ensemble_run_steps(batch_state, batch_aux,
                                                  cfg, 1)
                 k_step += 1
-                save_all(batch_state)
+                # same final-save dedup as run(): a cadence save landing
+                # on the last step IS the final save
+                saved_final = k_step == cfg.n_steps
+                save_all(batch_state, final=saved_final)
             else:
                 chunk = min(spp - (k_step % spp), cfg.n_steps - k_step)
                 batch_state = ensemble_run_steps(batch_state, batch_aux, cfg,
@@ -499,7 +583,8 @@ def run_ensemble(cfg: SimConfig, progress: bool = True,
             if bar is not None:
                 bar.n = round(k_step * cfg.dt, 6)
                 bar.refresh()
-        save_all(batch_state, final=True)
+        if not saved_final and k_step > k_start:
+            save_all(batch_state, final=True)
         if writer is not None:
             writer.close()
             writer = None

@@ -631,3 +631,137 @@ def test_resume_truncates_stale_csv_rows(tmp_path):
         assert times[-1] == pytest.approx(1.0)
     finally:
         os.chdir(cwd)
+
+
+def test_resume_path_qualified_stays_in_place(tmp_path):
+    """'-r out/testrun' issued from the PARENT directory must keep writing
+    into out/ (round-3 review: base was metadata.filename — the bare
+    original name — so a path-qualified resume split the run's artifacts
+    across two directories and skipped frames truncation)."""
+    from al26_tpu.config import SimConfig
+    from al26_tpu.sim.driver import run
+
+    out = tmp_path / "out"
+    out.mkdir()
+    _small_run(out)
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        run(SimConfig(reload="out/testrun", n_checkpoint=3), progress=False)
+    finally:
+        os.chdir(cwd)
+    stray = [f for f in os.listdir(tmp_path) if f != "out"]
+    assert stray == [], f"resume artifacts leaked into the cwd: {stray}"
+    states = [f for f in os.listdir(out) if "-state-" in f]
+    assert len(states) == 7  # rewritten in place, same count as the run
+    rows = open(out / "testrun-cluster-yields.csv").read().splitlines()
+    times = [float(r.split(",")[0]) for r in rows[1:]]
+    assert times == sorted(times) and len(times) == len(set(times))
+
+
+def test_rewrite_mode_nc_resume_blob_monotonic(tmp_path):
+    """Rewrite (blob-only) mode restores the FULL history on load: a -nc
+    resume must drop the future snapshots from the in-memory store too,
+    or update_state appends the re-simulated ones after them and every
+    marinate writes a non-monotonic time series (round-3 review)."""
+    from al26_tpu.config import SimConfig
+    from al26_tpu.io.yields_store import Yields
+    from al26_tpu.sim.driver import run
+
+    _small_run(tmp_path, yields_frames=False)
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        run(SimConfig(reload="testrun", n_checkpoint=2), progress=False)
+    finally:
+        os.chdir(cwd)
+    y = Yields("")
+    y.plate(os.path.join(tmp_path, "testrun-yields.ubj.zst"))
+    assert y.time == sorted(y.time)
+    assert len(y.time) == len(set(y.time)) == 7
+    # every artifact carries the run's base name (no None-/empty-base files)
+    assert all(f.startswith("testrun") for f in os.listdir(tmp_path))
+
+
+def test_no_duplicate_final_snapshot(tmp_path):
+    """steps_per_plot=1 lands the loop's last cadence save exactly on
+    n_steps — the driver must not append a SECOND t_f snapshot; and a
+    resume of an already-complete run takes zero steps and must not
+    append one either (round-3 review)."""
+    from al26_tpu.config import SimConfig
+    from al26_tpu.sim.driver import run
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        run(SimConfig(n=24, rc=0.5, final_time=0.05, seed=3,
+                      filename="dup", n_plot=5, steps_per_plot=1,
+                      star_max_mass=3.0, no_massive_star_requirement=True),
+            progress=False)
+        rows = open("dup-cluster-yields.csv").read().splitlines()
+        times = [float(r.split(",")[0]) for r in rows[1:]]
+        assert len(times) == len(set(times)), "duplicated final snapshot"
+        n_states = len([f for f in os.listdir(".") if "-state-" in f])
+        run(SimConfig(reload="dup"), progress=False)  # already complete
+        rows2 = open("dup-cluster-yields.csv").read().splitlines()
+        assert len(rows2) == len(rows)
+        assert len([f for f in os.listdir(".") if "-state-" in f]) == n_states
+    finally:
+        os.chdir(cwd)
+
+
+def test_nc_resume_drops_stale_state_files(tmp_path):
+    """A -nc K resume truncates the yields artifacts to t_K; the abandoned
+    timeline's higher-numbered STATE files must go too, or a later plain
+    resume restarts from the stale global max while the yields track the
+    new timeline (round-3 review)."""
+    import shutil
+
+    from al26_tpu.config import SimConfig
+    from al26_tpu.sim.driver import run
+
+    _small_run(tmp_path)
+    base = os.path.join(tmp_path, "testrun")
+    # fabricate an abandoned-timeline file above the real ones
+    shutil.copy(base + "-state-00006.pkl.zst", base + "-state-00011.pkl.zst")
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        run(SimConfig(reload="testrun", n_checkpoint=2), progress=False)
+    finally:
+        os.chdir(cwd)
+    states = sorted(f for f in os.listdir(tmp_path) if "-state-" in f)
+    assert "testrun-state-00011.pkl.zst" not in states
+    assert len(states) == 7
+
+
+def test_trajectory_file_reset_on_rerun_and_resume(tmp_path):
+    """interloper_trajectory.dat gets the same rerun/resume hygiene as the
+    CSV: a cold rerun in the same cwd starts fresh, and a -nc resume drops
+    rows at/after the resumed time (each row carries the PREVIOUS step's
+    time, so the boundary row is re-emitted by the resumed run)."""
+    from al26_tpu.config import SimConfig
+    from al26_tpu.sim.driver import run
+
+    kw = dict(n=24, rc=0.5, final_time=0.2, seed=6,
+              filename="tr", n_plot=4, steps_per_plot=5,
+              star_max_mass=3.0, no_massive_star_requirement=True,
+              interloper=True, interloper_mass=3.0,
+              interloper_velocity=20.0, interloper_radius=0.05,
+              interloper_offset_time=0.0, interloper_trajectory=True)
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        run(SimConfig(**kw), progress=False)
+        rows1 = open("interloper_trajectory.dat").read().splitlines()
+        run(SimConfig(**kw), progress=False)  # cold rerun: fresh file
+        rows2 = open("interloper_trajectory.dat").read().splitlines()
+        assert len(rows2) == len(rows1), "cold rerun appended to stale file"
+        run(SimConfig(reload="tr", n_checkpoint=2), progress=False)
+        rows3 = open("interloper_trajectory.dat").read().splitlines()
+        times = [float(r.split(",")[0]) for r in rows3]
+        assert times == sorted(times)
+        assert len(times) == len(set(times)), "duplicated boundary row"
+        assert len(rows3) == len(rows1)
+    finally:
+        os.chdir(cwd)
