@@ -97,7 +97,15 @@ class Particles:
 
     def __getitem__(self, i):
         if isinstance(i, (int, np.integer)):
-            return Star(self, int(i) % len(self))
+            i = int(i)
+            n = len(self)
+            if i < 0:
+                i += n
+            if not 0 <= i < n:
+                # raise rather than wrap: a silent modulo returns a WRONG
+                # star with valid-looking data on an off-by-one
+                raise IndexError(f"star index {i} out of range for {n}")
+            return Star(self, i)
         return Particles({k: v[i] for k, v in self.__dict__["_columns"].items()})
 
     def columns(self) -> dict[str, np.ndarray]:
@@ -445,10 +453,9 @@ def particles_from_amuse_stub(p) -> Particles:
             target = _UNIT_BY_ATTR.get(name)
             if target is not None:
                 cols[name] = np.asarray(q.value_in(target))
-            elif q.unit.sig == (0, 0, 0):
-                cols[name] = np.asarray(q.value) * q.unit.si_factor
             else:
-                # united attribute we do not track: keep SI magnitudes
+                # dimensionless, or a united attribute we do not track:
+                # keep SI magnitudes
                 cols[name] = np.asarray(q.value) * q.unit.si_factor
         else:
             values = _first(a, "values", "_values")

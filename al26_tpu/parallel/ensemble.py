@@ -61,7 +61,13 @@ def init_ensemble(cfg: SimConfig, n_realizations: int,
         auxes.append(a)
         cfgs.append(c)
         m_totals.append(float(np.asarray(s.cluster.mass).sum()))
-    if cfg.integrator == "auto":
+    if cfg.integrator == "auto" or (cfg.integrator == "leapfrog"
+                                    and cfg.leapfrog_n_sub is None):
+        # shared resolution covers EXPLICIT leapfrog with unset n_sub too:
+        # per-realization resolution derives n_sub from each realization's
+        # IMF-drawn m_total, so realizations straddling a power-of-2
+        # boundary would record different configs than the one that stepped
+        # them (cfgs[0]) — and load_ensemble would refuse the resume
         from ..sim.init import resolve_integrator
 
         shared = resolve_integrator(
@@ -171,6 +177,7 @@ def ensemble_step_flat(batch_state, batch_aux, cfg: SimConfig,
     needs_jerk = integ in ("hermite4", "hermite4_block")
     pallas_on = use_pallas(b * n, dtype)
     cache_ok = (want_cache and pallas_on
+                and getattr(cfg, "force_cache", True)
                 and integ in ("leapfrog", "hermite4_block")
                 # kicks leave cached acc/pot exact but stale the cached jerk
                 # (sim.step._cacheable)
@@ -271,7 +278,12 @@ def ensemble_step_flat(batch_state, batch_aux, cfg: SimConfig,
         n_sub=cfg.leapfrog_n_sub or 16,
         eps2=eps2, max_substeps=cfg.substeps_max,
         force_fn=force_fn, acc_fn=acc_fn,
-        k_fast=cfg.k_fast or max(256, (b * n) // 64),
+        # an explicit cfg.k_fast was resolved for ONE realization
+        # (sim.init bounds it to [256, 512] from cfg.n): the flattened
+        # b*n system needs that CAPACITY PER REALIZATION, or tight
+        # binaries losing the global top-k race integrate in the slow
+        # group at full dt
+        k_fast=(cfg.k_fast * b) if cfg.k_fast else max(256, (b * n) // 64),
         force_rows_fn=force_rows_fn, init_eval=init_eval,
         final_eval_fn=final_eval_fn,
     )
@@ -299,16 +311,40 @@ def ensemble_step_flat(batch_state, batch_aux, cfg: SimConfig,
     a1, j1, pot1 = mass_delta_correction(
         a1, j1, pot1, pos_new, vel_new, src_global, dm, eps2,
         group_size=n,
+        # block=0: the ensemble batch axis may be mesh-sharded
+        # (shard_ensemble) — GSPMD partitions the flattened rows itself,
+        # and a lax.map over row blocks of sharded arrays would reshard
+        # every iteration (same reasoning as sim/step.py's mesh callers)
+        block=0,
     )
     new_cache = (a1, jnp.zeros_like(a1) if j1 is None else j1, pot1)
     return out_state, new_cache
 
 
-def _ensemble_fresh_cache(batch_state, cfg: SimConfig, integ: str):
+def _resolve_ens_integ(cfg: SimConfig) -> str:
+    return "leapfrog" if cfg.integrator == "auto" else cfg.integrator
+
+
+def ensemble_cacheable(batch_state, cfg: SimConfig) -> bool:
+    """Can the flat ensemble carry the block-diagonal force cache between
+    steps (and, via ensemble_run_steps_cached, across the driver's
+    checkpoint chunks)? Mirrors sim.step._cacheable's gates."""
+    from ..ops.pallas_nbody import use_pallas
+
+    b, n = batch_state.cluster.mass.shape
+    integ = _resolve_ens_integ(cfg)
+    return (use_pallas(b * n, batch_state.cluster.pos.dtype)
+            and getattr(cfg, "force_cache", True)
+            and integ in ("leapfrog", "hermite4_block")
+            and not (cfg.natal_kicks and integ == "hermite4_block"))
+
+
+def ensemble_fresh_cache(batch_state, cfg: SimConfig):
     """Opening block-diagonal (acc, jerk, pot) sweep to seed the flat
     ensemble's force cache."""
     from ..ops.pallas_nbody import pallas_acc_jerk_pot
 
+    integ = _resolve_ens_integ(cfg)
     c = batch_state.cluster
     b, n = c.mass.shape
     flat = lambda x: x.reshape((b * n,) + x.shape[2:])
@@ -318,6 +354,27 @@ def _ensemble_fresh_cache(batch_state, cfg: SimConfig, integ: str):
         pot_eps2=1e-30,
     )
     return a, j, pot
+
+
+def ensemble_run_steps_cached(batch_state, cache, batch_aux,
+                              cfg: SimConfig, n_steps: int):
+    """Scan n_steps over the flat ensemble carrying the force cache ACROSS
+    calls: the driver threads (state, cache) between checkpoint chunks
+    (run_steps_cached semantics), so cadence-boundary steps stop paying a
+    fresh O((B*N)^2/B) opening sweep per chunk. Returns (state, cache)."""
+    def body_cached(carry, _):
+        s, ch = carry
+        return ensemble_step_flat(s, batch_aux, cfg, ch,
+                                  want_cache=True), None
+
+    (out, cache), _ = jax.lax.scan(body_cached, (batch_state, cache),
+                                   None, length=n_steps)
+    return out, cache
+
+
+ensemble_run_steps_cached = jax.jit(
+    ensemble_run_steps_cached, static_argnames=("cfg", "n_steps")
+)
 
 
 def ensemble_run_steps(batch_state, batch_aux, cfg: SimConfig, n_steps: int,
@@ -333,12 +390,8 @@ def ensemble_run_steps(batch_state, batch_aux, cfg: SimConfig, n_steps: int,
     if flat is None:
         flat = pallas_on
 
-    integ = cfg.integrator
-    if integ == "auto":
-        integ = "leapfrog"
-    if (flat and pallas_on and integ in ("leapfrog", "hermite4_block")
-            and not (cfg.natal_kicks and integ == "hermite4_block")):
-        cache = _ensemble_fresh_cache(batch_state, cfg, integ)
+    if flat and ensemble_cacheable(batch_state, cfg):
+        cache = ensemble_fresh_cache(batch_state, cfg)
 
         def body_cached(carry, _):
             s, ch = carry

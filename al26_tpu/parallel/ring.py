@@ -73,7 +73,10 @@ def ring_acc_jerk_pot(
     parallel.sharded.sharded_acc_jerk_pot bit-for-bit up to summation
     order; requires N % n_devices == 0."""
 
-    n_dev = mesh.devices.size
+    # the RING axis size, not the total device count — on a multi-axis
+    # mesh (e.g. ensemble x rows) the permutation and col_ids must follow
+    # the named axis only
+    n_dev = mesh.shape[axis]
     perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
 
     @functools.partial(

@@ -475,7 +475,8 @@ def run_ensemble(cfg: SimConfig, progress: bool = True,
     import jax
 
     from ..parallel.ensemble import (
-        ensemble_run_steps, init_ensemble, make_ensemble_mesh,
+        ensemble_cacheable, ensemble_fresh_cache, ensemble_run_steps,
+        ensemble_run_steps_cached, init_ensemble, make_ensemble_mesh,
         shard_ensemble, stack_ensemble,
     )
 
@@ -520,6 +521,21 @@ def run_ensemble(cfg: SimConfig, progress: bool = True,
     if n_real % len(jax.devices()) == 0:
         mesh = make_ensemble_mesh()
         batch_state, batch_aux = shard_ensemble(batch_state, batch_aux, mesh)
+
+    # thread the block-diagonal force cache across checkpoint chunks
+    # (run()'s run_steps_cached semantics): without this every
+    # cadence-boundary chunk re-pays the opening sweep
+    use_ens_cache = ensemble_cacheable(batch_state, cfg)
+    ens_cache = [None]
+
+    def advance_ens(bs, n):
+        if use_ens_cache:
+            if ens_cache[0] is None:
+                ens_cache[0] = ensemble_fresh_cache(bs, cfg)
+            bs, ens_cache[0] = ensemble_run_steps_cached(
+                bs, ens_cache[0], batch_aux, cfg, n)
+            return bs
+        return ensemble_run_steps(bs, batch_aux, cfg, n)
 
     def _save_all_sync(bs, increment=True, final=False):
         # ONE batched device_get per save (slicing per realization would
@@ -568,8 +584,7 @@ def run_ensemble(cfg: SimConfig, progress: bool = True,
         saved_final = False
         while k_step < cfg.n_steps:
             if k_step % spp == 0:
-                batch_state = ensemble_run_steps(batch_state, batch_aux,
-                                                 cfg, 1)
+                batch_state = advance_ens(batch_state, 1)
                 k_step += 1
                 # same final-save dedup as run(): a cadence save landing
                 # on the last step IS the final save
@@ -577,8 +592,7 @@ def run_ensemble(cfg: SimConfig, progress: bool = True,
                 save_all(batch_state, final=saved_final)
             else:
                 chunk = min(spp - (k_step % spp), cfg.n_steps - k_step)
-                batch_state = ensemble_run_steps(batch_state, batch_aux, cfg,
-                                                 chunk)
+                batch_state = advance_ens(batch_state, chunk)
                 k_step += chunk
             if bar is not None:
                 bar.n = round(k_step * cfg.dt, 6)

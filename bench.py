@@ -126,6 +126,32 @@ def pallas_device_healthy(compile_budget_s: float = 600.0,
             proc.kill()
 
 
+def backend_available(budget_s: float = 300.0) -> bool:
+    """Probe (in a subprocess, so a hanging tunnel cannot take this
+    process down) whether the TPU backend initialises at all. The
+    tunneled worker has been observed UNAVAILABLE for 1h+ after heavy
+    load: jax.devices() then either hangs >15 min or raises
+    'Unable to initialize backend axon' — in-process, either would leave
+    the round with NO recorded metric."""
+    import subprocess
+
+    code = ("import os; os.environ.pop('JAX_PLATFORMS', None);"
+            "import jax; print('NDEV', len(jax.devices()), flush=True)")
+    try:
+        out = subprocess.run(["python", "-c", code], timeout=budget_s,
+                             capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        print(f"# backend probe: init hung >{budget_s:.0f}s",
+              file=sys.stderr)
+        return False
+    if out.returncode == 0 and "NDEV" in out.stdout:
+        return True
+    tail = (out.stderr or out.stdout).strip().splitlines()[-3:]
+    for ln in tail:
+        print(f"# backend probe: {ln}", file=sys.stderr)
+    return False
+
+
 def bench_force_throughput_xla(n: int = 32768) -> float:
     """Fallback headline measurement through the plain-XLA chunked force
     (used when the device cannot run Pallas kernels)."""
@@ -271,6 +297,28 @@ def probe_with_retries(attempts: int = 3, quiet_s: float = 150.0) -> bool:
 
 
 def main() -> None:
+    # gate on backend availability FIRST: with the tunnel down, the pallas
+    # probe's subprocess and the XLA fallback would both burn their full
+    # budgets before dying, and an in-process jax.devices() can hang the
+    # whole bench — better a recorded zero with the reason than no metric
+    for attempt in range(3):
+        if backend_available():
+            break
+        if attempt < 2:
+            print(f"# backend unavailable (attempt {attempt + 1}/3); "
+                  "waiting 180s", file=sys.stderr)
+            time.sleep(180.0)
+    else:
+        print(json.dumps({
+            "metric": ("pairwise force throughput — TPU backend "
+                       "UNAVAILABLE this window (tunneled worker outage; "
+                       "healthy-window kernel: 124.4 Gpairs/s, see "
+                       "docs/validation.md)"),
+            "value": 0.0,
+            "unit": "Gpairs/s",
+            "vs_baseline": 0.0,
+        }))
+        return
     healthy = probe_with_retries()
     n_dev = len(jax.devices())
     if healthy:

@@ -765,3 +765,21 @@ def test_trajectory_file_reset_on_rerun_and_resume(tmp_path):
         assert len(rows3) == len(rows1)
     finally:
         os.chdir(cwd)
+
+
+def test_particles_index_bounds():
+    """Particles integer indexing supports negatives but RAISES on
+    out-of-range instead of silently wrapping to a wrong star
+    (round-3 review finding)."""
+    from al26_tpu.io.compat import Particles
+    from al26_tpu.units import msol
+
+    p = Particles({"mass": np.asarray([1.0, 2.0, 3.0])})
+    assert p[-1].mass.value_in(msol) == 3.0
+    assert p[0].mass.value_in(msol) == 1.0
+    with pytest.raises(IndexError):
+        p[3]
+    with pytest.raises(IndexError):
+        p[-4]
+    # iteration terminates at len (uses __iter__, not wrapping getitem)
+    assert len(list(p)) == 3

@@ -503,3 +503,65 @@ def test_ring_one_sweep_per_step(monkeypatch):
     _step_impl(state, aux, cfg, mesh, "ring", cache)
     assert sweeps["n"] == 1, sweeps["n"]   # the closing evaluation only
     assert pots["n"] == 0
+
+
+def test_ensemble_explicit_leapfrog_shares_n_sub():
+    """EXPLICIT integrator='leapfrog' with leapfrog_n_sub unset must also
+    get the shared ensemble-boundary substep resolution: per-realization
+    resolution derives n_sub from each realization's IMF-drawn total mass,
+    so realizations straddling a power-of-2 boundary would record configs
+    that differ from the one that stepped them (cfgs[0]) and
+    load_ensemble would refuse the resume (round-3 review finding)."""
+    cfg = SimConfig(n=32, rc=1.0, final_time=10.0, seed=2, dtype="f32",
+                    integrator="leapfrog",
+                    no_massive_star_requirement=True)
+    assert cfg.leapfrog_n_sub is None
+    _, _, cfgs = init_ensemble(cfg, 3)
+    n_subs = {c.leapfrog_n_sub for c in cfgs}
+    assert len(n_subs) == 1 and n_subs.pop() >= 1
+    # an explicit n_sub is NOT overridden
+    _, _, cfgs2 = init_ensemble(cfg.replace(leapfrog_n_sub=4), 2)
+    assert all(c.leapfrog_n_sub == 4 for c in cfgs2)
+
+
+def test_ensemble_force_cache_flag_honored(monkeypatch):
+    """force_cache=False (the documented opt-out) must disable the flat
+    ensemble's cache gate exactly like sim.step._cacheable does for
+    single runs (round-3 review finding)."""
+    import al26_tpu.ops.pallas_nbody as pk
+    from al26_tpu.parallel.ensemble import ensemble_cacheable
+
+    monkeypatch.setattr(pk, "use_pallas", lambda n, dtype: True)
+    cfg = SimConfig(n=24, rc=1.0, final_time=1.0, seed=5, dtype="f32",
+                    integrator="leapfrog", leapfrog_n_sub=2,
+                    no_massive_star_requirement=True)
+    bs, _, cfgs = init_ensemble(cfg, 2)
+    assert ensemble_cacheable(bs, cfgs[0])
+    assert not ensemble_cacheable(bs, cfgs[0].replace(force_cache=False))
+
+
+def test_ensemble_cache_threads_across_chunks(monkeypatch):
+    """ensemble_run_steps_cached threaded over two chunks == one chunk of
+    the total length (the driver's checkpoint-boundary threading; without
+    it every chunk re-paid a fresh opening sweep)."""
+    import numpy as np
+
+    import al26_tpu.ops.pallas_nbody as pk
+    from al26_tpu.parallel.ensemble import (
+        ensemble_fresh_cache, ensemble_run_steps_cached,
+    )
+
+    monkeypatch.setattr(pk, "use_pallas", lambda n, dtype: True)
+    cfg = SimConfig(n=24, rc=1.0, final_time=1.0, seed=12, dtype="f32",
+                    star_max_mass=3.0, no_massive_star_requirement=True)
+    bs, ba, cfgs = init_ensemble(cfg, 2)
+    cfg = cfgs[0]
+    cache = ensemble_fresh_cache(bs, cfg)
+    s1, cache = ensemble_run_steps_cached(bs, cache, ba, cfg, 2)
+    s1, cache = ensemble_run_steps_cached(s1, cache, ba, cfg, 2)
+    cache0 = ensemble_fresh_cache(bs, cfg)
+    s2, _ = ensemble_run_steps_cached(bs, cache0, ba, cfg, 4)
+    np.testing.assert_array_equal(np.asarray(s1.cluster.pos),
+                                  np.asarray(s2.cluster.pos))
+    np.testing.assert_array_equal(np.asarray(s1.cluster.slr),
+                                  np.asarray(s2.cluster.slr))
