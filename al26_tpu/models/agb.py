@@ -63,8 +63,12 @@ def read_agbs(data_dir: str | None = None, n_grid: int = 4096) -> list[AGBTable]
             for line in f:
                 for h, v in zip(header, line.strip().split(",")):
                     cols[h].append(float(v))
-        # AGB mass parsed from the filename (al26_nbody.py:526-533)
-        m = re.search(r"(\d+(?:\.\d+)?)", os.path.basename(path))
+        # AGB mass parsed from the filename (al26_nbody.py:526-533) —
+        # anchored to the _<M>_msol suffix: a bare first-number match
+        # would read 26.0 from a name like agb_slr_26al_5_msol.csv
+        m = re.search(r"_(\d+(?:\.\d+)?)_msol\.csv$", os.path.basename(path))
+        if m is None:
+            continue  # not an AGB wind table of the expected pattern
         mass = float(m.group(1))
         t = np.asarray(cols["t"])
         r_al = np.asarray(cols["26al_mass_loss_rate"]) * MSUNYR_TO_MSUNMYR

@@ -57,9 +57,14 @@ def eta_bubble_wind(r_disk, d_trav, r_bub):
     return 0.75 * (r_disk**2) * d_trav / (r_bub**3)
 
 
-def eta_disk_sne(r_disk, d):
-    """SN injection efficiency (al26_nbody.py:1291-1334)."""
-    eta_geom = (SN_COS60 * r_disk**2) / (4.0 * d**2)
+def eta_disk_sne(r_disk, d=None, *, d2=None):
+    """SN injection efficiency (al26_nbody.py:1291-1334). Takes the
+    distance `d` (reference signature) or its square `d2` directly —
+    sn_injection already holds the [N,H] squared distances, and a
+    sqrt+square round trip would perturb the golden-pinned bits."""
+    if d2 is None:
+        d2 = d * d
+    eta_geom = (SN_COS60 * r_disk**2) / (4.0 * d2)
     return SN_ETA_COND * SN_ETA_INJ * eta_geom
 
 
@@ -131,7 +136,7 @@ def sn_injection(
     ev = sn_event[hm_idx] & hm_slot_valid                   # [H]
     d2 = jnp.sum((pos[:, None, :] - pos[hm_idx][None, :, :]) ** 2, axis=-1)
     d2 = jnp.maximum(d2, 1e-30)
-    eta = (SN_COS60 * r_disk[:, None] ** 2) / (4.0 * d2) * (SN_ETA_COND * SN_ETA_INJ)
+    eta = eta_disk_sne(r_disk[:, None], d2=d2)
     w = eta * ev[None, :].astype(pos.dtype)                 # [N,H]
     injected = jnp.einsum("nh,hs->ns", w, sn_yield[hm_idx])
     injected = injected * lm_mask[:, None]

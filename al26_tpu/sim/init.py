@@ -111,15 +111,28 @@ def _stellar_table(cfg: SimConfig, m0: np.ndarray, dtype):
     return stellar.PhaseTable(*(np.asarray(a) for a in tbl))
 
 
+def _hm_candidate_slots(cfg: SimConfig, m0: np.ndarray):
+    """Massive-star candidate slots (m0 >= threshold) with an explicit
+    validity mask. A cluster with NO candidate gets one MASKED fallback
+    slot (shapes must be nonempty): the slot must be invalid, because a
+    low-mass star's mdot is exactly 0.0 every step — which sn_injection
+    reads as a core collapse, falsely flagging star 0 kicked (and, under
+    cfg.natal_kicks, ejecting it at ~265 km/s). Mirrors
+    _mass_source_slots' masked fallback. Shared by build_aux (resume) and
+    init_cluster (cold start) so the two paths cannot diverge."""
+    idx = np.flatnonzero(m0 >= cfg.high_mass_threshold)
+    if len(idx) == 0:
+        return np.array([0]), np.zeros(1, bool)
+    return idx, np.ones(len(idx), bool)
+
+
 def build_aux(cfg: SimConfig, m0: np.ndarray, dtype,
               data_dir: str | None = None,
               is_interloper: np.ndarray | None = None) -> SimAux:
     """Fixed-shape aux bundle from the initial masses: massive-star
     candidate slots (m0 >= threshold) and the AGB rate grids. Shared by
     cold init and checkpoint resume."""
-    hm_candidates = np.flatnonzero(m0 >= cfg.high_mass_threshold)
-    if len(hm_candidates) == 0:
-        hm_candidates = np.array([0])
+    hm_candidates, hm_valid = _hm_candidate_slots(cfg, m0)
     msrc_idx, msrc_valid = _mass_source_slots(cfg, m0, is_interloper)
     agb_grid_t = np.zeros(1)
     agb_grid_rates = np.zeros((N_ISO, 1))
@@ -130,7 +143,7 @@ def build_aux(cfg: SimConfig, m0: np.ndarray, dtype,
         agb_grid_rates = np.stack([table.grid_26al, table.grid_60fe])
     return SimAux(
         hm_idx=jnp.asarray(hm_candidates, dtype=jnp.int32),
-        hm_slot_valid=jnp.ones(len(hm_candidates), bool),
+        hm_slot_valid=jnp.asarray(hm_valid),
         msrc_idx=jnp.asarray(msrc_idx, dtype=jnp.int32),
         msrc_valid=jnp.asarray(msrc_valid),
         agb_grid_t=jnp.asarray(agb_grid_t, dtype=dtype),
@@ -292,9 +305,7 @@ def init_cluster(cfg: SimConfig, data_dir: str | None = None,
         is_interloper[-1] = True
 
     # -- fixed massive-star candidate slots ---------------------------------
-    hm_candidates = np.flatnonzero(masses >= cfg.high_mass_threshold)
-    if len(hm_candidates) == 0:
-        hm_candidates = np.array([0])
+    hm_candidates, hm_valid = _hm_candidate_slots(cfg, masses)
 
     with jax.default_device(cpu):
         mdot0 = np.asarray(
@@ -350,7 +361,7 @@ def init_cluster(cfg: SimConfig, data_dir: str | None = None,
     msrc_idx, msrc_valid = _mass_source_slots(cfg, masses, is_interloper)
     aux = SimAux(
         hm_idx=idx(hm_candidates),
-        hm_slot_valid=ones_b(len(hm_candidates)),
+        hm_slot_valid=mk_bool(hm_valid),
         msrc_idx=idx(msrc_idx),
         msrc_valid=mk_bool(msrc_valid),
         agb_grid_t=f(agb_grid_t),

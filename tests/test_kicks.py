@@ -114,3 +114,32 @@ def test_kick_disables_hermite_block_cache_only():
     assert _cacheable(cfg_hb, 9000, jnp.float32, None, "pallas") is False
     assert _cacheable(cfg_lf, 9000, jnp.float32, None, "pallas") == \
         _cacheable(cfg_hb_off, 9000, jnp.float32, None, "pallas")
+
+
+def test_no_massive_star_cluster_never_fires_sn():
+    """A cluster with NO >=13 Msun star keeps a fallback candidate slot
+    for fixed shapes, but that slot must be MASKED: a low-mass star's
+    mdot is exactly 0.0 every step, which sn_injection reads as a core
+    collapse — star 0 was falsely flagged kicked at step 1 and, under
+    natal_kicks, ejected at ~265 km/s (round-3 review finding). Covers
+    both the cold-init and the resume (build_aux) constructions."""
+    import numpy as np
+
+    from al26_tpu.sim import init_cluster, run_steps
+    from al26_tpu.sim.init import build_aux
+
+    cfg = SimConfig(n=24, rc=0.5, final_time=1.0, seed=4, dtype="f32",
+                    star_max_mass=3.0, no_massive_star_requirement=True,
+                    natal_kicks=True)
+    state, aux, cfg = init_cluster(cfg)
+    assert not bool(np.asarray(aux.hm_slot_valid).any())
+    aux2 = build_aux(cfg, np.asarray(state.cluster.m0),
+                     state.cluster.pos.dtype)
+    np.testing.assert_array_equal(np.asarray(aux.hm_slot_valid),
+                                  np.asarray(aux2.hm_slot_valid))
+    s = run_steps(state, aux, cfg, 5)
+    assert not bool(np.asarray(s.cluster.kicked).any())
+    assert float(jnp.sum(s.cluster.slr)) == 0.0  # no sources at all
+    # velocities unchanged by any kick machinery: star 0 stays bound
+    v0 = float(jnp.sqrt(jnp.sum(s.cluster.vel[0] ** 2)))
+    assert v0 < 50.0  # pc/Myr; a 265 km/s kick would be ~270 pc/Myr
