@@ -302,7 +302,7 @@ def hermite4_block_advance(
     a2 = jnp.sum(a0 * a0, axis=-1)
     j2 = jnp.sum(j0 * j0, axis=-1)
     crit = jnp.sqrt(a2 / jnp.maximum(j2, tiny))      # per-particle h/eta
-    neg_crit, fast_idx = jax.lax.top_k(-crit, k_fast)
+    _, fast_idx = jax.lax.top_k(-crit, k_fast)
     fast_idx = fast_idx.astype(jnp.int32)
 
     dt2 = dt * dt
@@ -553,7 +553,10 @@ def advance(
         final_acc_fn = None
         if final_eval_fn is not None:
             def final_acc_fn(p):
-                a, _, pot = final_eval_fn(p, None)
+                # honor final_eval_fn's documented (pos, vel) contract —
+                # leapfrog has no meaningful velocity at the closing kick,
+                # so pass zeros rather than None
+                a, _, pot = final_eval_fn(p, jnp.zeros_like(p))
                 return a, pot
         return leapfrog_advance(pos, vel, mass, dt, n_sub, eps2, g, acc_fn,
                                 init_acc, final_acc_fn)

@@ -213,8 +213,8 @@ def ensemble_step_flat(batch_state, batch_aux, cfg: SimConfig,
         if cache_ok:
             def final_eval_fn(p, v):
                 a, j, pot = pallas_acc_jerk_pot(
-                    p, jnp.zeros_like(p) if v is None else v, mass_f,
-                    cfg.eps2, with_jerk=(integ == "hermite4_block"),
+                    p, v, mass_f, cfg.eps2,
+                    with_jerk=(integ == "hermite4_block"),
                     group_size=n, pot_eps2=1e-30,
                 )
                 return a, (j if integ == "hermite4_block" else None), pot
@@ -229,7 +229,13 @@ def ensemble_step_flat(batch_state, batch_aux, cfg: SimConfig,
             )(p.reshape(b, n, 3), v.reshape(b, n, 3), c.mass)
             return a.reshape(b * n, 3), j.reshape(b * n, 3)
 
-        acc_fn = None
+        def acc_fn(p):
+            # leapfrog substeps need only accelerations: skip the ~40%
+            # jerk pair work the force_fn adapter would silently discard
+            a = jax.vmap(
+                lambda pp, mm: acc_pot_dense(pp, mm, eps2)[0]
+            )(p.reshape(b, n, 3), c.mass)
+            return a.reshape(b * n, 3)
         pot_f = jax.vmap(
             lambda pp, mm: acc_pot_dense(pp, mm, 0.0)[1]
         )(c.pos, c.mass).reshape(b * n)

@@ -246,7 +246,7 @@ def _step_impl(state: SimState, aux: SimAux, cfg: SimConfig,
     final_eval_fn = None
     if cache_ok:
         def final_eval_fn(p, v):
-            a, j, pot = sweep_eval(p, jnp.zeros_like(p) if v is None else v)
+            a, j, pot = sweep_eval(p, v)
             return a, (j if needs_jerk else None), pot
 
     out = advance(
