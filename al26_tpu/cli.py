@@ -180,9 +180,17 @@ def config_from_args(args: argparse.Namespace):
 
 def main(argv=None) -> int:
     # a stale JAX_PLATFORMS naming an unavailable plugin (e.g. the `axon`
-    # tunnel outside its venv hook) breaks backend init; let jax auto-pick
+    # tunnel outside its venv hook) breaks backend init. Strip ONLY that
+    # auto-prepended entry: a user's own selection (JAX_PLATFORMS=cpu for
+    # a quick CPU run) must survive, not be silently discarded onto the
+    # shared TPU
     import os
-    os.environ.pop("JAX_PLATFORMS", None)
+    val = os.environ.pop("JAX_PLATFORMS", None)
+    rest = ",".join(p.strip() for p in (val or "").split(",")
+                    if p.strip() and p.strip() != "axon")
+    if rest:
+        import jax
+        jax.config.update("jax_platforms", rest)
     args = build_parser().parse_args(argv)
     cfg = config_from_args(args)
     if cfg.dtype == "f64":

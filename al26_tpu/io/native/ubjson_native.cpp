@@ -321,6 +321,16 @@ struct Decoder {
     }
 
     PyObject* decode_typed_items(int typ, Py_ssize_t count) {
+        // [$U# payloads decode as BYTES — py-ubjson's default semantics
+        // (no_bytes=False), and the encoders here write Python bytes in
+        // exactly this form (matches the pure-Python decoder)
+        if (typ == 'U') {
+            if (!need(static_cast<size_t>(count))) return nullptr;
+            PyObject* b = PyBytes_FromStringAndSize(
+                reinterpret_cast<const char*>(p), count);
+            p += count;
+            return b;
+        }
         // fast path for float64 typed arrays (the bulk of yields files)
         if (typ == 'D') {
             if (!need(8 * static_cast<size_t>(count))) return nullptr;

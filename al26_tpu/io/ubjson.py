@@ -69,17 +69,14 @@ def _is_float_list(v: list) -> bool:
     return len(v) > 0 and all(type(x) is float for x in v)
 
 
-def _is_int_list(v: list) -> bool:
-    return len(v) > 0 and all(type(x) is int for x in v)
-
-
 def _encode(buf: BytesIO, v, optimized: bool) -> None:
     if v is None:
         buf.write(b"Z")
-    elif v is True:
-        buf.write(b"T")
-    elif v is False:
-        buf.write(b"F")
+    elif isinstance(v, (bool, np.bool_)):
+        # np.bool_ is neither `is True` nor an np.integer — without this
+        # branch a numpy-derived flag (arr.any(), a bool column element)
+        # fell through to TypeError
+        buf.write(b"T" if bool(v) else b"F")
     elif isinstance(v, (int, np.integer)) and not isinstance(v, bool):
         _encode_int(buf, int(v))
     elif isinstance(v, (float, np.floating)):
@@ -132,10 +129,23 @@ def _encode_ndarray(buf: BytesIO, a: np.ndarray, optimized: bool) -> None:
         _encode_length(buf, len(a))
         buf.write(a.astype(">f8").tobytes())
     elif optimized and a.dtype.kind in "iu" and a.dtype.itemsize <= 8:
-        buf.write(b"[$l#" if a.dtype.itemsize <= 4 else b"[$L#")
+        # UBJSON has no unsigned 32/64 types: pick a SIGNED wire width
+        # that holds the dtype's FULL range (uint32 rides int64; uint64
+        # above 2^63-1 falls back to per-element encoding, whose scalar
+        # path emits high-precision H) — a bare astype('>i4'/'>i8')
+        # silently wrapped large unsigned values negative
+        if a.dtype.kind == "u" and a.dtype.itemsize == 8 and (
+                a.size and int(a.max()) > 2**63 - 1):
+            buf.write(b"[")
+            for item in a.tolist():
+                _encode(buf, item, optimized)
+            buf.write(b"]")
+            return
+        fits_i4 = (a.dtype.itemsize <= 2
+                   or (a.dtype.kind == "i" and a.dtype.itemsize <= 4))
+        buf.write(b"[$l#" if fits_i4 else b"[$L#")
         _encode_length(buf, len(a))
-        dt = ">i4" if a.dtype.itemsize <= 4 else ">i8"
-        buf.write(a.astype(dt).tobytes())
+        buf.write(a.astype(">i4" if fits_i4 else ">i8").tobytes())
     else:
         buf.write(b"[")
         for item in a.tolist():
@@ -150,9 +160,12 @@ try:
     import sys as _sys
 
     _sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "native"))
-    import _ubjson_native as _native
-
-    _sys.path.pop(0)
+    try:
+        import _ubjson_native as _native
+    finally:
+        # on ImportError too: leaving io/native/ at sys.path[0] for the
+        # process lifetime would let stray files there shadow real modules
+        _sys.path.pop(0)
 except ImportError:
     _native = None
 
@@ -267,6 +280,11 @@ def _decode_array(r: _Reader):
         count = _decode_length(r)
         m = None
     if typ is not None:
+        if typ == b"U":
+            # py-ubjson decodes [$U# payloads as BYTES by default (its
+            # no_bytes=False), and our encoder writes bytes that way —
+            # returning a list of ints broke the bytes round-trip
+            return r.read(count)
         if typ in _NP_TYPED:
             dt = np.dtype(_NP_TYPED[typ])
             arr = np.frombuffer(r.read(count * dt.itemsize), dtype=dt)

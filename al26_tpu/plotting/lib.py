@@ -121,24 +121,36 @@ def calc_current_heating_rate(z_al, z_fe):
 def calc_disk_final_enrichment(yields_data: Yields, lifetimes_myr):
     """Interpolate each star's yield history at its disc lifetime and attach
     `<model>_<iso>_final` attributes (al26_plot.py:210-242). Akima in time;
-    falls back to the last snapshot when the disc outlives the run."""
+    falls back to the last snapshot when the disc outlives the run (or
+    predates the first snapshot / has a non-finite lifetime, where the
+    reference's per-star Akima returned NaN).
+
+    Vectorized: ONE Akima construction per series over the shared time
+    abscissa (PPoly coefficients [4, T-1, N]), each star's value read from
+    its own interval — the per-star loop built 6*N interpolators
+    (~614k at the flagship N=102400). Matches the per-star scipy
+    evaluation to float round-off (tests/test_plotting.py)."""
     from scipy.interpolate import Akima1DInterpolator
 
-    lifetimes = np.asarray(lifetimes_myr)
+    lifetimes = np.asarray(lifetimes_myr, dtype=float)
     t = np.asarray(yields_data.time)
+    n = len(lifetimes)
+    cols = np.arange(n)
+    finite = np.isfinite(lifetimes)
+    tau_safe = np.where(finite, lifetimes, t[0])
+    k = np.clip(np.searchsorted(t, tau_safe, side="right") - 1,
+                0, len(t) - 2)
+    dt_loc = tau_safe - t[k]
     for iso in ("26al", "60fe"):
         for model in ("global", "local", "sne"):
             key = f"{model}_{iso}"
-            y = np.asarray(getattr(yields_data, key))
-            fy = []
-            for i in range(len(lifetimes)):
-                interp = Akima1DInterpolator(t, y[:, i])
-                tau = float(lifetimes[i])
-                yy = float(interp(tau))
-                if np.isnan(yy) or tau >= t[-1]:
-                    yy = y[-1, i]
-                fy.append(yy)
-            setattr(yields_data, key + "_final", fy)
+            y = np.asarray(getattr(yields_data, key))    # [T, N]
+            c = Akima1DInterpolator(t, y, axis=0).c[:, k, cols]  # [4, N]
+            vals = ((c[0] * dt_loc + c[1]) * dt_loc + c[2]) * dt_loc + c[3]
+            stale = (~np.isfinite(vals) | ~finite
+                     | (lifetimes >= t[-1]) | (lifetimes < t[0]))
+            vals = np.where(stale, y[-1, :], vals)
+            setattr(yields_data, key + "_final", vals.tolist())
     return yields_data
 
 
@@ -304,12 +316,13 @@ def plot_positions(particles: Particles, metadata, interaction_radius=0.1,
     ax.scatter(x[lm], y[lm], z[lm], marker="o", s=2.0, color="red",
                label="Disk")
     # interaction count: disc stars within the interaction radius of a
-    # massive star
+    # massive star (one geometry definition — check_interaction)
     interactions = 0
     for i in np.flatnonzero(hm):
-        d = np.sqrt((x[lm] - x[i]) ** 2 + (y[lm] - y[i]) ** 2
-                    + (z[lm] - z[i]) ** 2)
-        interactions += int((d < interaction_radius).sum())
+        xs, _, _, _, _, _ = check_interaction(
+            x[i], y[i], z[i], x[lm], y[lm], z[lm], interaction_radius
+        )
+        interactions += len(xs)
     ax.set_title(f"t = {t:.2f} Myr, {interactions} interacting stars")
     for lim_set, m in ((ax.set_xlim, x), (ax.set_ylim, y), (ax.set_zlim, z)):
         c = m.mean()

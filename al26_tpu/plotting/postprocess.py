@@ -29,7 +29,10 @@ MODELS = ["local", "global", "sne", "local+sne", "global+sne"]
 
 
 def process_sim(sim_dir: str, sim_number: int, proc_data: dict) -> None:
-    yields_fname = sorted(glob(sim_dir + "*yields*ubj.zst"))[-1]
+    blobs = sorted(glob(sim_dir + "*yields*ubj.zst"))
+    # a run that crashed before its final save has only the framed store
+    # (read_yields handles both; the reference only ever has the blob)
+    yields_fname = (blobs or sorted(glob(sim_dir + "*-yields.ubjf")))[-1]
     state_fnames = sorted(glob(sim_dir + "*-state-*.zst"))
     sim_yield = read_yields(yields_fname)
     final_state = read_state(state_fnames[-1])
@@ -85,7 +88,16 @@ def main(root: str = ".", out: str = "all-sims-ratios.pkl.zst") -> None:
     for simset in simsets:
         sims = sorted(glob(simset + "pt-*/")) or sorted(glob(simset))
         for sim_number, sim in enumerate(sims):
-            if not glob(sim + "*yields*ubj.zst"):
+            has_yields = (glob(sim + "*yields*ubj.zst")
+                          or glob(sim + "*-yields.ubjf"))
+            has_states = glob(sim + "*-state-*.zst")
+            if not (has_yields and has_states):
+                if has_yields or has_states:
+                    # say what was dropped: silently under-counting
+                    # realizations reads as "all sims aggregated"
+                    print(f"skipping incomplete sim dir {sim!r} "
+                          f"(yields={bool(has_yields)}, "
+                          f"states={bool(has_states)})")
                 continue
             process_sim(sim, sim_number, proc_data)
     df = pd.DataFrame.from_dict(proc_data)

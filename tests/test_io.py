@@ -783,3 +783,28 @@ def test_particles_index_bounds():
         p[-4]
     # iteration terminates at len (uses __iter__, not wrapping getitem)
     assert len(list(p)) == 3
+
+
+def test_ubjson_unsigned_bool_bytes():
+    """Round-3 review findings, all reproduced before the fix: uint32/
+    uint64 arrays above the signed range wrapped NEGATIVE through the
+    typed-array astype; np.bool_ scalars raised TypeError; bytes decoded
+    as a list of ints instead of py-ubjson's bytes semantics."""
+    from al26_tpu.io.ubjson import (
+        _native, dumpb, dumpb_python, loadb, loadb_python,
+    )
+
+    big32 = 2**31 + 5
+    big64 = 2**63 + 7
+    assert loadb_python(dumpb_python(np.array([big32], np.uint32))) == [big32]
+    assert loadb_python(dumpb_python(np.array([big64], np.uint64))) == [big64]
+    assert loadb_python(dumpb_python(np.array([], np.uint64))) == []
+    assert loadb_python(dumpb_python(np.bool_(True))) is True
+    assert loadb_python(dumpb_python(np.bool_(False))) is False
+    assert loadb_python(dumpb_python(b"abc")) == b"abc"
+    assert loadb_python(dumpb_python(b"")) == b""
+    if _native is not None:
+        # native decoder agrees on the bytes semantics
+        assert loadb(dumpb_python(b"abc")) == b"abc"
+        assert _native.loadb(dumpb_python(np.array([big64],
+                                                   np.uint64))) == [big64]

@@ -172,3 +172,40 @@ def test_ensemble_driver_grid_layout(tmp_path):
     df = pd.read_pickle(out)
     assert len(df) == 2 * 24 * 2 * 5
     assert set(df.sim_number.unique()) == {0, 1}
+
+
+def test_disk_final_enrichment_matches_perstar_scipy(sim_grid):
+    """The vectorized one-Akima-per-series evaluation equals the per-star
+    scipy construction the function previously ran (6*N interpolators) —
+    including the out-of-range and disc-outlives-run fallbacks."""
+    from glob import glob
+
+    from scipy.interpolate import Akima1DInterpolator
+
+    from al26_tpu.plotting import calc_disk_final_enrichment, read_state, read_yields
+    from al26_tpu.units import myr
+
+    sim = sorted(glob(str(sim_grid) + "/pt-*/pt-*/pt-0/"))[0]
+    state = read_state(sorted(glob(sim + "*-state-*.zst"))[-1])
+    y = read_yields(sorted(glob(sim + "*yields*.zst"))[-1])
+    taus = np.asarray(state.cluster.tau_disk.value_in(myr)).copy()
+    # force every fallback class: outlives-run, before-first-snapshot
+    taus[0] = 1e9
+    taus[1] = -1.0
+    t = np.asarray(y.time)
+    expected = {}
+    for iso in ("26al", "60fe"):
+        for model in ("global", "local", "sne"):
+            key = f"{model}_{iso}"
+            arr = np.asarray(getattr(y, key))
+            fy = []
+            for i in range(len(taus)):
+                val = float(Akima1DInterpolator(t, arr[:, i])(float(taus[i])))
+                if np.isnan(val) or taus[i] >= t[-1]:
+                    val = arr[-1, i]
+                fy.append(val)
+            expected[key + "_final"] = np.asarray(fy)
+    y = calc_disk_final_enrichment(y, taus)
+    for key, exp in expected.items():
+        np.testing.assert_allclose(np.asarray(getattr(y, key)), exp,
+                                   rtol=1e-12, atol=1e-300)
