@@ -9,12 +9,15 @@ on the host in numpy:
   2. Each parent spawns 2^3 children at its sub-cube centres (plus noise);
      a child "matures" with probability 2^(D-3) where D is the fractal
      dimension (D=3.0 -> uniform, D<3 -> clumpy).
-  3. Recurse until the surviving generation exceeds N; stars are a random
-     subset of the final generation, cut to the unit sphere.
+  3. Recurse until the surviving generation holds >= 2N candidates; the
+     cluster is a random N-subset of those INSIDE the unit sphere (the
+     inscribed sphere of the construction cube — cube corners are cut).
   4. Velocities: children inherit the parent velocity plus a random
      component that shrinks by 1/2 each generation (GW04 §2.2), giving
-     correlated kinematic substructure; finally the system is scaled to
-     virial equilibrium (Q = -T/U = 0.5) at radius Rc.
+     correlated kinematic substructure; finally positions are scaled so
+     the VIRIAL radius equals Rc (the AMUSE N-body-units convention the
+     reference's nbody_to_si converter assumes) and velocities set
+     Q = -T/U = 0.5.
 """
 from __future__ import annotations
 
@@ -58,8 +61,11 @@ def _grow_generations(
             pos, vel = child_pos[survive], child_vel[survive]
             delta *= 0.5
             vel_scale *= 0.5
-        if len(pos) >= n:
+        if len(pos) >= 2 * n:
             return pos, vel
+        # lineage died out below the 2n candidate pool: restart (returning
+        # the shallow partial generation would skip fractal depth AND
+        # starve the sphere cut + subset selection downstream)
     raise RuntimeError(
         "fractal generator failed to reach the requested star count; "
         "check fractal_dimension"
@@ -74,33 +80,42 @@ def fractal_positions_velocities(
     fractal_dimension: float = 2.0,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Sample a fractal cluster; returns (pos [N,3] pc, vel [N,3] pc/Myr),
-    virialised (Q = 0.5) with virial radius Rc."""
-    pos, vel = _grow_generations(rng, n, fractal_dimension)
-
-    # cut to unit sphere about the densest region's centre of mass
-    centre = pos.mean(axis=0)
-    pos = pos - centre
-    r = np.linalg.norm(pos, axis=1)
-    order = np.argsort(r)
-    keep = order[: max(n, int(0.9 * len(pos)))]
-    pos, vel = pos[keep], vel[keep]
+    virialised (Q = 0.5) with VIRIAL radius Rc — the AMUSE N-body-units
+    convention the reference's nbody_to_si(Rc, M) converter assumes
+    (al26_nbody.py:1516-1526), same as the Plummer model here."""
+    # grow until >= n stars survive the unit-sphere cut (GW04: children
+    # fill the [-1,1]^3 cube; the cluster is the inscribed sphere about
+    # the construction origin — keeping cube corners would leave an
+    # anisotropic cube-shaped cluster)
+    for _ in range(200):
+        pos, vel = _grow_generations(rng, n, fractal_dimension)
+        inside = np.linalg.norm(pos, axis=1) <= 1.0
+        if int(inside.sum()) >= n:
+            pos, vel = pos[inside], vel[inside]
+            break
+    else:
+        raise RuntimeError(
+            "fractal generator: unit-sphere cut repeatedly left fewer "
+            "than n stars; check fractal_dimension"
+        )
 
     # random subset of exactly n
     sel = rng.permutation(len(pos))[:n]
     pos, vel = pos[sel], vel[sel]
 
-    # normalise spatial extent: unit sphere -> Rc
-    r_max = np.linalg.norm(pos, axis=1).max()
-    pos = pos * (rc_pc / r_max)
-
     # barycentre frame
     pos -= pos.mean(axis=0)
     vel -= vel.mean(axis=0)
 
-    # virialise with equal masses m = M/n (IMF masses assigned afterwards,
-    # mirroring the reference flow al26_nbody.py:1521-1530)
+    # scale so the VIRIAL radius equals Rc (U scales exactly as 1/s), then
+    # set Q = -T/U = 0.5, with equal masses m = M/n (IMF masses assigned
+    # afterwards, mirroring the reference flow al26_nbody.py:1521-1530)
     m = np.full(n, total_mass_msun / n)
     u = _potential_energy(pos, m)
+    r_vir_now = -G_INTERNAL * total_mass_msun**2 / (2.0 * u)
+    s = rc_pc / r_vir_now
+    pos = pos * s
+    u = u / s
     t_kin = 0.5 * np.sum(m * np.sum(vel * vel, axis=1))
     target_t = -0.5 * u  # Q = 0.5
     if t_kin > 0:

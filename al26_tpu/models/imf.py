@@ -93,6 +93,8 @@ def generate_masses(
     """Sample a cluster's masses, re-rolling the whole cluster until at
     least one star is above `massive_threshold` (al26_nbody.py:1412-1446),
     unless disabled."""
+    if nstars < 1:
+        raise ValueError(f"nstars must be >= 1, got {nstars}")
     for _ in range(max_rerolls):
         masses = sample_masses(rng, nstars, min_mass, max_mass, method)
         if no_massive_star_requirement or masses.max() >= massive_threshold:

@@ -84,6 +84,12 @@ class Cluster:
 
     # -- mass-class masks (al26_nbody.py:1194-1216) -----------------------
     def high_mass_mask(self, threshold: float = 13.0) -> jax.Array:
+        """CURRENT-mass classification (the reference's
+        get_high_mass_star_indices rule, al26_nbody.py:1194-1216). NOTE:
+        the step does NOT use this for wind/SN source validity — that is
+        INITIAL-mass (m0) based via SimAux.hm_slot_valid, so a 13-14 Msun
+        star keeps its sources after winds push it below threshold
+        (sim/step.py; sn_parity_mode restores the current-mass rule)."""
         return self.mass >= threshold
 
     def low_mass_mask(self, lo: float = 0.1, hi: float = 3.0) -> jax.Array:

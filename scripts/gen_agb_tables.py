@@ -51,7 +51,10 @@ def generate(mass: float, out_dir: str) -> str:
     star_mass = mass - cum
     f_al, f_fe = FRACTIONS[mass]
 
-    path = os.path.join(out_dir, f"agb_slr_{int(mass)}_msol.csv")
+    # :g keeps the shipped integer names (3 -> "3") while a future
+    # non-integer mass (6.5) gets its own file instead of silently
+    # truncating onto the 6 Msun table
+    path = os.path.join(out_dir, f"agb_slr_{mass:g}_msol.csv")
     cols = ["t", "star_mass", "26al_mass_loss_rate", "60fe_mass_loss_rate",
             "star_mass_loss_rate", "26al_total_mass_loss",
             "60fe_total_mass_loss", "star_total_mass_loss"]

@@ -64,7 +64,14 @@ def reduce_tables(raw_dir: str, vel: int = 300, feh: int = 0):
     sne_rows = {}
     for iso in isotopes:
         w = wind[(vel, feh, iso)]
-        t = tot.get((vel, feh, iso), [0.0] * 9)
+        t = tot.get((vel, feh, iso))
+        if t is None:
+            # zero-filling here would silently corrupt the emitted yields
+            # (all-zero 30-120 Msun wind columns and SNe rows)
+            raise KeyError(
+                f"isotope {iso!r} (vel={vel}, [Fe/H]={feh}) present in the "
+                f"wind table (9) but missing from the total table (8)"
+            )
         wind_rows[iso] = w[:4] + t[4:]
         sne_rows[iso] = [max(tv - wv, 0.0) for tv, wv in zip(t[:4], w[:4])]
     return isotopes, wind_rows, sne_rows
@@ -74,7 +81,7 @@ def write_csv(path: str, isotopes, rows, mass_cols, vel=300, feh=0) -> None:
     with open(path, "w") as f:
         f.write("vel,fe/h,isotope," + ",".join(mass_cols) + "\n")
         for iso in isotopes:
-            vals = ",".join(repr(v) if v else "0.0" for v in rows[iso])
+            vals = ",".join(repr(v) for v in rows[iso])
             f.write(f"{vel},{feh},{iso},{vals}\n")
 
 

@@ -71,11 +71,18 @@ def test_fractal_cluster_basic():
     assert pos.shape == (n, 3) and vel.shape == (n, 3)
     r = np.linalg.norm(pos - pos.mean(0), axis=1)
     assert r.max() <= 2.5 * rc
-    # virialised: Q = 0.5
+    # virialised: Q = 0.5, and the VIRIAL radius is Rc exactly — the AMUSE
+    # N-body-units convention the reference's nbody_to_si(Rc, M) converter
+    # assumes (round-3 review: the old code scaled r_max to Rc instead,
+    # leaving r_vir ~ 0.55 Rc, a ~2x dynamically denser cluster)
     mass = jnp.full(n, mtot / n)
     ke = float(kinetic_energy(jnp.asarray(vel), mass))
     pe = float(potential_energy(jnp.asarray(pos), mass))
     assert abs(-ke / pe - 0.5) < 0.05
+    from al26_tpu.ops.nbody import virial_radius
+
+    rv = float(virial_radius(jnp.asarray(pos), mass))
+    assert abs(rv - rc) < 0.02 * rc
 
 
 def test_fractal_is_clumpier_than_uniform():
