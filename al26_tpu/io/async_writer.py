@@ -32,8 +32,20 @@ class AsyncCheckpointWriter:
     _SENTINEL = object()
 
     def __init__(self) -> None:
-        self._q: queue.Queue = queue.Queue()
+        # bounded queue: a writer slower than the compute cadence must
+        # BACKPRESSURE submit() (each pending job pins a full gathered
+        # host copy of the cluster) instead of growing the backlog to OOM
+        self._q: queue.Queue = queue.Queue(maxsize=2)
         self._error: Optional[BaseException] = None
+        # epoch scheme: every job carries the epoch it was submitted in,
+        # and a failure poisons ITS epoch — jobs already queued behind the
+        # failed one (same epoch) drain without running even after
+        # _reraise clears _error (previously a queued save could race the
+        # driver's re-raise and write a checkpoint on top of the torn
+        # one), while jobs submitted AFTER the re-raise (next epoch) run,
+        # keeping the writer usable.
+        self._epoch = 0
+        self._bad_epoch = -1
         self._thread = threading.Thread(
             target=self._loop, name="al26-ckpt-writer", daemon=True
         )
@@ -41,22 +53,23 @@ class AsyncCheckpointWriter:
 
     def _loop(self) -> None:
         while True:
-            job = self._q.get()
+            item = self._q.get()
             try:
-                if job is self._SENTINEL:
+                if item is self._SENTINEL:
                     return
-                if self._error is None:
-                    # after a failure, drain (don't run) remaining jobs so
-                    # flush() terminates and re-raises promptly
+                epoch, job = item
+                if epoch != self._bad_epoch:
                     job()
             except BaseException as e:  # noqa: BLE001 — must cross threads
                 self._error = e
+                self._bad_epoch = epoch
             finally:
                 self._q.task_done()
 
     def _reraise(self) -> None:
         if self._error is not None:
             err, self._error = self._error, None
+            self._epoch += 1  # subsequent submissions form a fresh epoch
             raise RuntimeError(
                 "asynchronous checkpoint save failed (state shown is from "
                 "an earlier step; see cause)"
@@ -65,7 +78,7 @@ class AsyncCheckpointWriter:
     def submit(self, job: Callable[[], None]) -> None:
         """Enqueue a save job; re-raises any earlier job's failure."""
         self._reraise()
-        self._q.put(job)
+        self._q.put((self._epoch, job))
 
     def flush(self) -> None:
         """Block until every enqueued job has run; re-raise failures."""

@@ -66,8 +66,22 @@ def save_checkpoint(
     post-processing)."""
     t0 = time.time()
     state = State(cluster_particles, converter, metadata)
-    with open(state_filename(base, nfile), "wb") as f:
+    # atomic write: a crash mid-write (a window the async writer widens)
+    # must not leave a torn state file that most_recent_checkpoint would
+    # select and load_state could not read — bricking plain resume
+    path = state_filename(base, nfile)
+    with open(path + ".tmp", "wb") as f:
         f.write(compress(pickle.dumps(state)))
+    os.replace(path + ".tmp", path)
+    if yields_mode == "rewrite" and nfile == 0:
+        # cold rewrite-mode run: a stale framed store from a previous
+        # frames-mode run under the same base would be PREFERRED by
+        # load_checkpoint on resume, poisoning the restored yields with
+        # the old run's history (frames-mode cold saves truncate it
+        # themselves, yields_store.marinate_frame)
+        stale = yields_frames_filename(base)
+        if os.path.exists(stale):
+            os.remove(stale)
     if yields_mode in ("frames", "both"):
         yields.marinate_frame(yields_frames_filename(base))
     if yields_mode in ("rewrite", "both"):
@@ -103,14 +117,18 @@ def load_checkpoint(base: str, nfile: int):
     """Load state + yields (al26_nbody.py:403-439).
     Returns (cluster_particles, converter, yields, metadata).
 
-    Prefers the appendable framed yields file when present (it is written
-    at EVERY save in frames mode, while the reference-format blob only
-    lands at the final save); reference-written runs only ever have the
-    blob."""
+    Prefers the appendable framed yields file when the run that wrote the
+    checkpoint used frames mode (it is written at EVERY save there, while
+    the reference-format blob only lands at the final save). The
+    preference is gated on the CHECKPOINT's own yields_frames arg: a
+    stale .ubjf from an earlier frames-mode run under the same base must
+    not poison a rewrite-mode run's resume. Reference-written runs have
+    neither the flag nor the file — they load the blob."""
     state = load_state(state_filename(base, nfile))
     yields = Yields(base)
     frames_path = yields_frames_filename(base)
-    if os.path.exists(frames_path):
+    wants_frames = bool(getattr(state.metadata.args, "yields_frames", True))
+    if wants_frames and os.path.exists(frames_path):
         yields.plate_frames(frames_path)
     else:
         yields.plate(yields_filename(base))

@@ -47,23 +47,47 @@ def save_sharded_state(orbax_dir: str, step: int, state, cfg) -> None:
     if jax.process_index() == 0:
         d = {k: (list(v) if isinstance(v, tuple) else v)
              for k, v in cfg.to_dict().items()}
-        with open(_path(orbax_dir, step) + ".cfg.json", "w") as f:
+        # atomic: the sidecar is the step's completeness marker —
+        # latest_step skips steps without one, so a crash between the
+        # tree finalisation and this write cannot brick the next resume
+        sidecar = _path(orbax_dir, step) + ".cfg.json"
+        with open(sidecar + ".tmp", "w") as f:
             json.dump(d, f)
+        os.replace(sidecar + ".tmp", sidecar)
 
 
 def latest_step(orbax_dir: str) -> Optional[int]:
+    """Highest step with a COMPLETE save (tree + cfg sidecar)."""
     if not os.path.isdir(orbax_dir):
         return None
-    steps = [int(d) for d in os.listdir(orbax_dir) if d.isdigit()]
+    steps = [int(d) for d in os.listdir(orbax_dir)
+             if d.isdigit()
+             and os.path.exists(os.path.join(orbax_dir, d + ".cfg.json"))]
     return max(steps) if steps else None
 
 
+def drop_steps_above(orbax_dir: str, step: int) -> None:
+    """Delete orbax steps above `step` — the orbax analogue of the
+    driver's _drop_stale_state_files: a -nc resume rewrites the timeline,
+    and a later latest_step must not pick the abandoned one."""
+    import shutil
+
+    if not os.path.isdir(orbax_dir):
+        return
+    for d in os.listdir(orbax_dir):
+        name = d[:-len(".cfg.json")] if d.endswith(".cfg.json") else d
+        if name.isdigit() and int(name) > step:
+            p = os.path.join(orbax_dir, d)
+            shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+
+
 def load_sharded_state(orbax_dir: str, step: Optional[int] = None,
-                       template=None, mesh=None):
+                       template=None):
     """Restore (state, cfg_dict). With `template` (an abstract or concrete
     SimState pytree carrying the target shardings — e.g. the freshly
-    initialised state already laid out over `mesh`), arrays restore
-    DIRECTLY onto those shardings, never materialising on one host."""
+    initialised state already laid out over the target mesh), arrays
+    restore DIRECTLY onto those shardings, never materialising on one
+    host. Without a template the restore is host-materialised."""
     import orbax.checkpoint as ocp
 
     if step is None:

@@ -170,8 +170,11 @@ class Yields:
             return
         marinade = {k: v for k, v in self.__dict__.items()
                     if not k.startswith("_")}
-        with open(filename, "wb") as f:
+        # atomic: rewrite mode replaces the whole blob every save — a
+        # crash mid-write must not leave a torn blob that bricks resume
+        with open(filename + ".tmp", "wb") as f:
             f.write(compress(ubjson.dumpb(marinade)))
+        os.replace(filename + ".tmp", filename)
 
     def _marinate_streamed(self, filename: str, frames_path: str,
                            level: int = 8) -> None:
@@ -221,14 +224,16 @@ class Yields:
                 put("first_write", self.first_write)
                 out.write(b"}")
             cctx = zstd.ZstdCompressor(level=level, threads=-1)
-            with open(tmp, "rb") as ifh, open(filename, "wb") as ofh:
+            with open(tmp, "rb") as ifh, open(filename + ".tmp-z", "wb") as ofh:
                 cctx.copy_stream(ifh, ofh, size=os.path.getsize(tmp))
+            os.replace(filename + ".tmp-z", filename)  # atomic publish
         finally:
             for p in spools.values():
                 if os.path.exists(p):
                     os.remove(p)
-            if os.path.exists(tmp):
-                os.remove(tmp)
+            for leftover in (tmp, filename + ".tmp-z"):
+                if os.path.exists(leftover):
+                    os.remove(leftover)
 
     def plate(self, filename: str) -> None:
         """Restore attributes from a marinated file (also reads files

@@ -241,6 +241,12 @@ def run(cfg: SimConfig, progress: bool = True,
         # timeline's higher-numbered state files now, as the yields
         # artifacts were just truncated
         _drop_stale_state_files(base, metadata.most_recent_checkpoint)
+        if cfg.orbax_dir:
+            # same for the orbax tree, or its latest_step resumes the
+            # abandoned timeline
+            from ..io.orbax_backend import drop_steps_above
+
+            drop_steps_above(cfg.orbax_dir, int(state.step_count))
     else:
         state, aux, cfg = init_cluster(cfg, data_dir)
         metadata = _metadata_from_cfg(cfg)
@@ -346,6 +352,15 @@ def run(cfg: SimConfig, progress: bool = True,
         writer = AsyncCheckpointWriter()
 
     def do_save(s, increment=True, final=False):
+        if cfg.orbax_dir:
+            # device-state tree FIRST, from the ORIGINAL (possibly
+            # sharded) state: shards store per-host, nothing gathered —
+            # handing it the gathered host copy below would defeat the
+            # backend's no-gather contract (and device_get outright fails
+            # on non-fully-addressable arrays on a multi-host slice)
+            from ..io.orbax_backend import save_sharded_state
+
+            save_sharded_state(cfg.orbax_dir, int(s.step_count), s, cfg)
         if writer is not None and mesh is not None:
             # gather the sharded state on the MAIN thread: a background
             # device->host pull racing the next chunk's collectives starves
@@ -361,11 +376,6 @@ def run(cfg: SimConfig, progress: bool = True,
             writer.submit(job)
         else:
             job()
-        if cfg.orbax_dir:
-            # device-state tree: shards store per-host, nothing gathered
-            from ..io.orbax_backend import save_sharded_state
-
-            save_sharded_state(cfg.orbax_dir, int(s.step_count), s, cfg)
 
     try:
         k = n_done

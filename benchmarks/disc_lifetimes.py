@@ -7,6 +7,7 @@ import numpy as np
 
 
 def main(outname: str = "disc-lifetimes.png", n: int = 100_000) -> None:
+    n = int(n)  # CLI passes a string
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt

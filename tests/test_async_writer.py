@@ -94,3 +94,23 @@ def test_async_and_sync_runs_write_identical_files(tmp_path):
         if "-state-" in name:
             continue  # pickled Metadata embeds wall-clock timestamps
         assert outs["async"][name] == outs["sync"][name], name
+
+
+def test_drain_gate_survives_reraise():
+    """Jobs queued in the FAILED epoch never run, even after the failure
+    was re-raised: the old `_error is None` drain gate was cleared by
+    _reraise while same-epoch jobs could still be queued, letting a save
+    land on top of a torn checkpoint (round-3 review finding). New-epoch
+    jobs still run — the writer stays usable."""
+    ran = []
+    w = AsyncCheckpointWriter()
+    # simulate the instant after a job of epoch 0 failed, with another
+    # epoch-0 job still queued (bypassing submit, which would re-raise)
+    w._error = IOError("x")
+    w._bad_epoch = 0
+    w._q.put((0, lambda: ran.append(1)))
+    with pytest.raises(RuntimeError, match="checkpoint save failed"):
+        w.flush()
+    w.submit(lambda: ran.append(2))  # fresh epoch: runs
+    w.close()
+    assert ran == [2]

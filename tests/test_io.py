@@ -808,3 +808,25 @@ def test_ubjson_unsigned_bool_bytes():
         assert loadb(dumpb_python(b"abc")) == b"abc"
         assert _native.loadb(dumpb_python(np.array([big64],
                                                    np.uint64))) == [big64]
+
+
+def test_rewrite_rerun_clears_stale_frames_file(tmp_path):
+    """A cold rewrite-mode run under a base previously used by a
+    frames-mode run must delete the stale .ubjf (load_checkpoint used to
+    prefer ANY frames file, restoring the OLD run's yields history on
+    resume — round-3 review finding), and the preference is additionally
+    gated on the checkpoint's own yields_frames arg."""
+    from al26_tpu.io.checkpoint import load_checkpoint
+    from al26_tpu.io.yields_store import _FRAMES_MAGIC
+
+    _small_run(tmp_path, seed=31, yields_frames=True)
+    base = os.path.join(tmp_path, "testrun")
+    assert os.path.exists(base + "-yields.ubjf")
+    _small_run(tmp_path, seed=32, yields_frames=False)
+    assert not os.path.exists(base + "-yields.ubjf"), "stale frames kept"
+    # belt-and-braces: even if a stale .ubjf reappears, the rewrite-mode
+    # checkpoint's metadata gates the preference back to the blob
+    with open(base + "-yields.ubjf", "wb") as f:
+        f.write(_FRAMES_MAGIC)  # valid but EMPTY framed store
+    _, _, y, _ = load_checkpoint(base, 3)
+    assert len(y.time) == 7  # run B's full blob history, not the empty file

@@ -26,7 +26,7 @@ def test_sharded_roundtrip_preserves_values_and_sharding(tmp_path):
     assert latest_step(str(tmp_path / "ck")) == 7
 
     restored, cfg_dict, step = load_sharded_state(
-        str(tmp_path / "ck"), template=state, mesh=mesh
+        str(tmp_path / "ck"), template=state
     )
     assert step == 7
     jax.tree.map(

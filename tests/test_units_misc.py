@@ -116,6 +116,9 @@ def test_phase_timers_accumulate_and_report():
     assert tm.totals["checkpoint"] >= 0.02
     assert tm.last["physics"] <= tm.totals["physics"]
     rep = tm.report()
-    # sorted by descending total: checkpoint (20 ms) before physics (6 ms)
-    assert rep.index("checkpoint") < rep.index("physics")
+    # sorted by descending total — assert against the MEASURED totals, not
+    # the intended sleep ratios (scheduler latency on a loaded box can
+    # inflate the 2 ms sleeps past the 20 ms one)
+    order = sorted(tm.totals, key=lambda k: -tm.totals[k])
+    assert rep.index(order[0]) < rep.index(order[-1])
     assert "x3" in rep
