@@ -139,6 +139,7 @@ def test_driver_mesh_divisibility_error(tmp_path):
         os.chdir(cwd)
 
 
+@pytest.mark.slow
 def test_ring_force_matches_allgather():
     """The ppermute ring-streamed force equals the all-gather sharded force
     and the dense reference on the 8-device mesh."""
@@ -470,6 +471,7 @@ def test_ring_cached_matches_sharded_cached():
         rtol=1e-9, atol=1e-30)
 
 
+@pytest.mark.slow
 def test_ring_one_sweep_per_step(monkeypatch):
     """Eager per-step accounting for the ring path, mirroring
     test_mesh_cached_one_sweep_per_step."""
