@@ -77,7 +77,9 @@ class SimConfig:
     #   eps = sqrt(0.125) * Rc (al26_nbody.py:59,1712-1714).
     eta_hermite: float = 0.14          # Aarseth accuracy parameter (dimensionless)
     k_fast: Optional[int] = None       # hermite4_block fast-group size;
-    #                                     None = max(128, n // 16)
+    #   None resolves at init (sim.init.resolve_integrator) to
+    #   max(256, min(512, n // 128)) — e.g. 512 at n=102400; measured
+    #   flat-in-k energy drift, docs/precision.md
     k_ultra: int = 0                   # hermite4_block third tier: the
     #   k_ultra fastest rows subcycle at the shared minimum while the rest
     #   of the fast group steps at its OWN shared-minimum pace. 0 =

@@ -214,6 +214,16 @@ def load_run(base: str, n_checkpoint: Optional[int] = None,
         time=jnp.asarray(t_myr, dtype),
         step_count=jnp.asarray(round(t_myr / cfg.dt), jnp.int32),
     )
+    # resolve the integrator knobs exactly like a cold start: OUR
+    # checkpoints store the resolved values (this is a no-op), but
+    # reference-written metadata carries no integrator/k_fast/
+    # leapfrog_n_sub keys — without this the step's last-ditch fallbacks
+    # would pick e.g. k_fast = n//16 = 6400 at n=102400 instead of the
+    # cold-start 512: a silently different trajectory and ~12x subcycle
+    # cost after resume (round-3 review finding)
+    from .init import resolve_integrator
+
+    cfg = resolve_integrator(cfg, float(np.asarray(cluster.mass).sum()))
     aux = _rebuild_aux(cfg, cluster, data_dir)
     return state, aux, cfg, metadata, yields, converter
 

@@ -59,6 +59,19 @@ def _build_force_fn(mass, eps2, cfg: SimConfig, mesh, force_impl: str):
     """
     from ..ops.pallas_nbody import use_pallas
 
+    if force_impl in ("sharded", "ring") and mesh is None:
+        raise ValueError(
+            f"force_impl={force_impl!r} requires a device mesh "
+            "(cfg.mesh_shape)"
+        )
+    if mesh is not None and force_impl not in ("auto", "sharded", "ring"):
+        # a mesh run's opening/closing sweeps are always the mesh
+        # backends (fused_mesh in _step_impl): mixing in a single-chip
+        # integrator force would reshard every substep or crash
+        raise ValueError(
+            f"force_impl={force_impl!r} is single-chip; with mesh_shape "
+            "use 'auto', 'sharded' or 'ring'"
+        )
     if force_impl == "auto":
         if mesh is not None:
             force_impl = "sharded"
@@ -115,6 +128,50 @@ def _mesh_sweep(mesh, force_impl: str):
     from ..parallel.sharded import sharded_acc_jerk_pot
 
     return lambda p, v, m, **kw: sharded_acc_jerk_pot(p, v, m, mesh, **kw)
+
+
+def _sweep_eval_fn(cfg: SimConfig, mesh, force_impl: str, mass,
+                   needs_jerk: bool):
+    """Full fused sweep `(pos, vel) -> (acc, jerk, pot)`: the mesh
+    backends under a mesh, the single-chip Pallas kernel otherwise. The
+    ONE place the sweep conventions (cfg.eps2 force softening, _pot_eps2
+    virial softening, with_jerk) live — _step_impl, _stride_impl and
+    fresh_cache all build their evaluations here."""
+    if mesh is not None:
+        sweep = _mesh_sweep(mesh, force_impl)
+
+        def sweep_eval(p, v):
+            return sweep(p, v, mass, eps2=cfg.eps2,
+                         pot_eps2=_pot_eps2(cfg), with_jerk=needs_jerk)
+
+        return sweep_eval
+    from ..ops.pallas_nbody import pallas_acc_jerk_pot
+
+    def sweep_eval(p, v):
+        return pallas_acc_jerk_pot(p, v, mass, cfg.eps2,
+                                   with_jerk=needs_jerk,
+                                   pot_eps2=_pot_eps2(cfg))
+
+    return sweep_eval
+
+
+def _corrected_cache(new_cluster, old_cluster, aux: SimAux, cfg: SimConfig,
+                     mesh, pos, vel, a1, j1, pot1):
+    """Shared cache epilogue: correct the closing (acc, jerk, pot)
+    evaluation for this step's source-mass changes (forces are linear in
+    source masses — O(N x M) instead of a fresh O(N^2) sweep) and return
+    the next step's opening cache."""
+    from ..ops.nbody import mass_delta_correction
+
+    eps2 = jnp.asarray(cfg.eps2, pos.dtype)
+    dm = (new_cluster.mass[aux.msrc_idx]
+          - old_cluster.mass[aux.msrc_idx]) * aux.msrc_valid
+    a1, j1, pot1 = mass_delta_correction(
+        a1, j1, pot1, pos, vel, aux.msrc_idx, dm, eps2,
+        pot_softened=cfg.softened_virial,
+        block=0 if mesh is not None else None,
+    )
+    return a1, jnp.zeros_like(a1) if j1 is None else j1, pot1
 
 
 def _pot_eps2(cfg: SimConfig):
@@ -199,19 +256,9 @@ def _step_impl(state: SimState, aux: SimAux, cfg: SimConfig,
     needs_jerk = integ in ("hermite4", "hermite4_block")
     fused_mesh = mesh is not None
     sweep_eval = None  # (pos, vel) -> (acc, jerk, pot) full fused sweep
-    if fused_mesh:
-        sweep = _mesh_sweep(mesh, force_impl)
-
-        def sweep_eval(p, v):
-            return sweep(p, v, c.mass, eps2=cfg.eps2,
-                         pot_eps2=_pot_eps2(cfg), with_jerk=needs_jerk)
-    elif pallas_here:
-        from ..ops.pallas_nbody import pallas_acc_jerk_pot
-
-        def sweep_eval(p, v):
-            return pallas_acc_jerk_pot(p, v, c.mass, cfg.eps2,
-                                       with_jerk=needs_jerk,
-                                       pot_eps2=_pot_eps2(cfg))
+    if fused_mesh or pallas_here:
+        sweep_eval = _sweep_eval_fn(cfg, mesh, force_impl, c.mass,
+                                    needs_jerk)
     if sweep_eval is not None:
         a0, j0, pot = cache if cache is not None else sweep_eval(c.pos,
                                                                  c.vel)
@@ -267,9 +314,6 @@ def _step_impl(state: SimState, aux: SimAux, cfg: SimConfig,
                                       r_vir)
     new_cache = None
     if cache_ok:
-        # forces are linear in source masses: correct the closing
-        # evaluation for this step's stellar mass loss / SN collapses so it
-        # is exactly the next step's opening evaluation (O(N x M)).
         # CAVEAT (advisor r2): on the hermite4/hermite4_block paths the
         # cached (a1, j1, pot1) was evaluated at the last substep's
         # PREDICTED state (P(EC) semantics) while the correction uses the
@@ -280,16 +324,8 @@ def _step_impl(state: SimState, aux: SimAux, cfg: SimConfig,
         # amplifies the same O(predictor-corrector) error by dm/m — still a
         # one-step transient of the integrator's own order, not a secular
         # drift, so the cache is kept rather than invalidated.
-        from ..ops.nbody import mass_delta_correction
-
-        dm = (new_state.cluster.mass[aux.msrc_idx]
-              - c.mass[aux.msrc_idx]) * aux.msrc_valid
-        a1, j1, pot1 = mass_delta_correction(
-            a1, j1, pot1, pos, vel, aux.msrc_idx, dm, eps2,
-            pot_softened=cfg.softened_virial,
-            block=0 if mesh is not None else None,
-        )
-        new_cache = (a1, jnp.zeros_like(a1) if j1 is None else j1, pot1)
+        new_cache = _corrected_cache(new_state.cluster, c, aux, cfg, mesh,
+                                     pos, vel, a1, j1, pot1)
     return new_state, new_cache
 
 
@@ -308,20 +344,9 @@ def fresh_cache(state: SimState, cfg: SimConfig, integ: str, mesh=None,
     force_impl="ring")."""
     c = state.cluster
     needs_jerk = integ in ("hermite4", "hermite4_block")
-    if mesh is not None:
-        a, j, pot = _mesh_sweep(mesh, force_impl)(
-            c.pos, c.vel, c.mass, eps2=cfg.eps2,
-            pot_eps2=_pot_eps2(cfg), with_jerk=needs_jerk,
-        )
-        return a, j, pot
-    from ..ops.pallas_nbody import pallas_acc_jerk_pot
-
-    a, j, pot = pallas_acc_jerk_pot(
-        c.pos, c.vel, c.mass, cfg.eps2,
-        with_jerk=needs_jerk,
-        pot_eps2=_pot_eps2(cfg),
+    return _sweep_eval_fn(cfg, mesh, force_impl, c.mass, needs_jerk)(
+        c.pos, c.vel
     )
-    return a, j, pot
 
 
 def physics_after_advance(state: SimState, aux: SimAux, cfg: SimConfig,
@@ -404,6 +429,10 @@ def physics_after_advance(state: SimState, aux: SimAux, cfg: SimConfig,
     # -- 6. interloper ----------------------------------------------------
     agb_raw = c.agb_raw
     if cfg.interloper:
+        # the AGB clock uses the PRE-advance time on purpose: the
+        # reference computes interloper_time = t - offset from the
+        # step-START t, not t_new (al26_nbody.py:984), unlike the stellar
+        # and condensation blocks which use t_new
         t_int = t - jnp.asarray(cfg.interloper_offset_time, c.pos.dtype)
         r_al, r_fe = _agb_rates(aux, t_int)
         active = t_int > 0.0
@@ -499,8 +528,9 @@ def _stride_impl(state: SimState, aux: SimAux, cfg: SimConfig, cache,
     the crossing substep — ops.integrators.hermite4_block_advance). All
     deposition/SN/decay/condensation physics still runs every dt; only the
     full O(N^2) force evaluation is strided. The virial radius (global
-    wind bubble) is held at its stride-start value for the interior steps
-    (it moves O(0.1%) per dt). Stellar mass loss feeds back into gravity
+    wind bubble) is held at its stride-start value for ALL m physics
+    steps of the stride, the closing one included (it moves O(0.1%) per
+    dt). Stellar mass loss feeds back into gravity
     at stride boundaries through the exact mass-delta cache correction —
     an m*dt lag instead of the unstrided scheme's dt lag.
 
@@ -521,23 +551,12 @@ def _stride_impl(state: SimState, aux: SimAux, cfg: SimConfig, cache,
     mtot = jnp.sum(c.mass)
     r_vir = -G_INTERNAL * mtot * mtot / (2.0 * u)
 
+    final_eval_fn = _sweep_eval_fn(cfg, mesh, force_impl, c.mass,
+                                   needs_jerk=True)
     if mesh is not None:
-        sweep = _mesh_sweep(mesh, force_impl)
-
-        def final_eval_fn(p, v):
-            return sweep(p, v, c.mass, eps2=cfg.eps2,
-                         pot_eps2=_pot_eps2(cfg), with_jerk=True)
-
         from ..parallel.sharded import make_sharded_force_rows
         force_rows_fn = make_sharded_force_rows(mesh, c.mass, cfg.eps2)
     else:
-        from ..ops.pallas_nbody import pallas_acc_jerk_pot
-
-        def final_eval_fn(p, v):
-            return pallas_acc_jerk_pot(p, v, c.mass, cfg.eps2,
-                                       with_jerk=True,
-                                       pot_eps2=_pot_eps2(cfg))
-
         force_rows_fn = _build_force_rows_fn(c.mass, cfg.eps2, "pallas")
         rows_at_factory = _build_rows_at_factory(c.mass, cfg.eps2, True)
     pos_c, vel_c, (a1, j1, pot1), (pos_s, vel_s) = advance(
@@ -562,17 +581,8 @@ def _stride_impl(state: SimState, aux: SimAux, cfg: SimConfig, cache,
                                   r_vir)
         pos_prev = pos_s[k]
     s = physics_after_advance(s, aux, cfg, pos_prev, pos_c, vel_c, r_vir)
-
-    from ..ops.nbody import mass_delta_correction
-
-    dm = (s.cluster.mass[aux.msrc_idx]
-          - c.mass[aux.msrc_idx]) * aux.msrc_valid
-    a1, j1, pot1 = mass_delta_correction(
-        a1, j1, pot1, pos_c, vel_c, aux.msrc_idx, dm, eps2,
-        pot_softened=cfg.softened_virial,
-        block=0 if mesh is not None else None,
-    )
-    return s, (a1, j1, pot1)
+    return s, _corrected_cache(s.cluster, c, aux, cfg, mesh, pos_c, vel_c,
+                               a1, j1, pot1)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_strides", "m",
