@@ -301,3 +301,27 @@ def test_cached_trajectory_matches_uncached():
             assert os.path.exists("interloper_trajectory.dat")
         finally:
             os.chdir(cwd)
+
+
+def test_mass_delta_correction_memory_bounded_at_2e5():
+    """The compiled correction's temporaries stay bounded at the scale
+    that OOMed a 16 GB v5e before row-chunking (N=204800, M=1655: the
+    dense path compiled 10.1 GB of [N,M,3] broadcast temporaries, the
+    auto-chunked one 0.26 GB — docs/validation.md). Pins the auto
+    threshold against regression via the compiled program's own memory
+    analysis (no execution)."""
+    import jax
+
+    from al26_tpu.ops.nbody import mass_delta_correction
+
+    n, m = 204800, 1655
+    sds = jax.ShapeDtypeStruct
+    f32 = jnp.float32
+    a = sds((n, 3), f32)
+    p = sds((n,), f32)
+    src = sds((m,), jnp.int32)
+    dm = sds((m,), f32)
+    fn = jax.jit(lambda acc, jerk, pot, po, ve, s, d:
+                 mass_delta_correction(acc, jerk, pot, po, ve, s, d, 0.125))
+    ma = fn.lower(a, a, p, a, a, src, dm).compile().memory_analysis()
+    assert ma.temp_size_in_bytes < 2**30  # < 1 GB; dense was ~10 GB
