@@ -35,7 +35,10 @@ def main(table: str = "all-sims-ratios.pkl.zst",
                 data.append(np.log10(np.maximum(vals, 1e-30)))
             ax = axes[i][j]
             if data:
-                ax.boxplot(data, tick_labels=labels)
+                # set tick labels separately: boxplot(tick_labels=...)
+                # needs matplotlib >= 3.9 and the dependency is unpinned
+                ax.boxplot(data)
+                ax.set_xticks(range(1, len(labels) + 1), labels)
             ax.set_title(f"{iso} {model}")
             ax.set_ylabel(r"$\log_{10}$ max yield ratio")
     plt.tight_layout()

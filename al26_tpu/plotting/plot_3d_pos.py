@@ -18,4 +18,7 @@ def main(state_file: str, outname: str = "positions") -> None:
 
 
 if __name__ == "__main__":
+    if not 1 <= len(sys.argv) - 1 <= 2:
+        sys.exit("usage: python -m al26_tpu.plotting.plot_3d_pos "
+                 "<state_file> [outname]")
     main(*sys.argv[1:])

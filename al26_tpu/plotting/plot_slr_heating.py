@@ -18,7 +18,8 @@ def main(outname: str = "heating-cdf", root: str = ".") -> None:
 
     fig, (ax_g, ax_l) = plt.subplots(1, 2, figsize=(8, 4), sharey=True)
     sims = sorted(glob(f"{root}/*/"))
-    cmaps = np.linspace(0, 1, max(len(sims), 1))
+    # floor at 0.3: GnBu(0.0) is near-white (plot_slr_statistics.py)
+    cmaps = np.linspace(0.3, 1, max(len(sims), 1))
     for i, sim in enumerate(sims):
         state_files = sorted(glob(sim + "*-state-*.zst"))
         if not state_files:

@@ -24,12 +24,16 @@ def main(outname: str = "cdf", root: str = ".") -> None:
     fig = plt.figure(figsize=(6, 6))
     axes = fig.subplots(2, 2, sharey=True, sharex=True)
     sims = sorted(glob(f"{root}/*/"))
-    cmaps = np.linspace(0, 1, max(len(sims), 1))
+    # floor at 0.3: GnBu(0.0) is near-white — the first (or only) sim's
+    # curves would be invisible on the white background
+    cmaps = np.linspace(0.3, 1, max(len(sims), 1))
 
     for i, sim in enumerate(sims):
-        yields_files = sorted(glob(sim + "*yields*.zst"))
+        # everything plotted comes from the final STATE file (a sim that
+        # crashed before its final yields blob still has per-star SLR
+        # reservoirs there)
         state_files = sorted(glob(sim + "*-state-*.zst"))
-        if not yields_files or not state_files:
+        if not state_files:
             continue
         color = matplotlib.colormaps["GnBu"](cmaps[i])
         cluster = read_state(state_files[-1]).cluster

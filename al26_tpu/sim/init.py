@@ -22,7 +22,7 @@ from ..models.plummer import plummer_positions_velocities
 from ..models.stellar import evolution as stellar
 from ..models.yields import feh_for_z, massive_star_yields, read_slrs
 from ..state import Cluster, N_CH, N_ISO, SimState
-from ..units import AU_TO_PC, KMS_TO_PCMYR
+from ..units import KMS_TO_PCMYR
 
 
 @jax.tree_util.register_dataclass
@@ -244,7 +244,7 @@ def init_cluster(cfg: SimConfig, data_dir: str | None = None,
     lm = (masses >= cfg.low_mass_min) & (masses <= cfg.low_mass_max)
     hm = masses >= cfg.high_mass_threshold
     tau_disk = discs.draw_disk_lifetimes(rng, cfg.n, cfg.disk_lifetime_mean)
-    r_disk = np.full(cfg.n, cfg.disk_radius * AU_TO_PC)
+    r_disk = np.full(cfg.n, discs.disk_radius_pc(cfg.disk_radius))
 
     # -- per-star yield data for massive stars -----------------------------
     # init-time stellar math runs on the CPU backend: each eager jnp op is a

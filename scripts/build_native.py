@@ -10,7 +10,7 @@ from __future__ import annotations
 import os
 import shutil
 import sys
-import sysconfig
+
 import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

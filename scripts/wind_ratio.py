@@ -9,9 +9,14 @@ Usage: python scripts/wind_ratio.py [out.pdf]  (also prints a text table)
 """
 from __future__ import annotations
 
+import os
 import sys
 
 import numpy as np
+
+# `python scripts/wind_ratio.py` puts scripts/ (not the repo root) on
+# sys.path — same bootstrap as scripts/gen_golden_stats.py
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(outname: str = "wind-ratio.pdf") -> None:
