@@ -84,6 +84,8 @@ def test_cli_parallel_knobs_parse():
     assert config_from_args(args).mesh_shape == (8,)
 
 
+@pytest.mark.slow  # mesh variant of test_cli_end_to_end; mesh driver
+# correctness is covered by tests/test_parallel.py defaults
 def test_cli_mesh_sharded_run(tmp_path, monkeypatch):
     """A multi-chip row-sharded single-cluster run end-to-end through the
     CLI on the fake 8-device mesh."""

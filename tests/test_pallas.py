@@ -218,17 +218,27 @@ def test_pallas_pot_eps2_fused_sweep():
                                rtol=2e-5, atol=1e-8)
 
 
-def test_pallas_wide_tile_j_matches_dense():
-    """n >= TILE_J_WIDE auto-selects the 2048-wide column tiles (the
-    ~1.5x-throughput config measured on v5e); results must stay within the
-    kernel's error budget, including with the non-tile-aligned padding a
-    wide tile implies (2100 -> 4096 columns)."""
+def test_auto_tile_j_selection():
+    """Wide column tiles engage only for big single-cluster sweeps;
+    ensembles (group windows) and small n keep the narrow tiles."""
     from al26_tpu.ops.pallas_nbody import TILE_J_WIDE, _auto_tile_j
 
     n = TILE_J_WIDE + 52
     assert _auto_tile_j(n, 0) == TILE_J_WIDE
     assert _auto_tile_j(n, 700) == TILE_J    # ensembles keep narrow tiles
     assert _auto_tile_j(512, 0) == TILE_J    # small n keeps narrow tiles
+
+
+@pytest.mark.slow  # interpret-mode sweep at n=2100; narrow-tile equality
+# vs dense runs in the default set (test_pallas_matches_dense)
+def test_pallas_wide_tile_j_matches_dense():
+    """n >= TILE_J_WIDE auto-selects the 2048-wide column tiles (the
+    ~1.5x-throughput config measured on v5e); results must stay within the
+    kernel's error budget, including with the non-tile-aligned padding a
+    wide tile implies (2100 -> 4096 columns)."""
+    from al26_tpu.ops.pallas_nbody import TILE_J_WIDE
+
+    n = TILE_J_WIDE + 52
     pos, vel, mass = _system(n, seed=21)
     pos = pos + 4.0
     a1, j1, p1 = pallas_acc_jerk_pot(pos, vel, mass, 1e-3)

@@ -243,6 +243,8 @@ def test_ensemble_flat_block_integrator_isolated():
                                rtol=1e-4, atol=1e-7)
 
 
+@pytest.mark.slow  # mesh variant of the single-chip trajectory runs
+# (tests/test_io.py::test_interloper_trajectory_file)
 def test_traj_run_carries_mesh():
     """run_steps_traj with a mesh (review regression: the trajectory path
     silently dropped the sharded force) matches run_steps."""

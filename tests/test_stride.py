@@ -93,6 +93,7 @@ def test_run_steps_auto_engages_stride():
                                   np.asarray(s_manual.cluster.pos))
 
 
+@pytest.mark.slow  # mesh variant of test_stride2_tracks_unstrided
 def test_stride_on_mesh_tracks_unstrided():
     """Round 3: the gravity stride engages on the mesh path (previously
     single-chip only) — one column-sharded force advance spanning m steps,
@@ -151,6 +152,8 @@ def test_stride_mesh_one_sweep_per_stride(monkeypatch):
     assert counter["n"] == 1, counter["n"]
 
 
+@pytest.mark.slow  # mesh + async-save integration; the async writer
+# and the mesh driver each have faster default tests
 def test_driver_mesh_async_saves(tmp_path):
     """Regression: a mesh_shape driver run with the DEFAULT async writer
     must not deadlock. The writer's background device->host pull used to
@@ -180,6 +183,8 @@ def test_driver_mesh_async_saves(tmp_path):
     # test_stride_on_mesh_tracks_unstrided / test_driver_runs_with_stride
 
 
+@pytest.mark.slow  # driver-level stride run; engagement is covered by
+# the faster test_run_steps_auto_engages_stride
 def test_driver_runs_with_stride(tmp_path):
     """End-to-end driver run with gravity_stride=2 produces the full file
     set and a final state matching stride=1 closely."""

@@ -4,6 +4,7 @@ at its own shared-minimum pace (ops/integrators.py:hermite4_block_advance).
 Must track the two-level scheme to f32 round-off."""
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from al26_tpu.config import SimConfig
 from al26_tpu.ops.nbody import total_energy
@@ -35,6 +36,9 @@ def test_tiered_tracks_two_level():
                                   np.asarray(s1.cluster.mass))
 
 
+@pytest.mark.slow  # composition equality; k_ultra and the stride each
+# have their own faster default tests (test_tiered_tracks_two_level,
+# test_stride2_tracks_unstrided)
 def test_tiered_with_gravity_stride():
     """k_ultra composes with the gravity stride (interior sample capture
     runs per tier, sim/step.py:_stride_impl)."""
