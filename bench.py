@@ -236,13 +236,15 @@ def bench_force_throughput() -> float:
 
 def bench_wallclock_per_myr(n: int, repeat_steps: int = 100,
                             integrator: str = "auto",
-                            gravity_stride: int = 1) -> float:
+                            gravity_stride: int = 1,
+                            softened_virial: bool = False) -> float:
     """Full-physics step cadence at the reference dt (t_f=10 -> dt=0.01)."""
     from al26_tpu.config import SimConfig
     from al26_tpu.sim import init_cluster, run_steps
 
     cfg = SimConfig(n=n, rc=1.0, final_time=10.0, seed=1, dtype="f32",
-                    integrator=integrator, gravity_stride=gravity_stride)
+                    integrator=integrator, gravity_stride=gravity_stride,
+                    softened_virial=softened_virial)
     state, aux, cfg = init_cluster(cfg)
     # warm with the SAME scan length (a different length is a new compile)
     s = run_steps(state, aux, cfg, repeat_steps)
@@ -340,6 +342,13 @@ def main() -> None:
             print(f"# wall-clock per simulated Myr, N=102400 "
                   f"(gravity_stride=2, docs/precision.md): {spm2:.3f} "
                   f"s/Myr", file=sys.stderr)
+            for stride in (2, 4):
+                spml = bench_wallclock_per_myr(
+                    102400, 10, gravity_stride=stride, softened_virial=True)
+                print(f"# wall-clock per simulated Myr, N=102400 (full "
+                      f"opt-in ladder: softened_virial + stride {stride}, "
+                      f"error budgets in docs/precision.md): {spml:.3f} "
+                      f"s/Myr", file=sys.stderr)
             spm4 = bench_wallclock_per_myr(409600, 5)
             print(f"# wall-clock per simulated Myr, N=409600 (scaling "
                   f"headroom, one chip): {spm4:.3f} s/Myr", file=sys.stderr)
