@@ -94,7 +94,10 @@ def build_parser() -> argparse.ArgumentParser:
                    metavar="D[,D...]",
                    help="Device mesh for row-sharding ONE large run across "
                         "chips, e.g. '8' or '2,4' (star count must divide "
-                        "across the devices)")
+                        "across the devices). With --ensemble > 1, a "
+                        "2-tuple 'E,R' lays realizations across E chips "
+                        "and row-shards each realization's force sweep "
+                        "across R")
     p.add_argument("--force_impl", type=str, default="auto",
                    choices=("auto", "pallas", "sharded", "ring", "default"),
                    help="Pairwise force backend (auto: sharded when a mesh "

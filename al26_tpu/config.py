@@ -166,7 +166,11 @@ class SimConfig:
     # -- parallel ----------------------------------------------------
     ensemble: int = 1                  # vmapped cluster realizations
     mesh_shape: Optional[tuple] = None # device mesh for row-sharding a
-    #                                     single large run (None = one chip)
+    #   single large run (None = one chip). With --ensemble > 1 a 2-tuple
+    #   (E, R) means an ens x rows mesh instead: realizations across E
+    #   chips, EACH realization's force sweep row-sharded across R
+    #   (parallel.ensemble.ensemble_step_2d — for ensembles with fewer
+    #   members than chips)
     orbax_dir: Optional[str] = None    # when set, ALSO write an orbax
     #   device-state checkpoint tree at every save (io.orbax_backend):
     #   sharded arrays store per-host without gathering — the fast resume

@@ -12,6 +12,7 @@ communication.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional
 
 import jax
@@ -24,6 +25,7 @@ from ..sim.init import init_cluster
 from ..sim.step import step
 
 ENS_AXIS = "ens"
+ROWS_AXIS = "rows"
 
 
 def make_ensemble_mesh(n_devices: Optional[int] = None) -> Mesh:
@@ -31,6 +33,21 @@ def make_ensemble_mesh(n_devices: Optional[int] = None) -> Mesh:
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (ENS_AXIS,))
+
+
+def make_ensemble2d_mesh(n_ens: int, n_rows: Optional[int] = None) -> Mesh:
+    """2-D (ensemble x rows) device mesh: independent realizations lay
+    across `n_ens` mesh columns while EACH realization's O(N^2) force sweep
+    row-shards across `n_rows` chips (parallel.sharded semantics). This is
+    the composition of the domain's two production parallel axes
+    (SURVEY.md §2c items 1+4) — the DP x TP analog — for ensembles whose
+    member count is below the chip count (e.g. 4 realizations of N=1e5 on
+    a v5e-8: mesh (4, 2))."""
+    devs = jax.devices()
+    if n_rows is None:
+        n_rows = len(devs) // n_ens
+    devs = np.array(devs[: n_ens * n_rows]).reshape(n_ens, n_rows)
+    return Mesh(devs, (ENS_AXIS, ROWS_AXIS))
 
 
 def init_ensemble(cfg: SimConfig, n_realizations: int,
@@ -127,6 +144,125 @@ def shard_ensemble(batch_state, batch_aux, mesh: Mesh):
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree.map(place, batch_state), jax.tree.map(place, batch_aux)
+
+
+def shard_ensemble_2d(batch_state, batch_aux, mesh: Mesh):
+    """Place a stacked ensemble on a 2-D (ens x rows) mesh: the realization
+    axis shards over ENS_AXIS; per-star arrays additionally shard their
+    star axis over ROWS_AXIS (the aux slot/table arrays stay ens-only —
+    their widths are small and GSPMD reshards gathers as needed)."""
+    n = batch_state.cluster.mass.shape[1]
+
+    def place_state(x):
+        if x.ndim >= 2 and x.shape[1] == n:
+            spec = P(ENS_AXIS, ROWS_AXIS, *([None] * (x.ndim - 2)))
+        elif x.ndim >= 1:
+            spec = P(ENS_AXIS, *([None] * (x.ndim - 1)))
+        else:
+            spec = P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    def place_aux(x):
+        spec = P(ENS_AXIS, *([None] * (x.ndim - 1))) if x.ndim >= 1 else P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return (jax.tree.map(place_state, batch_state),
+            jax.tree.map(place_aux, batch_aux))
+
+
+def ensemble2d_acc_pot(pos, vel, mass, mesh: Mesh, eps2,
+                       pot_eps2=None, with_pot: bool = True):
+    """Row-sharded per-realization (acc, pot) over a 2-D (ens x rows) mesh.
+
+    `pos/vel/mass` are [B, N, ...]; each device holds a [B/ens, N/rows]
+    block, all-gathers its realizations' full column sets over ROWS_AXIS
+    only (realizations never mix — the batch axis IS the isolation), and
+    computes the row-block forces for its rows (parallel.sharded dataflow,
+    lifted over a local realization batch)."""
+    from ..ops.nbody import _row_block_acc_jerk_pot
+    from ..units import G_INTERNAL
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(ENS_AXIS, ROWS_AXIS), P(ENS_AXIS, ROWS_AXIS),
+                  P(ENS_AXIS, ROWS_AXIS)),
+        out_specs=(P(ENS_AXIS, ROWS_AXIS), P(ENS_AXIS, ROWS_AXIS)),
+    )
+    def _f(pos_l, vel_l, mass_l):
+        # pos_l: [b_l, n_l, 3] — this device's row block of b_l realizations
+        pos_c = jax.lax.all_gather(pos_l, ROWS_AXIS, axis=1, tiled=True)
+        vel_c = jax.lax.all_gather(vel_l, ROWS_AXIS, axis=1, tiled=True)
+        mass_c = jax.lax.all_gather(mass_l, ROWS_AXIS, axis=1, tiled=True)
+        n_l = pos_l.shape[1]
+        rows = (jax.lax.axis_index(ROWS_AXIS) * n_l
+                + jnp.arange(n_l)).astype(jnp.int32)
+
+        def one(pr, vr, pc, vc, mc):
+            a, _, p = _row_block_acc_jerk_pot(
+                pr, vr, pc, vc, mc, eps2, G_INTERNAL, rows,
+                pot_eps2=pot_eps2, with_jerk=False, with_pot=with_pot,
+            )
+            return a, p
+
+        return jax.vmap(one)(pos_l, vel_l, pos_c, vel_c, mass_c)
+
+    return _f(pos, vel, mass)
+
+
+def ensemble_step_2d(batch_state, batch_aux, cfg: SimConfig, mesh: Mesh):
+    """One physics step on a 2-D (ens x rows) sharded ensemble: the
+    leapfrog advance's force substeps run through the row-sharded
+    per-realization sweep; the (pairwise-light) deposition/decay physics
+    stays vmapped per realization under GSPMD. Leapfrog only — the
+    ensemble boundary resolves "auto" to exactly that (init_ensemble)."""
+    from ..ops.integrators import leapfrog_advance
+    from ..sim.step import physics_after_advance
+    from ..units import G_INTERNAL
+
+    integ = _resolve_ens_integ(cfg)
+    if integ != "leapfrog":
+        raise ValueError(
+            f"ensemble_step_2d supports the ensemble-default leapfrog only "
+            f"(got integrator={integ!r}); run with integrator='auto' or "
+            "'leapfrog'"
+        )
+    c = batch_state.cluster
+    dtype = c.pos.dtype
+    dt = jnp.asarray(cfg.dt, dtype)
+    eps2 = jnp.asarray(cfg.eps2, dtype)
+
+    # ONE fused sweep: step-start forces (softened) + the raw potential for
+    # the per-realization virial radius (sim/step.py convention)
+    a0, pot = ensemble2d_acc_pot(c.pos, c.vel, c.mass, mesh, cfg.eps2,
+                                 pot_eps2=1e-30)
+    u = 0.5 * jnp.sum(c.mass * pot, axis=1)                         # [B]
+    mtot = jnp.sum(c.mass, axis=1)                                  # [B]
+    r_vir = -G_INTERNAL * mtot * mtot / (2.0 * u)
+
+    def acc_fn(p):
+        a, _ = ensemble2d_acc_pot(p, jnp.zeros_like(p), c.mass, mesh,
+                                  cfg.eps2, with_pot=False)
+        return a
+
+    pos_new, vel_new = leapfrog_advance(
+        c.pos, c.vel, c.mass, dt, n_sub=cfg.leapfrog_n_sub or 16,
+        eps2=eps2, acc_fn=acc_fn, init_acc=a0,
+    )
+    return jax.vmap(
+        lambda s, a, po, p, v, rv: physics_after_advance(
+            s, a, cfg, po, p, v, rv)
+    )(batch_state, batch_aux, c.pos, pos_new, vel_new, r_vir)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "mesh"))
+def ensemble_run_steps_2d(batch_state, batch_aux, cfg: SimConfig,
+                          n_steps: int, mesh: Mesh):
+    """Scan n_steps over a 2-D (ens x rows) sharded ensemble."""
+    def body(s, _):
+        return ensemble_step_2d(s, batch_aux, cfg, mesh), None
+
+    out, _ = jax.lax.scan(body, batch_state, None, length=n_steps)
+    return out
 
 
 def ensemble_step(batch_state, batch_aux, cfg: SimConfig):

@@ -538,17 +538,45 @@ def run_ensemble(cfg: SimConfig, progress: bool = True,
             converters.append(Converter(cfg.rc, m_total_k))
         k_step = 0
         save_initial = True
-    if n_real % len(jax.devices()) == 0:
+    mesh2d = None
+    if cfg.mesh_shape and len(cfg.mesh_shape) == 2:
+        # explicit 2-D (ens x rows) mesh: realizations across the first
+        # axis, EACH realization's force sweep row-sharded across the
+        # second (parallel.ensemble.ensemble_step_2d) — for ensembles with
+        # fewer members than chips
+        from ..parallel.ensemble import (
+            ensemble_run_steps_2d, make_ensemble2d_mesh, shard_ensemble_2d,
+        )
+
+        n_ens_ax, n_rows_ax = cfg.mesh_shape
+        n_dev = n_ens_ax * n_rows_ax
+        if len(jax.devices()) < n_dev:
+            raise ValueError(
+                f"mesh_shape={cfg.mesh_shape} needs {n_dev} devices, "
+                f"have {len(jax.devices())}"
+            )
+        if n_real % n_ens_ax != 0 or cfg.n % n_rows_ax != 0:
+            raise ValueError(
+                f"mesh_shape={cfg.mesh_shape}: ensemble size {n_real} must "
+                f"divide across {n_ens_ax} and star count {cfg.n} across "
+                f"{n_rows_ax}"
+            )
+        mesh2d = make_ensemble2d_mesh(n_ens_ax, n_rows_ax)
+        batch_state, batch_aux = shard_ensemble_2d(batch_state, batch_aux,
+                                                   mesh2d)
+    elif n_real % len(jax.devices()) == 0:
         mesh = make_ensemble_mesh()
         batch_state, batch_aux = shard_ensemble(batch_state, batch_aux, mesh)
 
     # thread the block-diagonal force cache across checkpoint chunks
     # (run()'s run_steps_cached semantics): without this every
     # cadence-boundary chunk re-pays the opening sweep
-    use_ens_cache = ensemble_cacheable(batch_state, cfg)
+    use_ens_cache = mesh2d is None and ensemble_cacheable(batch_state, cfg)
     ens_cache = [None]
 
     def advance_ens(bs, n):
+        if mesh2d is not None:
+            return ensemble_run_steps_2d(bs, batch_aux, cfg, n, mesh2d)
         if use_ens_cache:
             if ens_cache[0] is None:
                 ens_cache[0] = ensemble_fresh_cache(bs, cfg)

@@ -569,3 +569,87 @@ def test_ensemble_cache_threads_across_chunks(monkeypatch):
                                   np.asarray(s2.cluster.pos))
     np.testing.assert_array_equal(np.asarray(s1.cluster.slr),
                                   np.asarray(s2.cluster.slr))
+
+
+# ---------------------------------------------------------------------------
+# 2-D (ensemble x rows) mesh: the composition of the two production axes
+# (SURVEY.md §2c items 1+4) for ensembles with fewer members than chips
+# ---------------------------------------------------------------------------
+def test_ensemble_2d_matches_unsharded():
+    """A 2x4 (ens x rows) mesh run equals the unsharded vmapped ensemble:
+    each realization's row-sharded sweep (all_gather over ROWS_AXIS only)
+    reproduces the dense per-realization forces, and realizations never
+    mix across the ens axis."""
+    from al26_tpu.parallel.ensemble import (
+        ensemble_run_steps, ensemble_run_steps_2d, make_ensemble2d_mesh,
+        shard_ensemble_2d,
+    )
+
+    cfg = SimConfig(n=64, rc=1.0, final_time=10.0, seed=5)
+    bs, ba, cfgs = init_ensemble(cfg, 4)
+    cfg = cfgs[0]
+    mesh = make_ensemble2d_mesh(2, 4)
+    assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {
+        "ens": 2, "rows": 4}
+    bs2, ba2 = shard_ensemble_2d(bs, ba, mesh)
+    out2 = ensemble_run_steps_2d(bs2, ba2, cfg, 5, mesh)
+    ref = ensemble_run_steps(bs, ba, cfg, 5, flat=False)
+    np.testing.assert_allclose(np.asarray(out2.cluster.pos),
+                               np.asarray(ref.cluster.pos),
+                               rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(out2.cluster.slr),
+                               np.asarray(ref.cluster.slr),
+                               rtol=1e-10, atol=1e-30)
+
+
+def test_ensemble_2d_rejects_non_leapfrog():
+    from al26_tpu.parallel.ensemble import (
+        ensemble_step_2d, make_ensemble2d_mesh, shard_ensemble_2d,
+    )
+
+    cfg = SimConfig(n=32, rc=1.0, final_time=10.0, seed=6,
+                    integrator="hermite4",
+                    no_massive_star_requirement=True)
+    bs, ba, cfgs = init_ensemble(cfg, 2)
+    mesh = make_ensemble2d_mesh(2, 4)
+    bs, ba = shard_ensemble_2d(bs, ba, mesh)
+    with pytest.raises(ValueError, match="leapfrog"):
+        ensemble_step_2d(bs, ba, cfgs[0], mesh)
+
+
+def test_driver_ensemble_2d_matches_1d(tmp_path):
+    """run_ensemble with mesh_shape=(2, 4) (ens x rows) writes the same
+    grid-folder checkpoints and reaches the same final state as the
+    default ensemble-sharded run (leapfrog physics is identical; only the
+    force summation layout differs)."""
+    import os
+
+    from al26_tpu.sim.driver import run_ensemble
+
+    cfg = SimConfig(n=24, rc=0.5, final_time=0.5, seed=88, ensemble=2,
+                    n_plot=2, steps_per_plot=5,
+                    no_massive_star_requirement=True)
+    ref, sim_dirs, _ = run_ensemble(cfg, progress=False,
+                                    root=str(tmp_path / "a"))
+    out, sim_dirs2, _ = run_ensemble(cfg.replace(mesh_shape=(2, 4)),
+                                     progress=False,
+                                     root=str(tmp_path / "b"))
+    assert len(sim_dirs2) == 2
+    assert os.path.exists(os.path.join(sim_dirs2[0],
+                                       "pt-0-cluster-yields.csv"))
+    np.testing.assert_allclose(np.asarray(out.cluster.pos),
+                               np.asarray(ref.cluster.pos),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out.cluster.slr),
+                               np.asarray(ref.cluster.slr),
+                               rtol=1e-8, atol=1e-30)
+
+
+def test_driver_ensemble_2d_shape_errors(tmp_path):
+    from al26_tpu.sim.driver import run_ensemble
+
+    cfg = SimConfig(n=24, rc=0.5, final_time=0.5, seed=88, ensemble=3,
+                    n_plot=1, steps_per_plot=5, mesh_shape=(2, 4),
+                    no_massive_star_requirement=True)
+    with pytest.raises(ValueError, match="divide"):
+        run_ensemble(cfg, progress=False, root=str(tmp_path))
