@@ -154,6 +154,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Apply Maxwellian natal kicks to SN remnants (the "
                         "reference carries this code commented out, "
                         "al26_nbody.py:846-865; off = reference parity)")
+    p.add_argument("--sn_parity_mode", action="store_true",
+                   help="Gate wind/SN sources on CURRENT mass like the "
+                        "reference's step-start high-mass list "
+                        "(al26_nbody.py:767,945-948) instead of the "
+                        "default initial-mass validity (docs/PARITY.md)")
     p.add_argument("--kick_sigma", dest="kick_sigma_kms", type=float,
                    default=265.0,
                    help="Natal-kick dispersion per component, km/s "

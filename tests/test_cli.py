@@ -82,6 +82,11 @@ def test_cli_parallel_knobs_parse():
     args = build_parser().parse_args(["-n", "64", "-rc", "1.0",
                                       "--mesh_shape", "8"])
     assert config_from_args(args).mesh_shape == (8,)
+    args = build_parser().parse_args(["-n", "64", "-rc", "1.0",
+                                      "--sn_parity_mode"])
+    assert config_from_args(args).sn_parity_mode is True
+    args = build_parser().parse_args(["-n", "64", "-rc", "1.0"])
+    assert config_from_args(args).sn_parity_mode is False
 
 
 @pytest.mark.slow  # mesh variant of test_cli_end_to_end; mesh driver
