@@ -539,6 +539,15 @@ def run_ensemble(cfg: SimConfig, progress: bool = True,
         k_step = 0
         save_initial = True
     mesh2d = None
+    if cfg.mesh_shape and len(cfg.mesh_shape) != 2:
+        # an explicit mesh request must not be silently ignored: ensembles
+        # take the 2-D (ens x rows) form only
+        raise ValueError(
+            f"mesh_shape={cfg.mesh_shape} with --ensemble: use a 2-tuple "
+            "'E,R' (realizations across E chips, each realization's force "
+            "sweep row-sharded across R), or unset it for pure "
+            "ensemble sharding across all devices"
+        )
     if cfg.mesh_shape and len(cfg.mesh_shape) == 2:
         # explicit 2-D (ens x rows) mesh: realizations across the first
         # axis, EACH realization's force sweep row-sharded across the

@@ -653,3 +653,8 @@ def test_driver_ensemble_2d_shape_errors(tmp_path):
                     no_massive_star_requirement=True)
     with pytest.raises(ValueError, match="divide"):
         run_ensemble(cfg, progress=False, root=str(tmp_path))
+    # an explicit 1-D mesh_shape with an ensemble must not be silently
+    # ignored
+    with pytest.raises(ValueError, match="2-tuple"):
+        run_ensemble(cfg.replace(ensemble=2, mesh_shape=(8,)),
+                     progress=False, root=str(tmp_path))
