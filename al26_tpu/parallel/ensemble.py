@@ -209,12 +209,20 @@ def ensemble2d_acc_pot(pos, vel, mass, mesh: Mesh, eps2,
     return _f(pos, vel, mass)
 
 
-def ensemble_step_2d(batch_state, batch_aux, cfg: SimConfig, mesh: Mesh):
+def ensemble_step_2d(batch_state, batch_aux, cfg: SimConfig, mesh: Mesh,
+                     cache=None, want_cache: bool = False):
     """One physics step on a 2-D (ens x rows) sharded ensemble: the
     leapfrog advance's force substeps run through the row-sharded
     per-realization sweep; the (pairwise-light) deposition/decay physics
     stays vmapped per realization under GSPMD. Leapfrog only — the
-    ensemble boundary resolves "auto" to exactly that (init_ensemble)."""
+    ensemble boundary resolves "auto" to exactly that (init_ensemble).
+
+    `cache=(a0 [B,N,3], pot [B,N])` replaces the opening fused sweep with
+    the previous step's closing evaluation (sim/step.py force-cache
+    semantics — exact for leapfrog: the closing eval is at the final
+    positions, and the mass-delta correction accounts for this step's
+    stellar mass loss). With `want_cache=True` the step returns
+    (state, new_cache)."""
     from ..ops.integrators import leapfrog_advance
     from ..sim.step import physics_after_advance
     from ..units import G_INTERNAL
@@ -227,14 +235,19 @@ def ensemble_step_2d(batch_state, batch_aux, cfg: SimConfig, mesh: Mesh):
             "'leapfrog'"
         )
     c = batch_state.cluster
+    b, n = c.mass.shape
     dtype = c.pos.dtype
     dt = jnp.asarray(cfg.dt, dtype)
     eps2 = jnp.asarray(cfg.eps2, dtype)
 
     # ONE fused sweep: step-start forces (softened) + the raw potential for
-    # the per-realization virial radius (sim/step.py convention)
-    a0, pot = ensemble2d_acc_pot(c.pos, c.vel, c.mass, mesh, cfg.eps2,
-                                 pot_eps2=1e-30)
+    # the per-realization virial radius (sim/step.py convention) — or, with
+    # a cache, the previous step's closing evaluation
+    if cache is not None:
+        a0, pot = cache
+    else:
+        a0, pot = ensemble2d_acc_pot(c.pos, c.vel, c.mass, mesh, cfg.eps2,
+                                     pot_eps2=1e-30)
     u = 0.5 * jnp.sum(c.mass * pot, axis=1)                         # [B]
     mtot = jnp.sum(c.mass, axis=1)                                  # [B]
     r_vir = -G_INTERNAL * mtot * mtot / (2.0 * u)
@@ -244,14 +257,69 @@ def ensemble_step_2d(batch_state, batch_aux, cfg: SimConfig, mesh: Mesh):
                                   cfg.eps2, with_pot=False)
         return a
 
-    pos_new, vel_new = leapfrog_advance(
+    final_eval_fn = None
+    if want_cache:
+        def final_eval_fn(p):
+            return ensemble2d_acc_pot(p, jnp.zeros_like(p), c.mass, mesh,
+                                      cfg.eps2, pot_eps2=1e-30)
+
+    out_lf = leapfrog_advance(
         c.pos, c.vel, c.mass, dt, n_sub=cfg.leapfrog_n_sub or 16,
         eps2=eps2, acc_fn=acc_fn, init_acc=a0,
+        final_eval_fn=final_eval_fn,
     )
-    return jax.vmap(
+    if want_cache:
+        pos_new, vel_new, (a1, _, pot1) = out_lf
+    else:
+        pos_new, vel_new = out_lf
+    out_state = jax.vmap(
         lambda s, a, po, p, v, rv: physics_after_advance(
             s, a, cfg, po, p, v, rv)
     )(batch_state, batch_aux, c.pos, pos_new, vel_new, r_vir)
+    if not want_cache:
+        return out_state
+    # mass-delta correction over the flattened mass-evolving sources (the
+    # same linearity argument and GSPMD reasoning as ensemble_step_flat:
+    # block=0 keeps the sharded rows dense)
+    from ..ops.nbody import mass_delta_correction
+
+    src_global = (batch_aux.msrc_idx
+                  + (jnp.arange(b, dtype=jnp.int32) * n)[:, None]
+                  ).reshape(-1)
+    valid = batch_aux.msrc_valid.reshape(-1)
+    mass_f = c.mass.reshape(b * n)
+    dm = (out_state.cluster.mass.reshape(b * n)[src_global]
+          - mass_f[src_global]) * valid
+    a1f, _, pot1f = mass_delta_correction(
+        a1.reshape(b * n, 3), None, pot1.reshape(b * n),
+        pos_new.reshape(b * n, 3), vel_new.reshape(b * n, 3),
+        src_global, dm, eps2, group_size=n, block=0,
+    )
+    return out_state, (a1f.reshape(b, n, 3), pot1f.reshape(b, n))
+
+
+def ensemble2d_fresh_cache(batch_state, cfg: SimConfig, mesh: Mesh):
+    """Opening fused (acc, pot) sweep to seed the 2-D path's force cache."""
+    c = batch_state.cluster
+    return ensemble2d_acc_pot(c.pos, c.vel, c.mass, mesh, cfg.eps2,
+                              pot_eps2=1e-30)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "mesh"))
+def ensemble_run_steps_2d_cached(batch_state, cache, batch_aux,
+                                 cfg: SimConfig, n_steps: int, mesh: Mesh):
+    """Scan n_steps over the 2-D ensemble carrying the force cache ACROSS
+    calls (the driver threads (state, cache) between checkpoint chunks):
+    each step costs ONE fused row-sharded sweep + the leapfrog's interior
+    substep sweeps, never a fresh opening one. Returns (state, cache)."""
+    def body(carry, _):
+        s, ch = carry
+        return ensemble_step_2d(s, batch_aux, cfg, mesh, ch,
+                                want_cache=True), None
+
+    (out, cache), _ = jax.lax.scan(body, (batch_state, cache), None,
+                                   length=n_steps)
+    return out, cache
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_steps", "mesh"))

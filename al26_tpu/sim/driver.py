@@ -554,7 +554,8 @@ def run_ensemble(cfg: SimConfig, progress: bool = True,
         # second (parallel.ensemble.ensemble_step_2d) — for ensembles with
         # fewer members than chips
         from ..parallel.ensemble import (
-            ensemble_run_steps_2d, make_ensemble2d_mesh, shard_ensemble_2d,
+            ensemble_run_steps_2d, ensemble_run_steps_2d_cached,
+            ensemble2d_fresh_cache, make_ensemble2d_mesh, shard_ensemble_2d,
         )
 
         n_ens_ax, n_rows_ax = cfg.mesh_shape
@@ -581,10 +582,21 @@ def run_ensemble(cfg: SimConfig, progress: bool = True,
     # (run()'s run_steps_cached semantics): without this every
     # cadence-boundary chunk re-pays the opening sweep
     use_ens_cache = mesh2d is None and ensemble_cacheable(batch_state, cfg)
+    # the 2-D path caches too (leapfrog-only, so the closing eval is exact
+    # at the final positions; kicks leave the position/mass-only acc+pot
+    # cache exact)
+    use_2d_cache = (mesh2d is not None
+                    and getattr(cfg, "force_cache", True))
     ens_cache = [None]
 
     def advance_ens(bs, n):
         if mesh2d is not None:
+            if use_2d_cache:
+                if ens_cache[0] is None:
+                    ens_cache[0] = ensemble2d_fresh_cache(bs, cfg, mesh2d)
+                bs, ens_cache[0] = ensemble_run_steps_2d_cached(
+                    bs, ens_cache[0], batch_aux, cfg, n, mesh2d)
+                return bs
             return ensemble_run_steps_2d(bs, batch_aux, cfg, n, mesh2d)
         if use_ens_cache:
             if ens_cache[0] is None:

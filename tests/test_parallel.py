@@ -658,3 +658,65 @@ def test_driver_ensemble_2d_shape_errors(tmp_path):
     with pytest.raises(ValueError, match="2-tuple"):
         run_ensemble(cfg.replace(ensemble=2, mesh_shape=(8,)),
                      progress=False, root=str(tmp_path))
+
+
+def test_ensemble_2d_cached_matches_uncached():
+    """The 2-D path's force cache is EXACT for leapfrog (closing eval at
+    the final positions + mass-delta correction), so cached and uncached
+    runs agree to summation-order tolerance; threading the cache across
+    two chunks equals one chunk of the total length (the driver's
+    checkpoint-boundary threading)."""
+    from al26_tpu.parallel.ensemble import (
+        ensemble2d_fresh_cache, ensemble_run_steps_2d,
+        ensemble_run_steps_2d_cached, make_ensemble2d_mesh,
+        shard_ensemble_2d,
+    )
+
+    cfg = SimConfig(n=64, rc=1.0, final_time=10.0, seed=5)
+    bs, ba, cfgs = init_ensemble(cfg, 4)
+    cfg = cfgs[0]
+    mesh = make_ensemble2d_mesh(2, 4)
+    bs, ba = shard_ensemble_2d(bs, ba, mesh)
+    ref = ensemble_run_steps_2d(bs, ba, cfg, 4, mesh)
+    cache = ensemble2d_fresh_cache(bs, cfg, mesh)
+    s1, cache1 = ensemble_run_steps_2d_cached(bs, cache, ba, cfg, 2, mesh)
+    s1, _ = ensemble_run_steps_2d_cached(s1, cache1, ba, cfg, 2, mesh)
+    np.testing.assert_allclose(np.asarray(s1.cluster.pos),
+                               np.asarray(ref.cluster.pos),
+                               rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(s1.cluster.slr),
+                               np.asarray(ref.cluster.slr),
+                               rtol=1e-10, atol=1e-30)
+    cache0 = ensemble2d_fresh_cache(bs, cfg, mesh)
+    s2, _ = ensemble_run_steps_2d_cached(bs, cache0, ba, cfg, 4, mesh)
+    np.testing.assert_array_equal(np.asarray(s1.cluster.pos),
+                                  np.asarray(s2.cluster.pos))
+    np.testing.assert_array_equal(np.asarray(s1.cluster.slr),
+                                  np.asarray(s2.cluster.slr))
+
+
+def test_driver_ensemble_2d_resume(tmp_path):
+    """2-D-mesh ensemble resume: each realization continues from its own
+    checkpoint to the uninterrupted final state. Tolerance note: the
+    cached 2-D path re-seeds a FRESH opening sweep on resume while the
+    uninterrupted run carries the mass-delta-corrected closing eval —
+    mathematically identical (force linearity in source masses) but a
+    different summation order, so agreement is to ~ulp, not bitwise."""
+    import os
+
+    from al26_tpu.sim.driver import run_ensemble
+
+    cfg = SimConfig(n=24, rc=0.5, final_time=0.5, seed=77, ensemble=2,
+                    n_plot=2, steps_per_plot=5, mesh_shape=(2, 4))
+    full, sim_dirs, _ = run_ensemble(cfg, progress=False,
+                                     root=str(tmp_path))
+    cfg_r = cfg.replace(reload=os.path.join(str(tmp_path), "pt-0.5-24"),
+                        n_checkpoint=1)
+    resumed, _, _ = run_ensemble(cfg_r, progress=False)
+    assert float(resumed.time[0]) == cfg.final_time
+    np.testing.assert_allclose(np.asarray(resumed.cluster.pos),
+                               np.asarray(full.cluster.pos),
+                               rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(np.asarray(resumed.cluster.slr),
+                               np.asarray(full.cluster.slr),
+                               rtol=1e-10, atol=1e-30)
