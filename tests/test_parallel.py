@@ -575,6 +575,7 @@ def test_ensemble_cache_threads_across_chunks(monkeypatch):
 # 2-D (ensemble x rows) mesh: the composition of the two production axes
 # (SURVEY.md §2c items 1+4) for ensembles with fewer members than chips
 # ---------------------------------------------------------------------------
+@pytest.mark.slow  # slow sibling: driver-parity vs the 1-D run covers the 2-D step in the default set
 def test_ensemble_2d_matches_unsharded():
     """A 2x4 (ens x rows) mesh run equals the unsharded vmapped ensemble:
     each realization's row-sharded sweep (all_gather over ROWS_AXIS only)
@@ -660,6 +661,7 @@ def test_driver_ensemble_2d_shape_errors(tmp_path):
                      progress=False, root=str(tmp_path))
 
 
+@pytest.mark.slow  # slow sibling: the default driver-parity test runs the cached production path
 def test_ensemble_2d_cached_matches_uncached():
     """The 2-D path's force cache is EXACT for leapfrog (closing eval at
     the final positions + mass-delta correction), so cached and uncached
@@ -695,6 +697,7 @@ def test_ensemble_2d_cached_matches_uncached():
                                   np.asarray(s2.cluster.slr))
 
 
+@pytest.mark.slow  # slow sibling: 1-D ensemble resume + 2-D driver parity stay in the default set
 def test_driver_ensemble_2d_resume(tmp_path):
     """2-D-mesh ensemble resume: each realization continues from its own
     checkpoint to the uninterrupted final state. Tolerance note: the
