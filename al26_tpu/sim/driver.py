@@ -565,10 +565,13 @@ def run_ensemble(cfg: SimConfig, progress: bool = True,
                 f"mesh_shape={cfg.mesh_shape} needs {n_dev} devices, "
                 f"have {len(jax.devices())}"
             )
-        if n_real % n_ens_ax != 0 or cfg.n % n_rows_ax != 0:
+        # the ACTUAL per-realization star count (cfg.n + 1 with an
+        # interloper) is what the rows axis shards
+        n_stars = int(batch_state.cluster.mass.shape[1])
+        if n_real % n_ens_ax != 0 or n_stars % n_rows_ax != 0:
             raise ValueError(
                 f"mesh_shape={cfg.mesh_shape}: ensemble size {n_real} must "
-                f"divide across {n_ens_ax} and star count {cfg.n} across "
+                f"divide across {n_ens_ax} and star count {n_stars} across "
                 f"{n_rows_ax}"
             )
         mesh2d = make_ensemble2d_mesh(n_ens_ax, n_rows_ax)

@@ -723,3 +723,27 @@ def test_driver_ensemble_2d_resume(tmp_path):
     np.testing.assert_allclose(np.asarray(resumed.cluster.slr),
                                np.asarray(full.cluster.slr),
                                rtol=1e-10, atol=1e-30)
+
+
+def test_driver_ensemble_2d_interloper_star_count(tmp_path):
+    """With --interloper the per-realization star count is cfg.n + 1; the
+    2-D rows axis must shard THAT (a cfg.n-based divisibility gate would
+    wrongly reject n=31 / accept n=32 and then crash in shard_map)."""
+    from al26_tpu.sim.driver import run_ensemble
+
+    cfg = SimConfig(n=31, rc=0.5, final_time=0.5, seed=21, ensemble=2,
+                    n_plot=1, steps_per_plot=5, interloper=True,
+                    interloper_mass=5.0, interloper_velocity=20.0,
+                    interloper_radius=0.05, interloper_distance=0.2,
+                    no_massive_star_requirement=True)
+    ref, _, _ = run_ensemble(cfg, progress=False,
+                             root=str(tmp_path / "a"))
+    out, _, _ = run_ensemble(cfg.replace(mesh_shape=(2, 4)),
+                             progress=False, root=str(tmp_path / "b"))
+    assert out.cluster.pos.shape == (2, 32, 3)
+    np.testing.assert_allclose(np.asarray(out.cluster.pos),
+                               np.asarray(ref.cluster.pos),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out.cluster.agb_raw),
+                               np.asarray(ref.cluster.agb_raw),
+                               rtol=1e-8, atol=1e-30)
