@@ -158,7 +158,20 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Gate wind/SN sources on CURRENT mass like the "
                         "reference's step-start high-mass list "
                         "(al26_nbody.py:767,945-948) instead of the "
-                        "default initial-mass validity (docs/PARITY.md)")
+                        "default initial-mass validity (docs/PARITY.md). "
+                        "Unless --mass_tracks is given explicitly, this "
+                        "also selects mass_tracks=seba so the gate passes "
+                        "at collapse like the reference's SeBa runs")
+    p.add_argument("--mass_tracks", type=str, default=None,
+                   choices=("lc18", "lc18_vel150", "lc18_vel0", "seba"),
+                   help="Stellar mass-track family "
+                        "(models.stellar.evolution.TRACKS): lc18 = the "
+                        "rotating vel=300 models the yield tables come "
+                        "from (default); lc18_vel0/150 = the non-rotating "
+                        "/ 150 km/s LC18 sets; seba = tracks calibrated "
+                        "on the SeBa event dumps the reference repo ships "
+                        "(weak winds, heavy pre-SN masses — the "
+                        "reference-outcome choice, solar Z only)")
     p.add_argument("--kick_sigma", dest="kick_sigma_kms", type=float,
                    default=265.0,
                    help="Natal-kick dispersion per component, km/s "
@@ -183,6 +196,16 @@ def config_from_args(args: argparse.Namespace):
             )
     d = vars(args).copy()
     d.pop("adaptive_timestep", None)
+    if d.get("mass_tracks") is None:
+        # --sn_parity_mode without an explicit track choice selects the
+        # reference-outcome combination: under the current-mass gate only
+        # the SeBa-calibrated tracks keep 13-25 Msun progenitors above
+        # the 13 Msun threshold at collapse (models.stellar.seba_anchors)
+        d["mass_tracks"] = "seba" if d.get("sn_parity_mode") else "lc18"
+        if d.get("sn_parity_mode"):
+            print("# --sn_parity_mode: selecting mass_tracks=seba "
+                  "(reference-outcome SN gating; override with "
+                  "--mass_tracks)")
     return SimConfig.from_dict(d)
 
 

@@ -50,14 +50,23 @@ class SimConfig:
     sn_parity_mode: bool = False       # True: gate wind/SN sources on
     #   CURRENT mass >= high_mass_threshold exactly like the reference
     #   (al26_nbody.py:945-948 via get_high_mass_star_indices:1194-1216).
-    #   This is RULE parity, not outcome parity: under the round-3
-    #   published LC18 anchors every 13-25 Msun progenitor's pre-SN mass
-    #   sits below the 13 Msun gate, so the flag suppresses ALL SNe and
-    #   late winds (the reference's SeBa tracks kept some stars above the
-    #   gate longer; see ops/deposition.py:sn_injection and
+    #   Whether the gate then PASSES depends on mass_tracks: with the
+    #   default LC18 vel=300 rotating anchors every 13-25 Msun
+    #   progenitor's pre-SN mass sits below the 13 Msun gate (the flag
+    #   would suppress ALL SNe), so pair it with mass_tracks="seba" —
+    #   the reference-outcome combination, where SeBa's weak winds keep
+    #   ~every 13-25 Msun progenitor above the gate at collapse (the CLI
+    #   selects it automatically; see ops/deposition.py:sn_injection and
     #   docs/stellar_model.md). Default False: candidacy is INITIAL-mass
     #   based, so a massive star whose strong post-MS wind drops it below
     #   13 Msun still sheds wind and still explodes.
+    mass_tracks: str = "lc18"          # stellar mass-track family
+    #   (models.stellar.evolution.TRACKS): "lc18" (vel=300 rotating, the
+    #   yield tables' reduction), "lc18_vel150", "lc18_vel0"
+    #   (non-rotating), or "seba" (calibrated on the SeBa event dumps
+    #   the reference repo ships — weak winds, heavy pre-SN masses,
+    #   reference SN outcomes; solar Z only). Yield TABLES always stay
+    #   the reference's vel=300 reduction regardless (fit-data.py).
 
     # -- gravity ----------------------------------------------------------
     integrator: str = "auto"           # "auto" | "hermite4" |

@@ -9,7 +9,13 @@ al26_nbody.py:467-493, evolved to 2x the estimated lifespan, i.e. past the
 SN, so the returned loss is m0 - m_remnant).
 
 Here the same capability is a set of pure, closed-form jax functions over an
-anchor table, fully `vmap`-able and usable inside `jit`:
+anchor table, fully `vmap`-able and usable inside `jit`. Round 4: every
+function takes a static `tracks` keyword selecting the MASS-TRACK family
+(see TRACKS below / cfg.mass_tracks) — the published LC18 anchor sets at
+rotation velocities 300 (default, bit-identical to round 3) / 150 / 0
+km/s, or the "seba" family calibrated on the SeBa event dumps the
+reference repo itself ships (models.stellar.seba_anchors), which restores
+the reference's supernova OUTCOMES under cfg.sn_parity_mode:
 
   * `t_sn(m0, z)`       — time of core collapse (Myr)
   * `m_presn(m0, z)`    — pre-supernova mass (Msun)
@@ -74,7 +80,40 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import hurley2000, lc18_anchors
+from . import hurley2000, lc18_anchors, seba_anchors
+
+# --------------------------------------------------------------------------
+# Mass-track families (cfg.mass_tracks; VERDICT r3 item 1)
+# --------------------------------------------------------------------------
+# "lc18"        — Limongi & Chieffi (2018) vel=300 rotating models, the same
+#                 reduction the SLR yield tables come from (the round-3
+#                 default, bit-identical here).
+# "lc18_vel150" / "lc18_vel0" — the 150 km/s and non-rotating LC18 model
+#                 sets from the same raw tables (lc18_anchors.anchors(vel)).
+# "seba"        — SeBa tracks calibrated on the reference repository's own
+#                 committed SeBa event dumps (seba_anchors): weak winds,
+#                 pre-SN masses near the initial mass, Hurley-matched
+#                 lifetimes x 1.007-1.025. This is the reference-OUTCOME
+#                 choice: under cfg.sn_parity_mode (the reference's
+#                 current-mass >= 13 Msun gate, al26_nbody.py:945-967)
+#                 supernovae actually FIRE for ~all 13-25 Msun progenitors,
+#                 as they do in the reference — the LC18 rotating tracks
+#                 suppress them (their 13-25 Msun pre-SN masses are
+#                 5.4-9.5 Msun). Solar metallicity only (the dumps, and the
+#                 reference, run Z=0.02 exclusively).
+TRACKS = ("lc18", "lc18_vel150", "lc18_vel0", "seba")
+_LC18_VEL = {"lc18": 300, "lc18_vel150": 150, "lc18_vel0": 0}
+
+
+def check_tracks(tracks: str, z: float) -> None:
+    if tracks not in TRACKS:
+        raise ValueError(f"mass_tracks={tracks!r} not one of {TRACKS}")
+    if tracks == "seba" and z != seba_anchors.Z_SEBA:
+        raise ValueError(
+            "mass_tracks='seba' is calibrated on the reference's Z=0.02 "
+            f"SeBa dumps only (got z={z}); use an lc18 track family for "
+            "non-solar metallicity"
+        )
 
 # --------------------------------------------------------------------------
 # Anchor tables
@@ -102,22 +141,44 @@ M_NS = 1.4
 # signal is mdot == 0, al26_nbody.py:946-948). Never active on the LC18
 # grids — the Z-scaled NJ90 MS loss peaks at 0.40 of the budget (feh=0,
 # 120 Msun; tests/test_stellar_yields.py) — it only bounds off-grid
-# extrapolation.
+# extrapolation there. On the "seba" tracks it engages routinely: the
+# SeBa wind budget (0.16-13.7 Msun over 20-80 Msun, seba_anchors) is
+# comparable to the NJ90 MS integral itself, so the budget splits
+# half/half between the phases (a timing choice only; the
+# lifetime-integrated SLR release is budget-pinned either way).
 _MS_BUDGET_CAP = 0.5
 
 
 @lru_cache(maxsize=None)
-def _sn_anchor_grid(z: float):
+def _sn_anchor_grid(z: float, tracks: str = "lc18"):
     """(log m, log m_presn, log m_rem) anchors for the m0 >= SN_MIN_MASS
-    branch: the 8 Msun zero-wind/NS boundary + the LC18 mass-conservation
-    anchors (lc18_anchors.anchors) on the [Fe/H] set matching z."""
+    branch of the selected mass-track family (see TRACKS): the 8 Msun
+    zero-wind/NS boundary + either the LC18 mass-conservation anchors
+    (lc18_anchors.anchors, on the [Fe/H] set matching z and the family's
+    rotation velocity) or the SeBa event-dump anchors
+    (seba_anchors.track_grids)."""
+    check_tracks(tracks, z)
+    if tracks == "seba":
+        g = seba_anchors.track_grids()
+        return g["log_m"], g["log_presn"], g["log_rem"]
     from ..yields import feh_for_z
 
-    m_presn, m_rem = lc18_anchors.anchors(feh_for_z(z))
+    m_presn, m_rem = lc18_anchors.anchors(feh_for_z(z), _LC18_VEL[tracks])
     m = np.concatenate([[SN_MIN_MASS], lc18_anchors.M_GRID])
     presn = np.concatenate([[SN_MIN_MASS], m_presn])
     rem = np.concatenate([[M_NS], m_rem])
     return np.log(m), np.log(presn), np.log(rem)
+
+
+def _seba_lifetime_factor(m0: jax.Array) -> jax.Array:
+    """SeBa/Hurley core-collapse time ratio c(m0): log-log interpolation
+    of the event-dump calibration grid (seba_anchors.track_grids),
+    clamped outside 20-80 Msun (the sub-grid neutron-star event matches
+    Hurley to 0.1%, so the clamped 1.0067 edge value errs < 0.7%)."""
+    g = seba_anchors.track_grids()
+    x = jnp.log(jnp.clip(m0, np.exp(g["log_mc"][0]), np.exp(g["log_mc"][-1])))
+    return jnp.exp(jnp.interp(x, jnp.asarray(g["log_mc"]),
+                              jnp.asarray(g["log_c"])))
 
 
 @lru_cache(maxsize=None)
@@ -141,24 +202,30 @@ def _loglog_interp(m0: jax.Array, ytab: np.ndarray) -> jax.Array:
     return jnp.exp(jnp.interp(x, jnp.asarray(_LOG_M), jnp.log(jnp.asarray(ytab))))
 
 
-def t_end(m0: jax.Array, z: float = 0.02) -> jax.Array:
+def t_end(m0: jax.Array, z: float = 0.02, tracks: str = "lc18") -> jax.Array:
     """End of nuclear burning (Myr); equals the SN time for m0 >= 8 Msun.
 
     Massive stars use the published Hurley+2000 closed-form lifetime fits
-    (hurley2000.t_sn, full zeta-dependence); below the SN cut the anchor
-    table times the AGB phases, rescaled off-solar by the Hurley
-    t_bgb(z)/t_bgb(0.02) ratio (z is static, so the solar path is
-    bit-identical to round 1)."""
+    (hurley2000.t_sn, full zeta-dependence), rescaled by the SeBa/Hurley
+    calibration ratio for tracks="seba" (a 0.7-2.5% stretch,
+    _seba_lifetime_factor); below the SN cut the anchor table times the
+    AGB phases, rescaled off-solar by the Hurley t_bgb(z)/t_bgb(0.02)
+    ratio (z is static, so the solar lc18 path is bit-identical to
+    round 1)."""
+    check_tracks(tracks, z)
     lo = _loglog_interp(m0, _T_END)
     if z != hurley2000.Z_SOLAR:
         lo = lo * (hurley2000.t_bgb(m0, z)
                    / hurley2000.t_bgb(m0, hurley2000.Z_SOLAR))
-    return jnp.where(m0 >= SN_MIN_MASS, hurley2000.t_sn(m0, z), lo)
+    hi = hurley2000.t_sn(m0, z)
+    if tracks == "seba":
+        hi = hi * _seba_lifetime_factor(m0)
+    return jnp.where(m0 >= SN_MIN_MASS, hi, lo)
 
 
-def t_sn(m0: jax.Array, z: float = 0.02) -> jax.Array:
+def t_sn(m0: jax.Array, z: float = 0.02, tracks: str = "lc18") -> jax.Array:
     """Core-collapse time (Myr); +inf for stars below SN_MIN_MASS."""
-    return jnp.where(m0 >= SN_MIN_MASS, t_end(m0, z), jnp.inf)
+    return jnp.where(m0 >= SN_MIN_MASS, t_end(m0, z, tracks), jnp.inf)
 
 
 def _sn_branch_interp(m0: jax.Array, log_m: np.ndarray,
@@ -167,38 +234,46 @@ def _sn_branch_interp(m0: jax.Array, log_m: np.ndarray,
     return jnp.exp(jnp.interp(x, jnp.asarray(log_m), jnp.asarray(log_y)))
 
 
-def m_presn(m0: jax.Array, z: float = 0.02) -> jax.Array:
-    """Pre-supernova mass (Msun): LC18 mass-conservation anchors for the
-    SN branch (lc18_anchors docstring), the Kalirai+2008 IFMR (post-AGB)
-    below the SN cut."""
-    lm, lp, _ = _sn_anchor_grid(z)
+def m_presn(m0: jax.Array, z: float = 0.02,
+            tracks: str = "lc18") -> jax.Array:
+    """Pre-supernova mass (Msun): the selected track family's anchors for
+    the SN branch (lc18_anchors / seba_anchors docstrings), the
+    Kalirai+2008 IFMR (post-AGB) below the SN cut."""
+    lm, lp, _ = _sn_anchor_grid(z, tracks)
     sn = jnp.minimum(_sn_branch_interp(m0, lm, lp), m0)
     return jnp.where(m0 >= SN_MIN_MASS, sn, jnp.minimum(m_wd(m0), m0))
 
 
-def m_remnant(m0: jax.Array, z: float = 0.02) -> jax.Array:
-    """Remnant mass (Msun): NS/BH from the LC18 anchors on the SN branch,
-    the Kalirai+2008 white dwarf below the cut."""
-    lm, _, lr = _sn_anchor_grid(z)
+def m_remnant(m0: jax.Array, z: float = 0.02,
+              tracks: str = "lc18") -> jax.Array:
+    """Remnant mass (Msun): NS/BH from the selected track family's
+    anchors on the SN branch, the Kalirai+2008 white dwarf below the
+    cut."""
+    lm, _, lr = _sn_anchor_grid(z, tracks)
     sn = jnp.minimum(_sn_branch_interp(m0, lm, lr), m0)
     return jnp.where(m0 >= SN_MIN_MASS, sn, jnp.minimum(m_wd(m0), m0))
 
 
-def total_wind_loss(m0: jax.Array, z: float = 0.02) -> jax.Array:
+def total_wind_loss(m0: jax.Array, z: float = 0.02,
+                    tracks: str = "lc18") -> jax.Array:
     """m0 - m_remnant: the reference's calc_total_mass_loss evolves SeBa
     past the SN so the 'wind loss' it returns includes the SN ejecta
     (al26_nbody.py:467-493). We preserve that normalisation."""
-    return m0 - m_remnant(m0, z)
+    return m0 - m_remnant(m0, z, tracks)
 
 
-def _phase_rates(m0, z: float = 0.02):
+def _phase_rates(m0, z: float = 0.02, tracks: str = "lc18"):
     """(t_ms, mdot_ms, mdot_post, t_cc) for the two-phase wind model:
     MS wind at the NJ90-at-ZAMS rate (hurley2000.ms_wind_mdot) for
     t < t_ms = t_cc / 1.11 (the Hurley MS fraction, by construction of
     hurley2000.t_sn), then the remainder of the m0 - m_presn budget as
-    the post-MS (RSG/WR) wind."""
-    t_cc = t_end(m0, z)
-    dm_wind = jnp.maximum(m0 - m_presn(m0, z), 0.0)
+    the post-MS (RSG/WR) wind. For tracks="seba" the budget is the small
+    SeBa one (0.16-13.7 Msun over 20-80 Msun), so the MS share is
+    routinely the _MS_BUDGET_CAP half rather than the NJ90 integral —
+    SeBa's own lifetime loss at e.g. 20 Msun (~0.16 Msun) is comparable
+    to its NJ90 MS integral, i.e. its post-MS phases shed little."""
+    t_cc = t_end(m0, z, tracks)
+    dm_wind = jnp.maximum(m0 - m_presn(m0, z, tracks), 0.0)
     t_ms = t_cc / (1.0 + hurley2000.F_HE_BURN)
     log_mg, log_rate = _ms_mdot_table(z)
     mdot_zams = _sn_branch_interp(m0, log_mg, log_rate)
@@ -208,14 +283,15 @@ def _phase_rates(m0, z: float = 0.02):
     return t_ms, mdot_ms, mdot_post, t_cc
 
 
-def wind_mdot(m0: jax.Array, t: jax.Array, z: float = 0.02) -> jax.Array:
+def wind_mdot(m0: jax.Array, t: jax.Array, z: float = 0.02,
+              tracks: str = "lc18") -> jax.Array:
     """Wind mass-loss rate (Msun/Myr, >= 0) at age t.
 
     EXACTLY zero for t >= t_sn: the reference detects supernovae by
     `wind_mass_loss_rate == 0` (al26_nbody.py:946-948) and we keep that
     signal. Low-mass stars (m0 < 8) return ~0 within cluster lifetimes
     (their MS wind is negligible at the Myr scales simulated here)."""
-    t_ms, mdot_ms, mdot_post, t_cc = _phase_rates(m0, z)
+    t_ms, mdot_ms, mdot_post, t_cc = _phase_rates(m0, z, tracks)
     sn_mass = m0 >= SN_MIN_MASS
     alive_rate = jnp.where(t < t_ms, mdot_ms, mdot_post)
     rate = jnp.where(t < t_cc, alive_rate, 0.0)
@@ -223,10 +299,11 @@ def wind_mdot(m0: jax.Array, t: jax.Array, z: float = 0.02) -> jax.Array:
     return jnp.where(sn_mass, rate, 0.0)
 
 
-def mass_at(m0: jax.Array, t: jax.Array, z: float = 0.02) -> jax.Array:
+def mass_at(m0: jax.Array, t: jax.Array, z: float = 0.02,
+            tracks: str = "lc18") -> jax.Array:
     """Current mass at age t: wind losses accumulate piecewise-linearly,
     then the star drops to its remnant mass at t_sn (for m0 >= 8)."""
-    t_ms, mdot_ms, mdot_post, t_cc = _phase_rates(m0, z)
+    t_ms, mdot_ms, mdot_post, t_cc = _phase_rates(m0, z, tracks)
     lost = jnp.where(
         t < t_ms,
         mdot_ms * t,
@@ -234,7 +311,7 @@ def mass_at(m0: jax.Array, t: jax.Array, z: float = 0.02) -> jax.Array:
     )
     m_alive = m0 - lost
     sn_mass = m0 >= SN_MIN_MASS
-    m_dead = m_remnant(m0, z)
+    m_dead = m_remnant(m0, z, tracks)
     out = jnp.where((t >= t_cc) & sn_mass, m_dead, m_alive)
     return jnp.where(sn_mass, out, m0)
 
@@ -303,11 +380,13 @@ class PhaseTable(NamedTuple):
     is_sn: jax.Array      # [N] bool: m0 >= SN_MIN_MASS
 
 
-def phase_table(m0: jax.Array, z: float = 0.02) -> PhaseTable:
-    """Precompute the (m0, z)-only inputs of `evolve` (see PhaseTable)."""
-    t_ms, mdot_ms, mdot_post, t_cc = _phase_rates(m0, z)
+def phase_table(m0: jax.Array, z: float = 0.02,
+                tracks: str = "lc18") -> PhaseTable:
+    """Precompute the (m0, z, tracks)-only inputs of `evolve`
+    (see PhaseTable)."""
+    t_ms, mdot_ms, mdot_post, t_cc = _phase_rates(m0, z, tracks)
     return PhaseTable(t_ms, mdot_ms, mdot_post, t_cc,
-                      m_remnant(m0, z), m0 >= SN_MIN_MASS)
+                      m_remnant(m0, z, tracks), m0 >= SN_MIN_MASS)
 
 
 def evolve_from_table(tbl: PhaseTable, m0: jax.Array, t: jax.Array):
@@ -328,12 +407,14 @@ def evolve_from_table(tbl: PhaseTable, m0: jax.Array, t: jax.Array):
     return mass, mdot
 
 
-def evolve(m0: jax.Array, t: jax.Array, z: float = 0.02):
+def evolve(m0: jax.Array, t: jax.Array, z: float = 0.02,
+           tracks: str = "lc18"):
     """One-call stellar-evolution step: (mass, wind_mdot) at age t.
     This is the per-step replacement for `stellar.evolve_model(t)` +
     channel copies (al26_nbody.py:841, 871-876); z is the SeBa
-    `parameters.metallicity` analogue (al26_nbody.py:483), static because
-    it comes from the frozen SimConfig. Equals
-    evolve_from_table(phase_table(m0, z), m0, t) by construction
+    `parameters.metallicity` analogue (al26_nbody.py:483) and tracks the
+    mass-track family (TRACKS), both static because they come from the
+    frozen SimConfig. Equals
+    evolve_from_table(phase_table(m0, z, tracks), m0, t) by construction
     (tests/test_stellar_yields.py); the step uses the table form."""
-    return mass_at(m0, t, z), wind_mdot(m0, t, z)
+    return mass_at(m0, t, z, tracks), wind_mdot(m0, t, z, tracks)

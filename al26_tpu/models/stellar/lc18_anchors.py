@@ -35,10 +35,15 @@ integral excludes while the normalisation's denominator includes it —
 the same construction as the reference's SeBa-based one; see
 models.stellar.evolution).
 
-The rotation velocity is fixed at 300 km/s, matching the reference's
-reduction (fit-data.py selects vel==300); the [Fe/H] grid {0,-1,-2,-3}
-follows cfg.metallicity through models.yields.feh_for_z like the yield
-tables do.
+The rotation velocity defaults to 300 km/s, matching the reference's
+yield reduction (fit-data.py selects vel==300); the raw tables also
+carry the vel=0 (non-rotating) and vel=150 rows, selectable through
+cfg.mass_tracks ("lc18_vel0"/"lc18_vel150") because the rotating
+models' strong winds leave every 13-25 Msun exploder below the 13 Msun
+current-mass SN gate (sn_parity_mode; VERDICT r3 item 1) while e.g. the
+non-rotating 15 Msun model ends at 13.26 Msun. The [Fe/H] grid
+{0,-1,-2,-3} follows cfg.metallicity through models.yields.feh_for_z
+like the yield tables do.
 """
 from __future__ import annotations
 
@@ -53,6 +58,7 @@ M_GRID = np.array([13.0, 15.0, 20.0, 25.0, 30.0, 40.0, 60.0, 80.0, 120.0])
 # masses covered by the wind-only table 9 (models that also explode)
 M_GRID_WIND = M_GRID[:4]
 VEL = 300  # km/s, the reference's fixed selection (fit-data.py)
+VEL_GRID = (0, 150, 300)  # rotation velocities tabulated in the raw files
 FEH_GRID = (0, -1, -2, -3)
 
 _RAW_DIR = os.path.join(
@@ -83,21 +89,29 @@ def _yield_sums(path: str, n_mass: int) -> dict:
 
 
 @lru_cache(maxsize=None)
-def anchors(feh: int = 0) -> tuple[np.ndarray, np.ndarray]:
-    """(m_presn, m_remnant) on M_GRID for one [Fe/H] set, vel = 300 km/s.
+def anchors(feh: int = 0, vel: int = VEL) -> tuple[np.ndarray, np.ndarray]:
+    """(m_presn, m_remnant) on M_GRID for one ([Fe/H], rotation-velocity)
+    set; vel defaults to the reference's fixed 300 km/s selection
+    (fit-data.py), vel=0 gives the non-rotating tracks
+    (cfg.mass_tracks = "lc18_vel0" — far heavier pre-SN masses in the
+    13-15 Msun range; VERDICT r3 item 1).
 
     m_presn for the >= 30 Msun direct-collapse models equals m_remnant
     (see module docstring)."""
     if feh not in FEH_GRID:
         raise ValueError(f"[Fe/H]={feh} not in the LC18 grid {FEH_GRID}")
+    if vel not in VEL_GRID:
+        raise ValueError(f"vel={vel} not in the LC18 grid {VEL_GRID}")
     tot = _yield_sums(os.path.join(_RAW_DIR, "limongi-table-8.txt"),
-                      len(M_GRID))[(VEL, feh)]
+                      len(M_GRID))[(vel, feh)]
     wind = _yield_sums(os.path.join(_RAW_DIR, "limongi-table-9.txt"),
-                       len(M_GRID_WIND))[(VEL, feh)]
+                       len(M_GRID_WIND))[(vel, feh)]
     m_rem = M_GRID - tot
     m_presn = np.concatenate([M_GRID_WIND - wind, m_rem[len(M_GRID_WIND):]])
     # mass conservation sanity: 0 < m_rem <= m_presn <= m_ini
     if not (np.all(m_rem > 0) and np.all(m_presn >= m_rem - 1e-9)
             and np.all(m_presn <= M_GRID)):
-        raise ValueError(f"LC18 anchor derivation inconsistent for feh={feh}")
+        raise ValueError(
+            f"LC18 anchor derivation inconsistent for feh={feh}, vel={vel}"
+        )
     return m_presn, m_rem

@@ -116,16 +116,18 @@ def sn_injection(
     and which has not been kicked. The reference gates on CURRENT mass
     (al26_nbody.py:945-948 via get_high_mass_star_indices), which silently
     drops the SN of any star whose winds take it below the threshold
-    before collapse — with the round-3 published LC18 vel=300 mass
+    before collapse — with the default LC18 vel=300 rotating mass
     anchors that is the ENTIRE 13-25 Msun SN-progenitor range (pre-SN
     masses 5.4-9.5 Msun, models/stellar/lc18_anchors). Candidacy here is
     initial-mass-based (hm_idx is built from m0 at init), fixing that
     loss; `kicked` still guarantees exactly one injection per star.
     Padded slots (repeated indices) are masked so no star injects twice.
     SimConfig.sn_parity_mode restores the reference's current-mass RULE
-    (sim/step.py folds `mass >= threshold` into `hm_slot_valid`) — note
-    the reference's outcome additionally depends on SeBa's heavier
-    non-rotating mass tracks (docs/stellar_model.md).
+    (sim/step.py folds `mass >= threshold` into `hm_slot_valid`); pair it
+    with cfg.mass_tracks="seba" (round 4) for the reference's OUTCOME
+    too — the SeBa-calibrated weak-wind tracks keep every >= 14 Msun
+    progenitor above the gate at collapse, so the 14-25 Msun band
+    actually injects (models/stellar/seba_anchors, docs/stellar_model.md).
     """
     # scatter-or: a duplicated padding slot (valid=False) must not clobber
     # the real slot's candidacy at the same index

@@ -107,7 +107,7 @@ def _stellar_table(cfg: SimConfig, m0: np.ndarray, dtype):
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         tbl = stellar.phase_table(jnp.asarray(np.asarray(m0, dtype)),
-                                  z=cfg.metallicity)
+                                  z=cfg.metallicity, tracks=cfg.mass_tracks)
     return stellar.PhaseTable(*(np.asarray(a) for a in tbl))
 
 
@@ -209,7 +209,7 @@ def init_cluster(cfg: SimConfig, data_dir: str | None = None,
     dtype = _dtype(cfg)
 
     # metallicity feeds the Hurley+2000 lifetime fits (valid over the
-    # published range); pre-SN/remnant-mass anchors stay solar-calibrated
+    # published range) and selects the LC18 [Fe/H] anchor/yield sets
     # (models/stellar/evolution.py docstring). The reference itself always
     # runs Z=0.02 (al26_nbody.py:467,483).
     if not (1e-4 <= cfg.metallicity <= 0.03):
@@ -217,6 +217,8 @@ def init_cluster(cfg: SimConfig, data_dir: str | None = None,
             f"metallicity Z={cfg.metallicity} outside the Hurley et al. "
             "(2000) fit validity range [1e-4, 0.03]"
         )
+    # mass-track family validation up front (seba is solar-Z-only)
+    stellar.check_tracks(cfg.mass_tracks, cfg.metallicity)
 
     # -- masses (IMF with >=13 Msun re-roll, al26_nbody.py:1508-1510) ------
     masses = imf.generate_masses(
@@ -252,10 +254,12 @@ def init_cluster(cfg: SimConfig, data_dir: str | None = None,
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         total_wind_loss = np.where(
-            hm, np.asarray(stellar.total_wind_loss(jnp.asarray(masses),
-                                                   z=cfg.metallicity)), 0.0
+            hm, np.asarray(stellar.total_wind_loss(
+                jnp.asarray(masses), z=cfg.metallicity,
+                tracks=cfg.mass_tracks)), 0.0
         )  # remnant anchors follow cfg.metallicity onto the LC18 [Fe/H]
-        #    grid (models.stellar.lc18_anchors), like the yield tables
+        #    grid (models.stellar.lc18_anchors) and cfg.mass_tracks onto
+        #    the track family, like the yield tables follow feh
     # yield tables follow cfg.metallicity onto the nearest LC18 [Fe/H]
     # grid point (solar Z=0.02 -> feh=0, the reference's fixed choice)
     slrs = read_slrs(data_dir, feh=feh_for_z(cfg.metallicity))
@@ -311,7 +315,7 @@ def init_cluster(cfg: SimConfig, data_dir: str | None = None,
         mdot0 = np.asarray(
             stellar.wind_mdot(jnp.asarray(masses),
                               jnp.zeros_like(jnp.asarray(masses)),
-                              z=cfg.metallicity)
+                              z=cfg.metallicity, tracks=cfg.mass_tracks)
         )
 
     if as_numpy:
