@@ -29,11 +29,13 @@ from golden_stats import run_golden, summarize  # noqa: E402
 
 def main():
     out = {}
-    for parity in (False, True):
-        state, cfg = run_golden(sn_parity_mode=parity)
-        key = "sn_parity" if parity else "default"
+    modes = [("default", False, "lc18"), ("sn_parity", True, "lc18"),
+             ("sn_parity_seba", True, "seba")]
+    for key, parity, tracks in modes:
+        state, cfg = run_golden(sn_parity_mode=parity, mass_tracks=tracks)
         out[key] = summarize(state, cfg)
-        print(f"{key}: kicked={out[key]['n_kicked']}")
+        print(f"{key}: kicked={out[key]['n_kicked']} "
+              f"sum_sne_26al={out[key]['sum_sne_26al']:.4e}")
     path = os.path.join(os.path.dirname(__file__), "..", "tests", "golden",
                         "n1k_stats.json")
     os.makedirs(os.path.dirname(path), exist_ok=True)

@@ -15,11 +15,14 @@ N_GOLDEN = 1000
 SEED_GOLDEN = 20260816
 
 
-def run_golden(sn_parity_mode: bool = False):
+def run_golden(sn_parity_mode: bool = False, mass_tracks: str = "lc18"):
     """The pinned configuration: N=1000, rc=1.0 pc, t_f=10 Myr (the
     reference's dt = t_f/1000, al26_nbody.py:786), hermite4 + dense f64
     forces on CPU — the deterministic 'science precision' path
-    (docs/precision.md)."""
+    (docs/precision.md). mass_tracks="seba" + sn_parity_mode is the
+    reference-OUTCOME configuration (round 4): the golden seed's 19.66
+    Msun star collapses at 9.89 Myr holding 19.5 Msun, so its
+    parity-gated supernova FIRES and the sne sums are non-trivial."""
     import jax
 
     assert jax.config.jax_enable_x64, "golden stats require x64 (conftest)"
@@ -27,7 +30,8 @@ def run_golden(sn_parity_mode: bool = False):
     from al26_tpu.sim import init_cluster, run_steps
 
     cfg = SimConfig(n=N_GOLDEN, rc=1.0, final_time=10.0, seed=SEED_GOLDEN,
-                    dtype="f64", sn_parity_mode=sn_parity_mode)
+                    dtype="f64", sn_parity_mode=sn_parity_mode,
+                    mass_tracks=mass_tracks)
     state, aux, cfg = init_cluster(cfg)
     state = run_steps(state, aux, cfg, cfg.n_steps)
     return state, cfg

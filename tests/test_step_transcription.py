@@ -35,22 +35,26 @@ N_STEPS = 50
 T0 = 7.2
 
 
-def _setup():
+def _setup(tracks: str = "lc18"):
     from al26_tpu.models.stellar import evolution as st
 
     cfg = SimConfig(n=N, rc=0.5, final_time=10.0, seed=11, dtype="f64",
-                    no_massive_star_requirement=True, sn_parity_mode=True)
+                    no_massive_star_requirement=True, sn_parity_mode=True,
+                    mass_tracks=tracks)
     state, aux, cfg = init_cluster(cfg)
     m0 = np.asarray(state.cluster.m0).copy()
     m0[0], m0[1], m0[2], m0[3] = 60.0, 25.0, 20.0, 14.0
-    assert 7.2 < float(st.t_sn(jnp.asarray(25.0))) < 7.7  # collapses inside
-    assert float(st.t_sn(jnp.asarray(60.0))) < T0         # already dead
+    # the 25 Msun star collapses inside the window on BOTH track families
+    # (t_sn = 7.59 Myr lc18 / 7.66 seba)
+    assert 7.2 < float(st.t_sn(jnp.asarray(25.0), tracks=tracks)) < 7.7
+    assert float(st.t_sn(jnp.asarray(60.0), tracks=tracks)) < T0  # dead
     k0 = int(round(T0 / cfg.dt))
     t0 = k0 * cfg.dt
-    mass0, mdot0 = st.evolve(jnp.asarray(m0), jnp.asarray(t0))
+    mass0, mdot0 = st.evolve(jnp.asarray(m0), jnp.asarray(t0),
+                             tracks=tracks)
     mass0 = np.asarray(mass0, np.float64)
     mdot0 = np.asarray(mdot0, np.float64)
-    kicked0 = np.asarray(st.t_sn(jnp.asarray(m0))) < t0
+    kicked0 = np.asarray(st.t_sn(jnp.asarray(m0), tracks=tracks)) < t0
 
     rng = np.random.default_rng(7)
     wind_ratio = np.zeros((N, 2))
@@ -82,8 +86,11 @@ def _setup():
     return state, aux, cfg, st
 
 
-def test_step_matches_reference_transcription():
-    state, aux, cfg, st = _setup()
+def _diff_against_transcription(state, aux, cfg, st):
+    """Run the numpy transcription and the jitted composed physics over
+    the same window and assert every reservoir/flag matches to 1e-12.
+    Returns the transcription's `sim` dict and the jitted final slr for
+    the per-track branch assertions."""
     c = state.cluster
     pos = np.asarray(c.pos, np.float64)
     vel = np.asarray(c.vel, np.float64)
@@ -103,7 +110,8 @@ def test_step_matches_reference_transcription():
         "sn_yield_60fe": np.asarray(c.sn_yield[:, 1], np.float64),
         "evolve": lambda m0, t: tuple(
             np.asarray(a, np.float64)
-            for a in st.evolve(jnp.asarray(m0), jnp.asarray(t))
+            for a in st.evolve(jnp.asarray(m0), jnp.asarray(t),
+                               tracks=cfg.mass_tracks)
         ),
     }
     for iso in ("26al", "60fe"):
@@ -156,15 +164,38 @@ def test_step_matches_reference_transcription():
                                   sim["disk_alive"])
     np.testing.assert_allclose(np.asarray(oc.mass, np.float64), sim["mass"],
                                rtol=1e-14)
+    return sim, slr
+
+
+def test_step_matches_reference_transcription():
+    state, aux, cfg, st = _setup()
+    sim, slr = _diff_against_transcription(state, aux, cfg, st)
 
     # the window really exercised every branch
     assert sim["kicked"][0]                       # pre-window collapse
     assert not sim["kicked"][1]                   # 25 Msun SN gated away
-    assert slr[:, 0, CH_SNE].sum() == 0.0         # (current-mass gate)
+    assert slr[:, 0, CH_SNE].sum() == 0.0         # (current-mass gate:
+    #                                 lc18 pre-SN masses sit below 13 Msun)
     assert slr[:, 0, CH_LOCAL].sum() > 0.0 or slr[:, 0, CH_GLOBAL].sum() > 0
     assert (~sim["disk_alive"][np.flatnonzero(
         (sim["mass"] >= cfg.low_mass_min)
         & (sim["mass"] <= cfg.low_mass_max))[:5]]).all()
+
+
+def test_step_matches_transcription_seba_parity_sn_fires():
+    """Same window on the SeBa-calibrated tracks (round 4): the 25 Msun
+    star's pre-SN mass (24.58) PASSES the reference's current-mass gate,
+    so a parity-gated supernova fires INSIDE the diffed window and every
+    injected reservoir matches the numpy transcription to 1e-12 — the
+    step-level parity evidence for the reference-outcome configuration
+    (VERDICT r3 item 1)."""
+    state, aux, cfg, st = _setup(tracks="seba")
+    sim, slr = _diff_against_transcription(state, aux, cfg, st)
+
+    assert sim["kicked"][0]                       # pre-window collapse
+    assert sim["kicked"][1]                       # 25 Msun SN FIRED
+    assert slr[:, 0, CH_SNE].sum() > 0.0
+    assert slr[:, 1, CH_SNE].sum() > 0.0
 
 
 def test_transcription_default_gate_fires_the_gated_sn():
