@@ -5,11 +5,24 @@ out of process): 1024 time samples across each star's AGB phase, with SLR
 mass-loss rates = stellar wind rate x constant isotopic wind fraction from
 Karakas & Lugaro (2016). The AGB phase boundaries and superwind profile
 come from al26_tpu.models.stellar.evolution (agb_t_start/agb_t_end/
-agb_mdot) instead of SeBa's stellar_type 5->7 transitions.
+agb_mdot) instead of SeBa's stellar_type 5->7 transitions; since round 4
+every phase anchor is CALIBRATED on the shipped SeBa-derived tables
+(models.stellar.agb_calibration) and the regeneration is tested against
+them with stated tolerances (tests/test_agb_calibration.py): phase
+duration and envelope loss exact by construction, cumulative-loss
+quantiles within 0.01, SLR lifetime totals within 0.1%.
+
+Matching the shipped-table semantics exactly: the `t` column is
+phase-relative, `star_mass` starts at the AGB-ENTRY mass (SeBa stars
+arrive having already shed pre-AGB wind), and the *_total_mass_loss
+cumulative columns start at that nonzero pre-AGB loss (m0 - m_enter),
+with the SLR fractions applied to the FULL cumulative loss — exactly as
+agb-wind-calc.py records them.
 
 NOTE: the default runtime data (al26_tpu/data/agb_wind/*.csv) is the
 reference-shipped SeBa-derived set; this script regenerates the same file
-schema from the analytic model (useful for new masses or metallicities).
+schema from the calibrated model (useful for new masses, where anchors
+clamp to the calibrated [3, 7] Msun grid).
 
 Usage: python scripts/gen_agb_tables.py [out_dir]
 """
@@ -42,13 +55,17 @@ def generate(mass: float, out_dir: str) -> str:
     m0 = jnp.asarray(mass)
     t0 = float(st.agb_t_start(m0))
     t1 = float(st.agb_t_end(m0))
+    m_enter = float(st.agb_m_enter(m0))
     times = np.linspace(t0, t1, N_SAMPLES)
     rates = np.asarray(st.agb_mdot(m0, jnp.asarray(times)))  # Msun/Myr
     rates_yr = rates / MYR_TO_YR                              # Msun/yr
-    # cumulative loss by trapezoid (matches the sampled-total semantics)
-    cum = np.concatenate([[0.0], np.cumsum(
+    # cumulative PHASE loss by trapezoid (sampled-total semantics); the
+    # recorded cumulative columns add the pre-AGB loss m0 - m_enter, as
+    # the shipped tables do (their star_total_mass_loss starts nonzero)
+    cum_phase = np.concatenate([[0.0], np.cumsum(
         0.5 * (rates[1:] + rates[:-1]) * np.diff(times))])
-    star_mass = mass - cum
+    cum = (mass - m_enter) + cum_phase
+    star_mass = m_enter - cum_phase
     f_al, f_fe = FRACTIONS[mass]
 
     # :g keeps the shipped integer names (3 -> "3") while a future
