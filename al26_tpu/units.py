@@ -110,6 +110,11 @@ class Unit:
             tuple(a * p for a in self.sig),
         )
 
+    def __ror__(self, value) -> "Quantity":
+        """AMUSE's construction syntax ``value | unit`` (the reference
+        builds quantities this way throughout, e.g. postprocess.py:100)."""
+        return Quantity(value, self)
+
 
 kg = Unit("kg", 1.0, (1, 0, 0))
 msol = Unit("MSun", MSUN_SI, (1, 0, 0))

@@ -1,0 +1,186 @@
+"""Run the REFERENCE's post-processing pipeline VERBATIM over this
+framework's run output (VERDICT r3 item 4 — the north star:
+`plotting/postprocess.py` runs unchanged).
+
+The reference scripts are loaded from /root/reference at test time and
+executed unmodified (nothing is copied into this repo). The only thing
+this test supplies is the runtime environment the scripts expect:
+
+  * an `al26_nbody` module exposing State / Metadata / Yields / units —
+    satisfied by THIS framework's own compat classes (our checkpoint
+    pickles already reference `al26_tpu.io.compat`, so the reference's
+    `pickle.loads`-based read_state resolves them directly);
+  * `amuse.units.units` (the script builds `0.0 | units.kg`) — our
+    Unit/Quantity shim implements the same algebra;
+  * `numba` (no-op njit/prange: the reference decorates its kernels at
+    import) and `ubjson` (our from-spec Draft-12 codec has the py-ubjson
+    dumpb/loadb API) — neither package exists in this environment.
+
+The verbatim run's `all-sims-ratios.pkl.zst` is then compared row-for-row
+against `al26_tpu.plotting.postprocess` over the same pt-grid.
+"""
+import os
+import runpy
+import sys
+import types
+from glob import glob
+
+import numpy as np
+import pytest
+
+REF_PLOTTING = "/root/reference/plotting"
+REF_POSTPROCESS = os.path.join(REF_PLOTTING, "postprocess.py")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(REF_POSTPROCESS),
+    reason="reference repository not available",
+)
+
+
+@pytest.fixture(scope="module")
+def sim_grid(tmp_path_factory):
+    """Two real runs in the reference pt-grid layout (small but complete:
+    every state/yields artifact the reference postprocessor reads)."""
+    from al26_tpu.config import SimConfig
+    from al26_tpu.sim.driver import run
+
+    root = tmp_path_factory.mktemp("refpp_grid")
+    for sim_i in range(2):
+        d = root / "pt-0.5-32" / "pt-0.5-32" / f"pt-{sim_i}"
+        d.mkdir(parents=True)
+        cwd = os.getcwd()
+        os.chdir(d)
+        try:
+            cfg = SimConfig(n=32, rc=0.5, final_time=1.0, seed=101 + sim_i,
+                            filename=f"pt-{sim_i}", n_plot=4,
+                            steps_per_plot=3)
+            run(cfg, progress=False)
+        finally:
+            os.chdir(cwd)
+    return root
+
+
+def _numba_stub():
+    mod = types.ModuleType("numba")
+
+    def njit(*args, **kw):
+        if args and callable(args[0]):
+            return args[0]
+        return lambda fn: fn
+
+    mod.njit = njit
+    mod.jit = njit
+    mod.prange = range
+    return mod
+
+
+def _amuse_stub():
+    """amuse.units.units with the unit objects the reference scripts
+    touch, backed by our Unit algebra (al26_tpu.units)."""
+    import al26_tpu.units as u
+
+    amuse = types.ModuleType("amuse")
+    units_pkg = types.ModuleType("amuse.units")
+    units_mod = types.ModuleType("amuse.units.units")
+    units_mod.kg = u.kg
+    units_mod.m = u.m
+    units_mod.s = u.s
+    units_mod.MSun = u.msol
+    units_mod.Myr = u.myr
+    units_mod.yr = u.yr
+    units_mod.parsec = u.pc
+    units_pkg.units = units_mod
+    amuse.units = units_pkg
+    return {"amuse": amuse, "amuse.units": units_pkg,
+            "amuse.units.units": units_mod}
+
+
+def _al26_nbody_stub():
+    """The classes/units the reference scripts import from al26_nbody,
+    provided by this framework's own implementations."""
+    import al26_tpu.units as u
+    from al26_tpu.io.compat import Metadata, State
+    from al26_tpu.io.yields_store import Yields
+    from al26_tpu.plotting.lib import get_high_mass_star_indices
+
+    mod = types.ModuleType("al26_nbody")
+    mod.State = State
+    mod.Metadata = Metadata
+    mod.Yields = Yields
+    mod.myr = u.myr
+    mod.pc = u.pc
+    mod.msol = u.msol
+    mod.get_high_mass_star_indices = get_high_mass_star_indices
+    return mod
+
+
+@pytest.fixture()
+def reference_env():
+    """Install the runtime shims; restore sys state afterwards."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import al26_tpu.io.ubjson as our_ubjson
+
+    shims = {"numba": _numba_stub(), "ubjson": our_ubjson,
+             "al26_nbody": _al26_nbody_stub(), **_amuse_stub()}
+    saved_mods = {k: sys.modules.get(k) for k in shims}
+    saved_mods["al26_plot"] = sys.modules.get("al26_plot")
+    saved_path = list(sys.path)
+    saved_argv = list(sys.argv)
+    sys.modules.update(shims)
+    sys.modules.pop("al26_plot", None)  # force the reference's copy
+    sys.path.insert(0, REF_PLOTTING)
+    try:
+        yield
+    finally:
+        sys.path[:] = saved_path
+        sys.argv[:] = saved_argv
+        for k, prev in saved_mods.items():
+            if prev is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = prev
+
+
+def test_reference_postprocess_runs_verbatim(sim_grid, reference_env,
+                                             tmp_path):
+    import pandas as pd
+
+    cwd = os.getcwd()
+    os.chdir(sim_grid)
+    try:
+        sys.argv = [REF_POSTPROCESS]
+        runpy.run_path(REF_POSTPROCESS, run_name="__main__")
+        ref_df = pd.read_pickle("all-sims-ratios.pkl.zst")
+    finally:
+        os.chdir(cwd)
+
+    # our postprocessor over the same grid
+    from al26_tpu.plotting import postprocess
+
+    ours = str(tmp_path / "ours.pkl.zst")
+    os.chdir(sim_grid)
+    try:
+        postprocess.main(".", ours)
+    finally:
+        os.chdir(cwd)
+    our_df = pd.read_pickle(ours)
+
+    # row-for-row: same length and ordering (both iterate
+    # star -> isotope -> model over sorted sim dirs)
+    assert len(ref_df) == len(our_df) == 2 * 32 * 2 * 5
+    for col in ("nstars", "rc", "sim_number", "star", "isotope", "model"):
+        assert list(ref_df[col]) == list(our_df[col]), col
+    for col in ("initial_mass", "mass"):
+        np.testing.assert_allclose(ref_df[col].to_numpy(dtype=float),
+                                   our_df[col].to_numpy(dtype=float),
+                                   rtol=1e-12)
+    # ratio columns: the verbatim script accumulates in kg (0.0 | kg),
+    # ours in Msun — identical up to one float64 unit round-trip
+    for col in ("yield_ratio_nodecay", "yield_ratio_decay"):
+        np.testing.assert_allclose(ref_df[col].to_numpy(dtype=float),
+                                   our_df[col].to_numpy(dtype=float),
+                                   rtol=1e-12, atol=0.0, err_msg=col)
+    # and the grid genuinely produced nonzero enrichment to compare
+    assert (ref_df["yield_ratio_nodecay"].to_numpy(dtype=float) > 0).any()
