@@ -46,6 +46,13 @@ def make_ensemble2d_mesh(n_ens: int, n_rows: Optional[int] = None) -> Mesh:
     devs = jax.devices()
     if n_rows is None:
         n_rows = len(devs) // n_ens
+    if n_ens * n_rows > len(devs):
+        # library callers bypass run_ensemble's pre-check; without this an
+        # opaque 'cannot reshape array' surfaces from np.reshape
+        raise ValueError(
+            f"mesh ({n_ens} ens x {n_rows} rows) needs {n_ens * n_rows} "
+            f"devices but only {len(devs)} are attached"
+        )
     devs = np.array(devs[: n_ens * n_rows]).reshape(n_ens, n_rows)
     return Mesh(devs, (ENS_AXIS, ROWS_AXIS))
 

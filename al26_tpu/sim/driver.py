@@ -501,6 +501,17 @@ def run_ensemble(cfg: SimConfig, progress: bool = True,
     )
 
     t_wall0 = time.time()
+    if cfg.gravity_stride > 1 or cfg.softened_virial or cfg.k_ultra:
+        # the opt-in perf ladder is a single-run (hermite4_block Pallas /
+        # mesh) capability; both ensemble paths run BHTree-parity leapfrog
+        # with the raw-potential virial radius. Raise rather than silently
+        # dropping an explicit opt-in (ADVICE r3).
+        raise ValueError(
+            "the perf-ladder flags (--gravity_stride / --softened_virial "
+            "/ --k_ultra) apply to single runs only; ensembles resolve to "
+            "BHTree-parity leapfrog with the raw-potential virial radius "
+            "(docs/precision.md)"
+        )
     if cfg.reload:
         states, auxes, cfgs, metas, yieldses, converters, sim_dirs = (
             load_ensemble(cfg.reload, cfg.n_checkpoint, data_dir)

@@ -279,6 +279,35 @@ def bench_ensemble(n_real: int = 16, n: int = 1024,
     return wall / (repeat_steps * cfg.dt)
 
 
+def bench_ensemble_2d(n: int = 8192, repeat_steps: int = 10) -> float:
+    """2-D (ens x rows) mesh cadence at its design point — FEW members x
+    large N per member (the regime the path exists for): 2 realizations,
+    each row-sharded across half the attached chips, on the cached
+    production path. Only called with > 1 device attached."""
+    from al26_tpu.config import SimConfig
+    from al26_tpu.parallel.ensemble import (
+        ensemble2d_fresh_cache, ensemble_run_steps_2d_cached, init_ensemble,
+        make_ensemble2d_mesh, shard_ensemble_2d,
+    )
+
+    n_rows = len(jax.devices()) // 2
+    n = -(-n // n_rows) * n_rows
+    cfg = SimConfig(n=n, rc=1.0, final_time=10.0, seed=1, dtype="f32")
+    bs, ba, cfgs = init_ensemble(cfg, 2)
+    cfg = cfgs[0]
+    mesh = make_ensemble2d_mesh(2, n_rows)
+    bs, ba = shard_ensemble_2d(bs, ba, mesh)
+    cache = ensemble2d_fresh_cache(bs, cfg, mesh)
+    out, cache = ensemble_run_steps_2d_cached(bs, cache, ba, cfg,
+                                              repeat_steps, mesh)
+    float(jnp.sum(out.cluster.pos))
+    t0 = time.time()
+    out, cache = ensemble_run_steps_2d_cached(out, cache, ba, cfg,
+                                              repeat_steps, mesh)
+    float(jnp.sum(out.cluster.pos))
+    return (time.time() - t0) / (repeat_steps * cfg.dt)
+
+
 def probe_with_retries(attempts: int = 3, quiet_s: float = 150.0) -> bool:
     """The tunneled worker's wedge RECOVERS after quiet periods (observed
     repeatedly; .claude/skills/verify/SKILL.md) — a one-shot probe that
@@ -359,6 +388,11 @@ def main() -> None:
             es64 = bench_ensemble(n_real=64)
             print(f"# 64-realization ensemble (N=1024, the BASELINE.md "
                   f"campaign row): {es64:.3f} s/Myr total", file=sys.stderr)
+            if n_dev > 1:
+                es2d = bench_ensemble_2d()
+                print(f"# 2-D (2 ens x {n_dev // 2} rows) mesh, N=8192 per "
+                      f"member (design point, cached path): {es2d:.3f} "
+                      f"s/Myr total", file=sys.stderr)
         except Exception as e:  # diagnostics must not break the headline
             print(f"# secondary bench failed: {e}", file=sys.stderr)
     else:
