@@ -303,6 +303,8 @@ def test_cached_trajectory_matches_uncached():
             os.chdir(cwd)
 
 
+@pytest.mark.slow  # compile-only but ~40 s of CPU XLA lowering at N=2e5;
+# the correction's VALUES are covered by the default force-cache tests
 def test_mass_delta_correction_memory_bounded_at_2e5():
     """The compiled correction's temporaries stay bounded at the scale
     that OOMed a 16 GB v5e before row-chunking (N=204800, M=1655: the

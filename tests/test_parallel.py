@@ -749,6 +749,9 @@ def test_driver_ensemble_2d_interloper_star_count(tmp_path):
                                rtol=1e-8, atol=1e-30)
 
 
+@pytest.mark.slow  # design-point scale (N=256 x 4-way rows, ~30 s on CPU);
+# faster 2-D siblings in the default set: matches_unsharded (N=64),
+# cached_matches (driver parity), interloper star-count
 def test_ensemble_2d_design_point_one_fused_sweep_per_step(monkeypatch):
     """The 2-D (ens x rows) mesh at its DESIGN POINT — few members x
     large-N-per-member (VERDICT r3 weak #5): 2 realizations of N=256

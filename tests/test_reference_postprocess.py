@@ -184,3 +184,43 @@ def test_reference_postprocess_runs_verbatim(sim_grid, reference_env,
                                    rtol=1e-12, atol=0.0, err_msg=col)
     # and the grid genuinely produced nonzero enrichment to compare
     assert (ref_df["yield_ratio_nodecay"].to_numpy(dtype=float) > 0).any()
+
+
+@pytest.mark.slow  # rebuilds the 2-sim grid fixture in the slow lane;
+# the default set keeps the postprocess-verbatim test (the north star)
+def test_reference_slr_statistics_figure_runs_verbatim(sim_grid,
+                                                      reference_env,
+                                                      monkeypatch):
+    """The reference's paper-figure script plot_slr_statistics.py also
+    runs UNMODIFIED over this framework's run output (2x2 CDF grid of
+    enrichment ratios read straight off our state/yields files). The one
+    environment accommodation: no TeX lives in this image, so the
+    script's use_tex() rcParams are reverted inside the savefig wrapper
+    (rendering happens at save time); everything else is verbatim."""
+    import matplotlib.pyplot as plt
+
+    script = os.path.join(REF_PLOTTING, "plot_slr_statistics.py")
+    real_savefig = plt.savefig
+
+    def savefig_no_tex(*a, **kw):
+        import matplotlib.text
+
+        plt.rcParams["text.usetex"] = False
+        for num in plt.get_fignums():
+            # Text objects capture usetex at creation; revert those too
+            for t in plt.figure(num).findobj(matplotlib.text.Text):
+                t.set_usetex(False)
+        return real_savefig(*a, **kw)
+
+    monkeypatch.setattr(plt, "savefig", savefig_no_tex)
+    simset = glob(str(sim_grid) + "/pt-*/pt-*/")[0]
+    cwd = os.getcwd()
+    os.chdir(simset)
+    try:
+        sys.argv = [script, "cdf-test"]
+        runpy.run_path(script, run_name="__main__")
+        assert os.path.exists("cdf-test.pdf")
+        assert os.path.getsize("cdf-test.pdf") > 1000
+    finally:
+        plt.close("all")
+        os.chdir(cwd)
