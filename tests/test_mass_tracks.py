@@ -256,3 +256,38 @@ def test_parity_sn_fires_with_seba_and_not_with_lc18():
         fired[tracks] = (bool(np.asarray(out.cluster.kicked)[0]), sne)
     assert fired["seba"][0] and fired["seba"][1] > 0.0
     assert not fired["lc18"][0] and fired["lc18"][1] == 0.0
+
+
+def test_seba_parity_resume_roundtrip(tmp_path):
+    """mass_tracks survives the checkpoint config round-trip: a
+    seba+parity run resumed from an intermediate checkpoint reproduces
+    the uninterrupted trajectory bit-for-bit (the resumed PhaseTable is
+    rebuilt from the RESTORED cfg — a silent fall-back to lc18 tracks
+    would diverge immediately through mdot)."""
+    import os
+
+    from al26_tpu.sim.driver import run
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        cfg = SimConfig(n=24, rc=0.5, final_time=1.0, seed=18,
+                        filename="sp", n_plot=5, steps_per_plot=4,
+                        sn_parity_mode=True, mass_tracks="seba",
+                        no_massive_star_requirement=True)
+        full = run(cfg, progress=False)
+        resumed = run(SimConfig(reload="sp", n_checkpoint=2),
+                      progress=False)
+        assert resumed.cfg.mass_tracks == "seba"
+        assert resumed.cfg.sn_parity_mode
+        np.testing.assert_array_equal(
+            np.asarray(resumed.state.cluster.pos),
+            np.asarray(full.state.cluster.pos))
+        np.testing.assert_array_equal(
+            np.asarray(resumed.state.cluster.mdot),
+            np.asarray(full.state.cluster.mdot))
+        np.testing.assert_array_equal(
+            np.asarray(resumed.state.cluster.slr),
+            np.asarray(full.state.cluster.slr))
+    finally:
+        os.chdir(cwd)
