@@ -46,7 +46,9 @@ def sim_grid(tmp_path_factory):
 
     root = tmp_path_factory.mktemp("refpp_grid")
     for sim_i in range(2):
-        d = root / "pt-0.5-32" / "pt-0.5-32" / f"pt-{sim_i}"
+        # sim dirs named pt-<k>-0: matches every reference glob flavour
+        # (postprocess's "pt-*/", box-plot's "pt-*-*/")
+        d = root / "pt-0.5-32" / "pt-0.5-32" / f"pt-{sim_i}-0"
         d.mkdir(parents=True)
         cwd = os.getcwd()
         os.chdir(d)
@@ -221,6 +223,80 @@ def test_reference_slr_statistics_figure_runs_verbatim(sim_grid,
         runpy.run_path(script, run_name="__main__")
         assert os.path.exists("cdf-test.pdf")
         assert os.path.getsize("cdf-test.pdf") > 1000
+    finally:
+        plt.close("all")
+        os.chdir(cwd)
+
+
+@pytest.mark.slow  # shares the grid fixture; the postprocess-verbatim
+# test stays default
+def test_reference_heating_figure_runs_verbatim(sim_grid, reference_env,
+                                                monkeypatch):
+    """plot_slr_heating.py runs UNMODIFIED over our output: per-sim
+    heating-rate CDFs (calc_current_heating_rate, al26_plot.py:187-198)
+    straight off our state files."""
+    import matplotlib.pyplot as plt
+
+    script = os.path.join(REF_PLOTTING, "plot_slr_heating.py")
+    real_savefig = plt.savefig
+
+    def savefig_no_tex(*a, **kw):
+        import matplotlib.text
+
+        plt.rcParams["text.usetex"] = False
+        for num in plt.get_fignums():
+            for t in plt.figure(num).findobj(matplotlib.text.Text):
+                t.set_usetex(False)
+        return real_savefig(*a, **kw)
+
+    monkeypatch.setattr(plt, "savefig", savefig_no_tex)
+    simset = glob(str(sim_grid) + "/pt-*/pt-*/")[0]
+    cwd = os.getcwd()
+    os.chdir(simset)
+    try:
+        sys.argv = [script]
+        runpy.run_path(script, run_name="__main__")
+        assert os.path.exists("slr_heating.pdf")
+    finally:
+        plt.close("all")
+        os.chdir(cwd)
+
+
+@pytest.mark.slow
+def test_reference_box_plot_runs_verbatim(sim_grid, reference_env,
+                                          monkeypatch):
+    """box-plot.py (seaborn max-enrichment boxplots by (Rc, N)) runs
+    UNMODIFIED over our pt-grid: it builds its tidy frame from our
+    state files and renders the boxplot axes (the script constructs the
+    figure without saving it — executing to completion with a non-empty
+    frame is the verbatim check). seaborn triggers text layout mid-
+    script, so the no-TeX accommodation here neuters al26_plot.use_tex
+    (this image ships no TeX) rather than wrapping savefig."""
+    import matplotlib.pyplot as plt
+    import matplotlib.text
+
+    import al26_plot  # the reference's module (reference_env sys.path)
+
+    monkeypatch.setattr(al26_plot, "use_tex", lambda *a, **kw: None)
+    # TeX-free rendering: the script's labels use the LaTeX-only \textrm
+    # macro, which matplotlib's mathtext spells \mathrm
+    real_set_text = matplotlib.text.Text.set_text
+
+    def set_text_mathrm(self, s):
+        if isinstance(s, str):
+            s = s.replace("\\textrm", "\\mathrm")
+        return real_set_text(self, s)
+
+    monkeypatch.setattr(matplotlib.text.Text, "set_text", set_text_mathrm)
+    script = os.path.join(REF_PLOTTING, "box-plot.py")
+    cwd = os.getcwd()
+    os.chdir(sim_grid)
+    try:
+        sys.argv = [script]
+        mod_globals = runpy.run_path(script, run_name="__main__")
+        df = mod_globals["df"]
+        assert len(df) == 2 * 2 * 2  # 2 sims x {local,global} x {al,fe}
+        assert set(df.model) == {"local", "global"}
     finally:
         plt.close("all")
         os.chdir(cwd)
