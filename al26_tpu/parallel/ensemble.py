@@ -46,6 +46,15 @@ def make_ensemble2d_mesh(n_ens: int, n_rows: Optional[int] = None) -> Mesh:
     devs = jax.devices()
     if n_rows is None:
         n_rows = len(devs) // n_ens
+    if n_ens < 1 or n_rows < 1:
+        # n_rows defaults to len(devs) // n_ens, which is 0 when more
+        # realizations than devices are requested — a silent empty Mesh
+        # otherwise
+        raise ValueError(
+            f"mesh ({n_ens} ens x {n_rows} rows) is degenerate: need at "
+            f"least 1 device per axis ({len(devs)} attached; with "
+            f"n_ens > device count use the 1-D ensemble mesh instead)"
+        )
     if n_ens * n_rows > len(devs):
         # library callers bypass run_ensemble's pre-check; without this an
         # opaque 'cannot reshape array' surfaces from np.reshape

@@ -247,11 +247,15 @@ def get_high_mass_star_indices(cluster: Particles):
 
 def calc_global_model_yield(cluster: Particles, time_myr: float,
                             dt_myr: float, radius_method: str = "halfmass",
-                            metallicity: float = 0.02):
+                            metallicity: float = 0.02,
+                            mass_tracks: str = "lc18"):
     """Recompute the global-model wind deposition rate for a snapshot
     (al26_plot.py:488-544): stellar wind rates at `time_myr` from the
     stellar-evolution module, bubble radius from the half-mass or virial
-    radius."""
+    radius. Pass the run's cfg.mass_tracks (and metallicity): a
+    seba-track run's wind rates are orders of magnitude below the lc18
+    default's, so recomputing with the wrong family silently mismatches
+    what the simulation deposited."""
     import jax.numpy as jnp
 
     from ..models.stellar.evolution import wind_mdot
@@ -270,7 +274,7 @@ def calc_global_model_yield(cluster: Particles, time_myr: float,
     else:
         raise ValueError("INVALID RADIUS METHOD")
     mdot = wind_mdot(jnp.asarray(m0), jnp.asarray(float(time_myr)),
-                     z=metallicity)
+                     z=metallicity, tracks=mass_tracks)
     lm_mask = jnp.asarray((np.asarray(mass) >= 0.1) & (np.asarray(mass) <= 3.0))
     hm_idx = np.flatnonzero(np.asarray(m0) >= 13.0)
     if len(hm_idx) == 0:

@@ -110,6 +110,12 @@ class Unit:
             tuple(a * p for a in self.sig),
         )
 
+    # numpy must DEFER on `ndarray | unit` so __ror__ builds ONE
+    # Quantity(array) instead of an object ndarray of per-element
+    # Quantities (the reference does exactly `array | units.kg`,
+    # al26_plot.py:533,540)
+    __array_ufunc__ = None
+
     def __ror__(self, value) -> "Quantity":
         """AMUSE's construction syntax ``value | unit`` (the reference
         builds quantities this way throughout, e.g. postprocess.py:100)."""

@@ -31,7 +31,19 @@ from __future__ import annotations
 import os
 import sys
 
-import numpy as np
+# force CPU + x64: the ambient JAX_PLATFORMS targets the tunneled TPU
+# (slow, wedge-prone, f32) while the calibration tolerances pinned in
+# tests/test_agb_calibration.py assume the conftest's CPU/x64 regime —
+# the k~54 superwind exponential at s=(t-t0)/dur, t~hundreds of Myr,
+# genuinely needs f64 (same pin as scripts/gen_golden_stats.py)
+os.environ.pop("JAX_PLATFORMS", None)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
 
 # Karakas & Lugaro (2016) metal-rich AGB models: elemental wind yield times
 # isotopic mix fraction gives the constant SLR wind fraction

@@ -291,3 +291,31 @@ def test_seba_parity_resume_roundtrip(tmp_path):
             np.asarray(full.state.cluster.slr))
     finally:
         os.chdir(cwd)
+
+
+def test_global_model_yield_threads_mass_tracks():
+    """plotting.lib.calc_global_model_yield recomputes wind rates with
+    the RUN's track family: seba rates are orders of magnitude below
+    lc18's for the same snapshot."""
+    from al26_tpu.io.compat import cluster_to_particles
+    from al26_tpu.plotting.lib import calc_global_model_yield
+    from al26_tpu.sim.init import init_cluster
+
+    cfg = SimConfig(n=24, rc=0.5, seed=5, dtype="f64",
+                    no_massive_star_requirement=True)
+    state, aux, cfg = init_cluster(cfg)
+    m0 = np.asarray(state.cluster.m0).copy()
+    m0[0] = 20.0
+    wind_ratio = np.asarray(state.cluster.wind_ratio).copy()
+    wind_ratio[0] = [1e-5, 1e-5]
+    cluster = dataclasses.replace(state.cluster, m0=jnp.asarray(m0),
+                                  wind_ratio=jnp.asarray(wind_ratio))
+    p = cluster_to_particles(cluster)
+    # t = 9.0 Myr: the 20 Msun star is post-MS on BOTH families, where
+    # the budget difference shows (lc18 sheds ~11.5 Msun there vs seba's
+    # ~0.08 — two orders of magnitude)
+    al_lc, _ = calc_global_model_yield(p, 9.0, 0.01)
+    al_seba, _ = calc_global_model_yield(p, 9.0, 0.01,
+                                         mass_tracks="seba")
+    assert al_lc.sum() > 0.0 and al_seba.sum() > 0.0
+    assert al_lc.sum() > 50.0 * al_seba.sum()

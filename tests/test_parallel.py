@@ -835,3 +835,12 @@ def test_make_ensemble2d_mesh_validates_device_count():
 
     with pytest.raises(ValueError, match="devices"):
         make_ensemble2d_mesh(4, 4)   # 16 > the fake mesh's 8
+
+
+def test_make_ensemble2d_mesh_rejects_degenerate_rows():
+    """n_rows defaults to len(devices) // n_ens: more realizations than
+    devices must raise, not return an empty Mesh."""
+    from al26_tpu.parallel.ensemble import make_ensemble2d_mesh
+
+    with pytest.raises(ValueError, match="degenerate"):
+        make_ensemble2d_mesh(16)  # 8 fake devices -> n_rows = 0

@@ -122,3 +122,22 @@ def test_phase_timers_accumulate_and_report():
     order = sorted(tm.totals, key=lambda k: -tm.totals[k])
     assert rep.index(order[0]) < rep.index(order[-1])
     assert "x3" in rep
+
+
+def test_array_or_unit_builds_one_quantity():
+    """numpy must defer on `ndarray | unit` (Unit.__array_ufunc__ = None)
+    so the AMUSE construction syntax returns ONE Quantity holding the
+    array — the reference does exactly `calc_wind_abs(...) | units.kg`
+    then `.value_in(msol)` (al26_plot.py:533,540); an object ndarray of
+    per-element Quantities would crash that path."""
+    import numpy as np
+
+    from al26_tpu import units as u
+
+    q = np.array([1.0, 2.0, 3.0]) | u.kg
+    assert isinstance(q, u.Quantity)
+    np.testing.assert_array_equal(q.value_in(u.kg), [1.0, 2.0, 3.0])
+    np.testing.assert_allclose((np.ones(2) | u.msol).value_in(u.kg),
+                               u.MSUN_SI)
+    # scalar construction unchanged
+    assert (0.5 | u.myr).value_in(u.myr) == 0.5
