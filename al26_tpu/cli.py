@@ -196,16 +196,12 @@ def config_from_args(args: argparse.Namespace):
             )
     d = vars(args).copy()
     d.pop("adaptive_timestep", None)
-    if d.get("mass_tracks") is None:
-        # --sn_parity_mode without an explicit track choice selects the
-        # reference-outcome combination: under the current-mass gate only
-        # the SeBa-calibrated tracks keep 13-25 Msun progenitors above
-        # the 13 Msun threshold at collapse (models.stellar.seba_anchors)
-        d["mass_tracks"] = "seba" if d.get("sn_parity_mode") else "lc18"
-        if d.get("sn_parity_mode"):
-            print("# --sn_parity_mode: selecting mass_tracks=seba "
-                  "(reference-outcome SN gating; override with "
-                  "--mass_tracks)")
+    if d.get("mass_tracks") is None and d.get("sn_parity_mode"):
+        # the resolution itself lives at init (sim.init.init_cluster,
+        # so library callers get it too); the CLI just says so up front
+        print("# --sn_parity_mode: mass_tracks resolves to seba "
+              "(reference-outcome SN gating; override with "
+              "--mass_tracks)")
     return SimConfig.from_dict(d)
 
 

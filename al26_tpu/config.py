@@ -60,13 +60,20 @@ class SimConfig:
     #   docs/stellar_model.md). Default False: candidacy is INITIAL-mass
     #   based, so a massive star whose strong post-MS wind drops it below
     #   13 Msun still sheds wind and still explodes.
-    mass_tracks: str = "lc18"          # stellar mass-track family
+    mass_tracks: Optional[str] = None  # stellar mass-track family
     #   (models.stellar.evolution.TRACKS): "lc18" (vel=300 rotating, the
     #   yield tables' reduction), "lc18_vel150", "lc18_vel0"
     #   (non-rotating), or "seba" (calibrated on the SeBa event dumps
     #   the reference repo ships — weak winds, heavy pre-SN masses,
-    #   reference SN outcomes; solar Z only). Yield TABLES always stay
-    #   the reference's vel=300 reduction regardless (fit-data.py).
+    #   reference SN outcomes; solar Z only). None resolves at init
+    #   (sim.init.init_cluster, like resolve_integrator): "seba" when
+    #   sn_parity_mode is set — the reference-outcome pairing, for
+    #   LIBRARY callers too, not just the CLI — else "lc18". An explicit
+    #   "lc18" + sn_parity_mode keeps rule-parity (SNe gated away).
+    #   Round-3 checkpoints (no mass_tracks key) restore as explicit
+    #   "lc18" so resumes never change physics mid-run (from_dict).
+    #   Yield TABLES always stay the reference's vel=300 reduction
+    #   regardless (fit-data.py).
 
     # -- gravity ----------------------------------------------------------
     integrator: str = "auto"           # "auto" | "hermite4" |
@@ -218,4 +225,11 @@ class SimConfig:
         clean = {k: v for k, v in d.items() if k in known}
         if isinstance(clean.get("mesh_shape"), list):
             clean["mesh_shape"] = tuple(clean["mesh_shape"])
+        # round-3 checkpoints predate mass_tracks: they ran the lc18
+        # family, so restore it EXPLICITLY — a None would re-resolve
+        # against sn_parity_mode at init and change physics mid-resume.
+        # (A dict that genuinely carries None — an unresolved fresh cfg
+        # round-tripped before init — keeps it.)
+        if "mass_tracks" not in d:
+            clean["mass_tracks"] = "lc18"
         return cls(**clean)

@@ -106,6 +106,12 @@ _LC18_VEL = {"lc18": 300, "lc18_vel150": 150, "lc18_vel0": 0}
 
 
 def check_tracks(tracks: str, z: float) -> None:
+    if tracks is None:
+        raise ValueError(
+            "mass_tracks is unresolved (None): pass the config through "
+            "sim.init.init_cluster (which resolves it against "
+            "sn_parity_mode) or set it explicitly"
+        )
     if tracks not in TRACKS:
         raise ValueError(f"mass_tracks={tracks!r} not one of {TRACKS}")
     if tracks == "seba" and z != seba_anchors.Z_SEBA:
@@ -178,9 +184,7 @@ def _seba_lifetime_factor(m0: jax.Array) -> jax.Array:
     clamped outside 20-80 Msun (the sub-grid neutron-star event matches
     Hurley to 0.1%, so the clamped 1.0067 edge value errs < 0.7%)."""
     g = seba_anchors.track_grids()
-    x = jnp.log(jnp.clip(m0, np.exp(g["log_mc"][0]), np.exp(g["log_mc"][-1])))
-    return jnp.exp(jnp.interp(x, jnp.asarray(g["log_mc"]),
-                              jnp.asarray(g["log_c"])))
+    return _sn_branch_interp(m0, g["log_mc"], g["log_c"])
 
 
 @lru_cache(maxsize=None)

@@ -44,10 +44,12 @@ def make_ensemble2d_mesh(n_ens: int, n_rows: Optional[int] = None) -> Mesh:
     member count is below the chip count (e.g. 4 realizations of N=1e5 on
     a v5e-8: mesh (4, 2))."""
     devs = jax.devices()
+    if n_ens < 1:
+        raise ValueError(f"mesh needs n_ens >= 1 (got {n_ens})")
     if n_rows is None:
         n_rows = len(devs) // n_ens
-    if n_ens < 1 or n_rows < 1:
-        # n_rows defaults to len(devs) // n_ens, which is 0 when more
+    if n_rows < 1:
+        # the n_rows default is len(devs) // n_ens, which is 0 when more
         # realizations than devices are requested — a silent empty Mesh
         # otherwise
         raise ValueError(

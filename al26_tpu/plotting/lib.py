@@ -155,12 +155,14 @@ def calc_disk_final_enrichment(yields_data: Yields, lifetimes_myr):
 
 
 def calc_sn_times(initial_cluster: Particles, return_keys: bool = False,
-                  z: float = 0.02):
+                  z: float = 0.02, mass_tracks: str = "lc18"):
     """Supernova times and masses for the cluster's massive stars
     (al26_plot.py:244-279). The reference runs a throwaway SeBa with a
     supernova stopping condition; here the stellar module's lifetime
     function answers directly. Masses/keys come back in descending-mass
-    order with times ascending, as the consumers expect."""
+    order with times ascending, as the consumers expect. Pass the run's
+    cfg.mass_tracks: seba-track runs collapse 0.7-2.5% later than the
+    lc18/Hurley default (several golden-dt steps for a 20 Msun star)."""
     import jax.numpy as jnp
 
     from ..models.stellar.evolution import t_sn
@@ -171,7 +173,9 @@ def calc_sn_times(initial_cluster: Particles, return_keys: bool = False,
     order = hm[np.argsort(-mass[hm])]
     sn_masses = mass[order].tolist()
     sn_keys = keys[order].tolist()
-    sn_times = np.asarray(t_sn(jnp.asarray(mass[order]), z)).tolist()
+    sn_times = np.asarray(
+        t_sn(jnp.asarray(mass[order]), z, tracks=mass_tracks)
+    ).tolist()
     sn_times.sort()
     if return_keys:
         return sn_times, sn_masses, sn_keys

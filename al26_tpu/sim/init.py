@@ -208,6 +208,16 @@ def init_cluster(cfg: SimConfig, data_dir: str | None = None,
     rng = np.random.default_rng(cfg.seed)
     dtype = _dtype(cfg)
 
+    # resolve the mass-track family (like resolve_integrator: the
+    # resolved literal is what checkpoints record). None + sn_parity_mode
+    # -> the SeBa-calibrated reference-outcome tracks, for library
+    # callers as well as the CLI; an EXPLICIT "lc18" + parity keeps
+    # rule-parity (docs/stellar_model.md firing-band table).
+    if cfg.mass_tracks is None:
+        cfg = cfg.replace(
+            mass_tracks="seba" if cfg.sn_parity_mode else "lc18"
+        )
+
     # metallicity feeds the Hurley+2000 lifetime fits (valid over the
     # published range) and selects the LC18 [Fe/H] anchor/yield sets
     # (models/stellar/evolution.py docstring). The reference itself always

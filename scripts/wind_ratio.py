@@ -5,21 +5,34 @@ wind-ratio.py analysis scripts (SeBa-driven there): for each initial mass,
 integrate wind_ratio * mdot(t) over time and plot/print the cumulative SLR
 release alongside the lifetime total from the LC18 tables.
 
-Usage: python scripts/wind_ratio.py [out.pdf]  (also prints a text table)
+Usage: python scripts/wind_ratio.py [out.pdf] [mass_tracks]
+(also prints a text table; mass_tracks selects the stellar track
+family — lc18 default, or e.g. seba for the reference-outcome runs,
+whose wind budgets are orders of magnitude smaller)
 """
 from __future__ import annotations
 
 import os
 import sys
 
-import numpy as np
+# force CPU + x64: a host-side analysis table has no business compiling
+# on the tunneled TPU (same pin as gen_golden_stats/gen_agb_tables)
+os.environ.pop("JAX_PLATFORMS", None)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
 
 # `python scripts/wind_ratio.py` puts scripts/ (not the repo root) on
 # sys.path — same bootstrap as scripts/gen_golden_stats.py
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main(outname: str = "wind-ratio.pdf") -> None:
+def main(outname: str = "wind-ratio.pdf",
+         mass_tracks: str = "lc18") -> None:
     import jax.numpy as jnp
 
     from al26_tpu.models.stellar import evolution as st
@@ -33,12 +46,14 @@ def main(outname: str = "wind-ratio.pdf") -> None:
           f"{'ratio of table':>15}")
     for m in masses:
         m0 = jnp.asarray(m)
-        t_cc = float(st.t_sn(m0))
+        t_cc = float(st.t_sn(m0, tracks=mass_tracks))
         wy = calc_slr_yield(m, al.wind_mass, al.wind_yield)
-        twl = float(st.total_wind_loss(m0))
+        twl = float(st.total_wind_loss(m0, tracks=mass_tracks))
         ratio = wy / twl if twl > 0 else 0.0
         ts = np.linspace(0.0, t_cc * 0.99999, 2048)
-        rates = np.asarray(st.wind_mdot(m0, jnp.asarray(ts))) * ratio
+        rates = np.asarray(
+            st.wind_mdot(m0, jnp.asarray(ts), tracks=mass_tracks)
+        ) * ratio
         cum = np.concatenate([[0.0], np.cumsum(
             0.5 * (rates[1:] + rates[:-1]) * np.diff(ts))])
         curves[m] = (ts, cum)

@@ -197,21 +197,43 @@ def test_unknown_tracks_rejected():
 # ---------------------------------------------------------------------------
 # CLI wiring
 # ---------------------------------------------------------------------------
-def test_cli_parity_mode_selects_seba_tracks():
+def test_parity_mode_resolves_seba_tracks_at_init():
+    """The sn_parity_mode -> seba pairing resolves at INIT altitude
+    (sim.init.init_cluster), so library callers get the
+    reference-outcome combination too, not just argparse users; an
+    explicit family always wins (rule-parity stays reachable)."""
     from al26_tpu.cli import build_parser, config_from_args
+    from al26_tpu.sim.init import init_cluster
 
     args = build_parser().parse_args(["-n", "100", "-rc", "1.0",
                                       "--sn_parity_mode"])
     cfg = config_from_args(args)
-    assert cfg.sn_parity_mode and cfg.mass_tracks == "seba"
-    # explicit choice wins
+    assert cfg.sn_parity_mode and cfg.mass_tracks is None  # unresolved
+    # library-style construction, no CLI involved:
+    for parity, expect in ((True, "seba"), (False, "lc18")):
+        c = SimConfig(n=8, sn_parity_mode=parity,
+                      no_massive_star_requirement=True)
+        _, _, resolved = init_cluster(c)
+        assert resolved.mass_tracks == expect, (parity, expect)
+    # explicit choice wins over the pairing
+    c = SimConfig(n=8, sn_parity_mode=True, mass_tracks="lc18_vel0",
+                  no_massive_star_requirement=True)
+    _, _, resolved = init_cluster(c)
+    assert resolved.mass_tracks == "lc18_vel0"
+    # CLI explicit flag flows through
     args = build_parser().parse_args(["-n", "100", "-rc", "1.0",
                                       "--sn_parity_mode",
                                       "--mass_tracks", "lc18_vel0"])
     assert config_from_args(args).mass_tracks == "lc18_vel0"
-    # without parity mode the default family stays lc18
-    args = build_parser().parse_args(["-n", "100", "-rc", "1.0"])
-    assert config_from_args(args).mass_tracks == "lc18"
+    # old (round-3) checkpoint dicts restore as explicit lc18: a resume
+    # must not re-resolve and change physics mid-run
+    d = SimConfig(n=8).to_dict()
+    d.pop("mass_tracks")
+    d["sn_parity_mode"] = True
+    assert SimConfig.from_dict(d).mass_tracks == "lc18"
+    # an unresolved cfg consumed WITHOUT init resolution fails loudly
+    with pytest.raises(ValueError, match="unresolved"):
+        st.m_presn(jnp.asarray(20.0), tracks=None)
 
 
 # ---------------------------------------------------------------------------
