@@ -341,3 +341,21 @@ def test_global_model_yield_threads_mass_tracks():
                                          mass_tracks="seba")
     assert al_lc.sum() > 0.0 and al_seba.sum() > 0.0
     assert al_lc.sum() > 50.0 * al_seba.sum()
+
+
+def test_ensemble_parity_seba_sn_fires(tmp_path):
+    """Ensembles compose with the reference-outcome configuration: a
+    2-member parity-mode ensemble (mass_tracks resolved to seba at each
+    realization's init) fires the member-1 supernova (seed 1 draws a
+    20.5-25 Msun star whose SeBa t_sn < 10 Myr) while member 0, with no
+    such progenitor, stays SN-free."""
+    from al26_tpu.sim.driver import run_ensemble
+    from al26_tpu.state import CH_SNE
+
+    cfg = SimConfig(n=64, rc=1.0, final_time=10.0, seed=0, ensemble=2,
+                    n_plot=2, steps_per_plot=5, sn_parity_mode=True)
+    out, sim_dirs, _ = run_ensemble(cfg, progress=False,
+                                    root=str(tmp_path))
+    kicked = np.asarray(out.cluster.kicked).sum(axis=1)
+    sne = np.asarray(out.cluster.slr)[:, :, :, CH_SNE].sum(axis=(1, 2))
+    assert kicked[1] >= 1 and sne[1] > 0.0
