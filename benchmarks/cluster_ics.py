@@ -1,7 +1,13 @@
 """Visual check of cluster initial conditions (working replacement for the
 reference's stale bench/cluster.py, which imports pre-rename symbols).
 Renders Plummer and fractal realizations side by side."""
+import os
 import sys
+
+# `python benchmarks/<script>.py` puts benchmarks/ (not the repo root) on
+# sys.path — same bootstrap as the scripts/ entry points
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 import numpy as np
 

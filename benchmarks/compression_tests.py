@@ -2,10 +2,16 @@
 bench/compression/compression-tests.py (results tabulated in its
 filetypes.md). Builds a synthetic yields payload (or takes a real
 *-yields.ubj.zst file) and times codecs."""
+import os
+import sys
+
+# `python benchmarks/<script>.py` puts benchmarks/ (not the repo root) on
+# sys.path — same bootstrap as the scripts/ entry points
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import bz2
 import gzip
 import lzma
-import sys
 import time
 import zlib
 

@@ -1,7 +1,13 @@
 """Disc-lifetime distribution check (working replacement for the
 reference's stale bench/disc.py): histogram of draws vs the analytic
 exponential pdf with mean 2.885 Myr."""
+import os
 import sys
+
+# `python benchmarks/<script>.py` puts benchmarks/ (not the repo root) on
+# sys.path — same bootstrap as the scripts/ entry points
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 import numpy as np
 
