@@ -381,6 +381,11 @@ def main() -> None:
             spm4 = bench_wallclock_per_myr(409600, 5)
             print(f"# wall-clock per simulated Myr, N=409600 (scaling "
                   f"headroom, one chip): {spm4:.3f} s/Myr", file=sys.stderr)
+            spm4l = bench_wallclock_per_myr(409600, 8, gravity_stride=4,
+                                            softened_virial=True)
+            print(f"# wall-clock per simulated Myr, N=409600 (full opt-in "
+                  f"ladder: softened_virial + stride 4): {spm4l:.3f} "
+                  f"s/Myr", file=sys.stderr)
             es = bench_ensemble()
             print(f"# 16-realization ensemble (N=1024, block-diagonal "
                   f"flattened leapfrog): {es:.3f} s/Myr total",
