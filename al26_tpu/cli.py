@@ -176,6 +176,14 @@ def build_parser() -> argparse.ArgumentParser:
                    default=265.0,
                    help="Natal-kick dispersion per component, km/s "
                         "(Hobbs et al. 2005)")
+    p.add_argument("--yields_vel", type=int, default=300,
+                   choices=(300, 150, 0),
+                   help="Rotation velocity of the LC18 YIELD-table "
+                        "reduction (km/s). 300 = the reference's fixed "
+                        "fit-data.py selection (default for every track "
+                        "family, as the reference pairs vel=300 yields "
+                        "with SeBa tracks); 0/150 pair self-consistently "
+                        "with --mass_tracks lc18_vel0/lc18_vel150")
     p.add_argument("--metallicity", type=float, default=0.02,
                    help="Stellar-evolution metallicity Z in [1e-4, 0.03] "
                         "(Hurley+2000 lifetime fits; the reference's SeBa "

@@ -72,8 +72,15 @@ class SimConfig:
     #   "lc18" + sn_parity_mode keeps rule-parity (SNe gated away).
     #   Round-3 checkpoints (no mass_tracks key) restore as explicit
     #   "lc18" so resumes never change physics mid-run (from_dict).
-    #   Yield TABLES always stay the reference's vel=300 reduction
-    #   regardless (fit-data.py).
+    #   Yield TABLES stay the reference's vel=300 reduction regardless
+    #   (fit-data.py) unless yields_vel says otherwise.
+    yields_vel: int = 300              # rotation velocity of the LC18
+    #   YIELD-table reduction (300 = the reference's fixed fit-data.py
+    #   selection, used with every track family by default — the
+    #   reference itself pairs vel=300 yields with SeBa tracks). 0/150
+    #   select the -vel<V> suffixed tables for a fully self-consistent
+    #   non-rotating/150 km/s configuration alongside
+    #   mass_tracks="lc18_vel0"/"lc18_vel150" (models/yields.py).
 
     # -- gravity ----------------------------------------------------------
     integrator: str = "auto"           # "auto" | "hermite4" |

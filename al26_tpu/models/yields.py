@@ -70,17 +70,27 @@ def feh_for_z(z: float) -> int:
     return min(_FEH_GRID, key=lambda g: abs(g - feh))
 
 
-def read_slrs(data_dir: str | None = None, feh: int = 0) -> dict[str, SLR]:
+def read_slrs(data_dir: str | None = None, feh: int = 0,
+              vel: int = 300) -> dict[str, SLR]:
     """Load slr-abundances.csv plus the LC18 wind/SNe yield curves for any
     isotope present in both (reference behaviour: al26_nbody.py:594-640).
 
     `feh` selects the LC18 metallicity set: 0 (solar, the reference's
     choice and the default) reads the reference-named wind-/sne-yields.csv;
-    -1/-2/-3 read the -feh<N> suffixed tables (scripts/gen_yield_tables.py
-    regenerates all four from the shipped machine-readable originals)."""
+    -1/-2/-3 read the -feh<N> suffixed tables. `vel` selects the rotation
+    velocity of the yield reduction: 300 km/s is the reference's fixed
+    fit-data.py choice (and what ALL mass-track families pair with by
+    default, like the reference pairs vel=300 yields with SeBa tracks);
+    0/150 read -vel<V> suffixed tables for self-consistent pairing with
+    the lc18_vel0/150 track families (cfg.yields_vel). The vel=0 solar
+    set ships; scripts/gen_yield_tables.py regenerates every combination
+    from the shipped machine-readable originals (non-solar non-300 sets
+    on demand)."""
     data_dir = data_dir or DATA_DIR
     if feh not in _FEH_GRID:
         raise ValueError(f"[Fe/H]={feh} not in the LC18 grid {_FEH_GRID}")
+    if vel not in (300, 150, 0):
+        raise ValueError(f"vel={vel} not in the LC18 grid (300, 150, 0)")
     slrs: dict[str, SLR] = {}
     with open(os.path.join(data_dir, "slr-abundances.csv"), encoding="utf-8-sig") as f:
         next(f)
@@ -92,10 +102,17 @@ def read_slrs(data_dir: str | None = None, feh: int = 0) -> dict[str, SLR]:
                 zss=float(c[5]), zss_err=float(c[6]),
             )
     lc_dir = os.path.join(data_dir, "limongi_chieffi_2018")
-    suffix = "" if feh == 0 else f"-feh{feh}"
+    suffix = ("" if vel == 300 else f"-vel{vel}") + (
+        "" if feh == 0 else f"-feh{feh}")
     wanted = set(slrs)
-    for iso, (m, y) in _read_yield_table(
-            os.path.join(lc_dir, f"wind-yields{suffix}.csv"), wanted).items():
+    wind_path = os.path.join(lc_dir, f"wind-yields{suffix}.csv")
+    if not os.path.exists(wind_path):
+        raise FileNotFoundError(
+            f"{wind_path} not shipped — regenerate it with "
+            "`python scripts/gen_yield_tables.py` (extend its vel/feh "
+            "loop for this combination)"
+        )
+    for iso, (m, y) in _read_yield_table(wind_path, wanted).items():
         slrs[iso].wind_mass, slrs[iso].wind_yield = m, y
     for iso, (m, y) in _read_yield_table(
             os.path.join(lc_dir, f"sne-yields{suffix}.csv"), wanted).items():

@@ -272,7 +272,10 @@ def init_cluster(cfg: SimConfig, data_dir: str | None = None,
         #    the track family, like the yield tables follow feh
     # yield tables follow cfg.metallicity onto the nearest LC18 [Fe/H]
     # grid point (solar Z=0.02 -> feh=0, the reference's fixed choice)
-    slrs = read_slrs(data_dir, feh=feh_for_z(cfg.metallicity))
+    # and cfg.yields_vel onto the rotation-velocity reduction (300 =
+    # reference parity for every track family)
+    slrs = read_slrs(data_dir, feh=feh_for_z(cfg.metallicity),
+                     vel=cfg.yields_vel)
     ydata = massive_star_yields(masses, slrs, total_wind_loss,
                                 cfg.high_mass_threshold)
 

@@ -88,18 +88,26 @@ def write_csv(path: str, isotopes, rows, mass_cols, vel=300, feh=0) -> None:
 def main(raw_dir: str | None = None, out_dir: str | None = None) -> None:
     raw_dir = raw_dir or os.path.join(_DEFAULT_DIR, "raw")
     out_dir = out_dir or _DEFAULT_DIR
-    # [Fe/H] = 0 keeps the reference file names (fit-data.py emits only the
-    # solar set); the sub-solar grid the LC18 tables also ship gets a
-    # -feh<N> suffix and is selected at runtime by cfg.metallicity
-    # (models/yields.py:read_slrs).
-    for feh in (0, -1, -2, -3):
-        suffix = "" if feh == 0 else f"-feh{feh}"
-        isotopes, wind_rows, sne_rows = reduce_tables(raw_dir, feh=feh)
-        write_csv(os.path.join(out_dir, f"wind-yields{suffix}.csv"),
-                  isotopes, wind_rows, MASSES, feh=feh)
-        write_csv(os.path.join(out_dir, f"sne-yields{suffix}.csv"),
-                  isotopes, sne_rows, SNE_MASSES, feh=feh)
-        print(f"wrote {len(isotopes)} isotopes ([Fe/H]={feh}) to {out_dir}")
+    # [Fe/H] = 0 at vel = 300 keeps the reference file names (fit-data.py
+    # emits only that set); the sub-solar grid gets a -feh<N> suffix
+    # (selected by cfg.metallicity) and the non-300 rotation velocities a
+    # -vel<V> suffix (selected by cfg.yields_vel, for self-consistent
+    # pairing with the lc18_vel0/150 mass-track families) —
+    # models/yields.py:read_slrs.
+    for vel in (300, 150, 0):
+        for feh in (0, -1, -2, -3):
+            if vel != 300 and feh != 0:
+                continue  # non-solar non-300 sets: regenerate on demand
+            suffix = ("" if vel == 300 else f"-vel{vel}") + (
+                "" if feh == 0 else f"-feh{feh}")
+            isotopes, wind_rows, sne_rows = reduce_tables(raw_dir, vel=vel,
+                                                          feh=feh)
+            write_csv(os.path.join(out_dir, f"wind-yields{suffix}.csv"),
+                      isotopes, wind_rows, MASSES, vel=vel, feh=feh)
+            write_csv(os.path.join(out_dir, f"sne-yields{suffix}.csv"),
+                      isotopes, sne_rows, SNE_MASSES, vel=vel, feh=feh)
+            print(f"wrote {len(isotopes)} isotopes (vel={vel}, "
+                  f"[Fe/H]={feh}) to {out_dir}")
 
 
 if __name__ == "__main__":

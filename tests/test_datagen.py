@@ -22,10 +22,14 @@ def test_yield_table_reduction_matches_shipped(tmp_path):
 
     wanted_files = [("wind-yields.csv", {"Al26", "Fe60"}),
                     ("sne-yields.csv", {"Al26", "Fe60"})]
-    # the sub-solar sets (superset of the reference) regenerate identically
+    # the sub-solar and non-300-velocity sets (supersets of the
+    # reference) regenerate identically
     for feh in (-1, -2, -3):
         wanted_files += [(f"wind-yields-feh{feh}.csv", {"Al26", "Fe60"}),
                          (f"sne-yields-feh{feh}.csv", {"Al26", "Fe60"})]
+    for vel in (150, 0):
+        wanted_files += [(f"wind-yields-vel{vel}.csv", {"Al26", "Fe60"}),
+                         (f"sne-yields-vel{vel}.csv", {"Al26", "Fe60"})]
     for fname, wanted in wanted_files:
         new = _read_yield_table(str(tmp_path / fname), wanted)
         shipped = _read_yield_table(

@@ -359,3 +359,82 @@ def test_ensemble_parity_seba_sn_fires(tmp_path):
     kicked = np.asarray(out.cluster.kicked).sum(axis=1)
     sne = np.asarray(out.cluster.slr)[:, :, :, CH_SNE].sum(axis=(1, 2))
     assert kicked[1] >= 1 and sne[1] > 0.0
+
+
+# ---------------------------------------------------------------------------
+# Rotation-velocity yield reduction (cfg.yields_vel; the self-consistent
+# superset for the lc18_vel0/150 track families)
+# ---------------------------------------------------------------------------
+def test_read_slrs_vel_selection():
+    from al26_tpu.models.yields import read_slrs
+
+    s300 = read_slrs(feh=0, vel=300)
+    s0 = read_slrs(feh=0, vel=0)
+    # the sets genuinely differ: the non-rotating 13 Msun model expels
+    # 4+ orders of magnitude less 26Al in its (weak) wind
+    assert s300["Al26"].wind_yield[0] > 1e3 * s0["Al26"].wind_yield[0]
+    np.testing.assert_array_equal(s300["Al26"].wind_mass,
+                                  s0["Al26"].wind_mass)
+    # velocities outside the LC18 grid are rejected
+    with pytest.raises(ValueError, match="vel"):
+        read_slrs(feh=0, vel=42)
+
+
+def test_vel0_yields_match_independent_raw_parse():
+    """wind-yields-vel0.csv is exactly table9[13-25] + table8[30-120] of
+    the vel=0 rows, re-derived in-test from the raw machine-readable
+    tables (the same reduction rule as the reference's fit-data.py,
+    applied to the non-rotating set)."""
+    import re
+
+    from al26_tpu.models.yields import DATA_DIR, _read_yield_table
+
+    raw = os.path.join(DATA_DIR, "limongi_chieffi_2018", "raw")
+    row = re.compile(r"^\s*(\d+)\s+(-?\d+)\s+(\S+)\s+(.*)$")
+
+    def parse(path, iso, n):
+        with open(path) as f:
+            for line in f:
+                m = row.match(line)
+                if m and int(m.group(1)) == 0 and int(m.group(2)) == 0 \
+                        and m.group(3) == iso:
+                    vals = [float(x) for x in m.group(4).split()]
+                    if len(vals) == n:
+                        return np.asarray(vals)
+        raise AssertionError(f"{iso} not found")
+
+    shipped = _read_yield_table(
+        os.path.join(DATA_DIR, "limongi_chieffi_2018",
+                     "wind-yields-vel0.csv"), {"Al26"})["Al26"][1]
+    t8 = parse(os.path.join(raw, "limongi-table-8.txt"), "Al26", 9)
+    t9 = parse(os.path.join(raw, "limongi-table-9.txt"), "Al26", 4)
+    expect = np.concatenate([t9, t8[4:]])
+    np.testing.assert_allclose(shipped, expect, rtol=1e-10)
+
+
+def test_init_cluster_uses_yields_vel(tmp_path):
+    """cfg.yields_vel reaches the per-star yield data: a 20 Msun star's
+    wind ratio differs between the vel=300 and vel=0 reductions."""
+    base = SimConfig(n=16, rc=1.0, seed=3, dtype="f64",
+                     no_massive_star_requirement=True)
+
+    def ratios(cfg):
+        import dataclasses as _d
+
+        from al26_tpu.models.yields import (feh_for_z, massive_star_yields,
+                                            read_slrs)
+
+        slrs = read_slrs(feh=feh_for_z(cfg.metallicity),
+                         vel=cfg.yields_vel)
+        m = np.array([20.0])
+        return massive_star_yields(m, slrs, np.array([5.0]), 13.0)
+
+    y300 = ratios(base)
+    y0 = ratios(base.replace(yields_vel=0))
+    assert y300["wind_ratio_26al"][0] != y0["wind_ratio_26al"][0]
+    # end-to-end through init_cluster: both configurations run
+    from al26_tpu.sim.init import init_cluster
+
+    _, _, resolved = init_cluster(base.replace(yields_vel=0,
+                                               mass_tracks="lc18_vel0"))
+    assert resolved.yields_vel == 0
