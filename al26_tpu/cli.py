@@ -176,8 +176,9 @@ def build_parser() -> argparse.ArgumentParser:
                    default=265.0,
                    help="Natal-kick dispersion per component, km/s "
                         "(Hobbs et al. 2005)")
+    from al26_tpu.models.yields import LC18_VELS
     p.add_argument("--yields_vel", type=int, default=300,
-                   choices=(300, 150, 0),
+                   choices=LC18_VELS,
                    help="Rotation velocity of the LC18 YIELD-table "
                         "reduction (km/s). 300 = the reference's fixed "
                         "fit-data.py selection (default for every track "

@@ -57,6 +57,16 @@ def _read_yield_table(path: str, wanted: set[str]) -> dict[str, tuple[np.ndarray
 
 Z_SUN = 0.02          # LC18 solar metallicity reference (cfg.metallicity)
 _FEH_GRID = (0, -1, -2, -3)   # [Fe/H] values the LC18 tables ship
+LC18_VELS = (300, 150, 0)     # rotation velocities (km/s) in the raw tables
+
+
+def lc18_suffix(vel: int, feh: int) -> str:
+    """File-name suffix of a reduced LC18 table: '' for the reference's
+    (vel=300, [Fe/H]=0) set (fit-data.py's only output), else -vel<V> and/or
+    -feh<N>. Shared with scripts/gen_yield_tables.py so the generator and
+    this reader cannot drift apart on the naming convention."""
+    return ("" if vel == 300 else f"-vel{vel}") + (
+        "" if feh == 0 else f"-feh{feh}")
 
 
 def feh_for_z(z: float) -> int:
@@ -82,15 +92,15 @@ def read_slrs(data_dir: str | None = None, feh: int = 0,
     fit-data.py choice (and what ALL mass-track families pair with by
     default, like the reference pairs vel=300 yields with SeBa tracks);
     0/150 read -vel<V> suffixed tables for self-consistent pairing with
-    the lc18_vel0/150 track families (cfg.yields_vel). The vel=0 solar
-    set ships; scripts/gen_yield_tables.py regenerates every combination
-    from the shipped machine-readable originals (non-solar non-300 sets
-    on demand)."""
+    the lc18_vel0/150 track families (cfg.yields_vel). The vel=0 and
+    vel=150 solar sets ship; scripts/gen_yield_tables.py regenerates every
+    combination from the shipped machine-readable originals (non-solar
+    non-300 sets on demand)."""
     data_dir = data_dir or DATA_DIR
     if feh not in _FEH_GRID:
         raise ValueError(f"[Fe/H]={feh} not in the LC18 grid {_FEH_GRID}")
-    if vel not in (300, 150, 0):
-        raise ValueError(f"vel={vel} not in the LC18 grid (300, 150, 0)")
+    if vel not in LC18_VELS:
+        raise ValueError(f"vel={vel} not in the LC18 grid {LC18_VELS}")
     slrs: dict[str, SLR] = {}
     with open(os.path.join(data_dir, "slr-abundances.csv"), encoding="utf-8-sig") as f:
         next(f)
@@ -102,21 +112,21 @@ def read_slrs(data_dir: str | None = None, feh: int = 0,
                 zss=float(c[5]), zss_err=float(c[6]),
             )
     lc_dir = os.path.join(data_dir, "limongi_chieffi_2018")
-    suffix = ("" if vel == 300 else f"-vel{vel}") + (
-        "" if feh == 0 else f"-feh{feh}")
+    suffix = lc18_suffix(vel, feh)
     wanted = set(slrs)
-    wind_path = os.path.join(lc_dir, f"wind-yields{suffix}.csv")
-    if not os.path.exists(wind_path):
-        raise FileNotFoundError(
-            f"{wind_path} not shipped — regenerate it with "
-            "`python scripts/gen_yield_tables.py` (extend its vel/feh "
-            "loop for this combination)"
-        )
-    for iso, (m, y) in _read_yield_table(wind_path, wanted).items():
-        slrs[iso].wind_mass, slrs[iso].wind_yield = m, y
-    for iso, (m, y) in _read_yield_table(
-            os.path.join(lc_dir, f"sne-yields{suffix}.csv"), wanted).items():
-        slrs[iso].sne_mass, slrs[iso].sne_yield = m, y
+    for stem, mass_attr, yield_attr in (
+            ("wind-yields", "wind_mass", "wind_yield"),
+            ("sne-yields", "sne_mass", "sne_yield")):
+        path = os.path.join(lc_dir, f"{stem}{suffix}.csv")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"{path} not shipped — regenerate it with "
+                "`python scripts/gen_yield_tables.py` (extend its vel/feh "
+                "loop for this combination)"
+            )
+        for iso, (m, y) in _read_yield_table(path, wanted).items():
+            setattr(slrs[iso], mass_attr, m)
+            setattr(slrs[iso], yield_attr, y)
     return slrs
 
 

@@ -86,6 +86,10 @@ def write_csv(path: str, isotopes, rows, mass_cols, vel=300, feh=0) -> None:
 
 
 def main(raw_dir: str | None = None, out_dir: str | None = None) -> None:
+    # The velocity grid and file-name suffix convention are owned by the
+    # runtime reader so generator and reader cannot drift apart.
+    from al26_tpu.models.yields import _FEH_GRID, LC18_VELS, lc18_suffix
+
     raw_dir = raw_dir or os.path.join(_DEFAULT_DIR, "raw")
     out_dir = out_dir or _DEFAULT_DIR
     # [Fe/H] = 0 at vel = 300 keeps the reference file names (fit-data.py
@@ -94,12 +98,11 @@ def main(raw_dir: str | None = None, out_dir: str | None = None) -> None:
     # -vel<V> suffix (selected by cfg.yields_vel, for self-consistent
     # pairing with the lc18_vel0/150 mass-track families) —
     # models/yields.py:read_slrs.
-    for vel in (300, 150, 0):
-        for feh in (0, -1, -2, -3):
+    for vel in LC18_VELS:
+        for feh in _FEH_GRID:
             if vel != 300 and feh != 0:
                 continue  # non-solar non-300 sets: regenerate on demand
-            suffix = ("" if vel == 300 else f"-vel{vel}") + (
-                "" if feh == 0 else f"-feh{feh}")
+            suffix = lc18_suffix(vel, feh)
             isotopes, wind_rows, sne_rows = reduce_tables(raw_dir, vel=vel,
                                                           feh=feh)
             write_csv(os.path.join(out_dir, f"wind-yields{suffix}.csv"),

@@ -346,9 +346,12 @@ def test_global_model_yield_threads_mass_tracks():
 def test_ensemble_parity_seba_sn_fires(tmp_path):
     """Ensembles compose with the reference-outcome configuration: a
     2-member parity-mode ensemble (mass_tracks resolved to seba at each
-    realization's init) fires the member-1 supernova (seed 1 draws a
-    20.5-25 Msun star whose SeBa t_sn < 10 Myr) while member 0, with no
-    such progenitor, stays SN-free."""
+    realization's init) fires the member-1 supernova with a nonzero
+    deposit (seed 1 draws a 22.9 Msun star, inside the 13-25 Msun LC18
+    SN-yield range, with SeBa t_sn < 10 Myr), while member 0's own draw
+    (a 36 Msun star) collapses directly: its event fires but deposits
+    zero (> 25 Msun rows carry zero SN yield, al26_nbody.py:945-967) —
+    per-realization seeds thread through to distinct outcomes."""
     from al26_tpu.sim.driver import run_ensemble
     from al26_tpu.state import CH_SNE
 
@@ -359,6 +362,9 @@ def test_ensemble_parity_seba_sn_fires(tmp_path):
     kicked = np.asarray(out.cluster.kicked).sum(axis=1)
     sne = np.asarray(out.cluster.slr)[:, :, :, CH_SNE].sum(axis=(1, 2))
     assert kicked[1] >= 1 and sne[1] > 0.0
+    # the discriminating half: member 0's collapse event fires too, but
+    # its direct-collapse progenitor must deposit NOTHING
+    assert kicked[0] >= 1 and sne[0] == 0.0
 
 
 # ---------------------------------------------------------------------------
@@ -412,15 +418,13 @@ def test_vel0_yields_match_independent_raw_parse():
     np.testing.assert_allclose(shipped, expect, rtol=1e-10)
 
 
-def test_init_cluster_uses_yields_vel(tmp_path):
+def test_init_cluster_uses_yields_vel():
     """cfg.yields_vel reaches the per-star yield data: a 20 Msun star's
     wind ratio differs between the vel=300 and vel=0 reductions."""
     base = SimConfig(n=16, rc=1.0, seed=3, dtype="f64",
                      no_massive_star_requirement=True)
 
     def ratios(cfg):
-        import dataclasses as _d
-
         from al26_tpu.models.yields import (feh_for_z, massive_star_yields,
                                             read_slrs)
 
