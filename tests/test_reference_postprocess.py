@@ -263,6 +263,61 @@ def test_reference_heating_figure_runs_verbatim(sim_grid, reference_env,
 
 
 @pytest.mark.slow
+def test_reference_plot_3d_pos_runs_verbatim(sim_grid, reference_env,
+                                             monkeypatch):
+    """plot_3d_pos.py runs UNMODIFIED over one of our state files: it
+    pickle-loads the State (al26_plot.read_state), bins stars by mass /
+    disc status (plot_positions, al26_plot.py:111-151) and renders the
+    3-D scatter to pos-<digits>.png. With this, every non-empty
+    reference analysis script (postprocess, slr-statistics, heating,
+    box-plot, 3d-pos; violin-plot.py ships empty) executes verbatim
+    over this framework's output. No-TeX accommodations as in the other
+    figure tests: the script sets text.usetex=True at module level, so
+    the savefig wrapper reverts it at render time, and the legend labels
+    use the LaTeX-only \\textrm macro, which matplotlib's mathtext
+    spells \\mathrm (the box-plot test's set_text shim)."""
+    import matplotlib.pyplot as plt
+    import matplotlib.text
+
+    real_set_text = matplotlib.text.Text.set_text
+
+    def set_text_mathrm(self, s):
+        if isinstance(s, str):
+            s = s.replace("\\textrm", "\\mathrm")
+        return real_set_text(self, s)
+
+    monkeypatch.setattr(matplotlib.text.Text, "set_text", set_text_mathrm)
+    script = os.path.join(REF_PLOTTING, "plot_3d_pos.py")
+    real_savefig = plt.savefig
+
+    def savefig_no_tex(*a, **kw):
+        import matplotlib.text
+
+        plt.rcParams["text.usetex"] = False
+        plt.rcParams["font.family"] = "sans-serif"
+        for num in plt.get_fignums():
+            for t in plt.figure(num).findobj(matplotlib.text.Text):
+                t.set_usetex(False)
+        return real_savefig(*a, **kw)
+
+    monkeypatch.setattr(plt, "savefig", savefig_no_tex)
+    simdir = sorted(glob(str(sim_grid) + "/pt-*/pt-*/pt-*/"))[0]
+    cwd = os.getcwd()
+    os.chdir(simdir)
+    try:
+        state_file = sorted(glob("*-state-*.pkl.zst"))[-1]
+        sys.argv = [script, state_file]
+        runpy.run_path(script, run_name="__main__")
+        from al26_plot import get_digit_from_filename
+
+        out = f"pos-{get_digit_from_filename(state_file)}.png"
+        assert os.path.exists(out) and os.path.getsize(out) > 1000
+    finally:
+        plt.close("all")
+        os.chdir(cwd)
+
+
+@pytest.mark.slow
 def test_reference_box_plot_runs_verbatim(sim_grid, reference_env,
                                           monkeypatch):
     """box-plot.py (seaborn max-enrichment boxplots by (Rc, N)) runs
