@@ -71,7 +71,9 @@ class SimConfig:
     #   LIBRARY callers too, not just the CLI — else "lc18". An explicit
     #   "lc18" + sn_parity_mode keeps rule-parity (SNe gated away).
     #   Round-3 checkpoints (no mass_tracks key) restore as explicit
-    #   "lc18" so resumes never change physics mid-run (from_dict).
+    #   "lc18" so resumes never change physics mid-run
+    #   (from_checkpoint_dict; plain from_dict stays constructor-
+    #   equivalent so fresh library dicts resolve like SimConfig(**d)).
     #   Yield TABLES stay the reference's vel=300 reduction regardless
     #   (fit-data.py) unless yields_vel says otherwise.
     yields_vel: int = 300              # rotation velocity of the LC18
@@ -228,15 +230,27 @@ class SimConfig:
 
     @classmethod
     def from_dict(cls, d: dict) -> "SimConfig":
+        """Constructor-equivalent: a missing key gets the field default,
+        so a fresh user dict behaves exactly like SimConfig(**d) — in
+        particular a missing mass_tracks stays None and resolves against
+        sn_parity_mode at init. Restoring a CHECKPOINT-written dict goes
+        through from_checkpoint_dict instead."""
         known = {f.name for f in dataclasses.fields(cls)}
         clean = {k: v for k, v in d.items() if k in known}
         if isinstance(clean.get("mesh_shape"), list):
             clean["mesh_shape"] = tuple(clean["mesh_shape"])
-        # round-3 checkpoints predate mass_tracks: they ran the lc18
-        # family, so restore it EXPLICITLY — a None would re-resolve
-        # against sn_parity_mode at init and change physics mid-resume.
-        # (A dict that genuinely carries None — an unresolved fresh cfg
-        # round-tripped before init — keeps it.)
-        if "mass_tracks" not in d:
-            clean["mass_tracks"] = "lc18"
         return cls(**clean)
+
+    @classmethod
+    def from_checkpoint_dict(cls, d: dict) -> "SimConfig":
+        """Restore a config serialized INTO a checkpoint (resume path).
+        Round-3 checkpoints predate mass_tracks: they ran the lc18
+        family, so restore it EXPLICITLY — a None would re-resolve
+        against sn_parity_mode at init and change physics mid-resume.
+        (A dict that genuinely carries None — an unresolved fresh cfg
+        round-tripped before init — keeps it; resume re-resolves like a
+        cold start, matching what that run would have done.)"""
+        if "mass_tracks" not in d:
+            d = dict(d)
+            d["mass_tracks"] = "lc18"
+        return cls.from_dict(d)

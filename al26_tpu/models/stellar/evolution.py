@@ -89,7 +89,8 @@ from . import hurley2000, lc18_anchors, seba_anchors
 #                 reduction the SLR yield tables come from (the round-3
 #                 default, bit-identical here).
 # "lc18_vel150" / "lc18_vel0" — the 150 km/s and non-rotating LC18 model
-#                 sets from the same raw tables (lc18_anchors.anchors(vel)).
+#                 sets from the same raw tables
+#                 (lc18_anchors.anchors(feh, vel)).
 # "seba"        — SeBa tracks calibrated on the reference repository's own
 #                 committed SeBa event dumps (seba_anchors): weak winds,
 #                 pre-SN masses near the initial mass, Hurley-matched

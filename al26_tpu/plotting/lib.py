@@ -154,19 +154,38 @@ def calc_disk_final_enrichment(yields_data: Yields, lifetimes_myr):
     return yields_data
 
 
+def _run_stellar_params(metadata, z, mass_tracks):
+    """Resolve (z, mass_tracks) for a snapshot-recompute helper: an
+    explicit kwarg wins, else the run's recorded cfg (metadata.args,
+    written into every checkpoint), else the lc18/solar defaults. Keeps
+    the reference call shape (cluster-only) working while letting
+    callers thread the checkpoint metadata instead of remembering which
+    track family the run used."""
+    args = getattr(metadata, "args", None)
+    if z is None:
+        z = getattr(args, "metallicity", None)
+        z = 0.02 if z is None else float(z)
+    if mass_tracks is None:
+        mass_tracks = getattr(args, "mass_tracks", None) or "lc18"
+    return z, mass_tracks
+
+
 def calc_sn_times(initial_cluster: Particles, return_keys: bool = False,
-                  z: float = 0.02, mass_tracks: str = "lc18"):
+                  z: float | None = None, mass_tracks: str | None = None,
+                  metadata=None):
     """Supernova times and masses for the cluster's massive stars
     (al26_plot.py:244-279). The reference runs a throwaway SeBa with a
     supernova stopping condition; here the stellar module's lifetime
     function answers directly. Masses/keys come back in descending-mass
     order with times ascending, as the consumers expect. Pass the run's
-    cfg.mass_tracks: seba-track runs collapse 0.7-2.5% later than the
-    lc18/Hurley default (several golden-dt steps for a 20 Msun star)."""
+    state.metadata (or cfg.mass_tracks explicitly): seba-track runs
+    collapse 0.7-2.5% later than the lc18/Hurley default (several
+    golden-dt steps for a 20 Msun star)."""
     import jax.numpy as jnp
 
     from ..models.stellar.evolution import t_sn
 
+    z, mass_tracks = _run_stellar_params(metadata, z, mass_tracks)
     mass = np.asarray(initial_cluster.mass.value_in(msol))
     keys = np.asarray(initial_cluster.key)
     hm = np.flatnonzero(mass >= 13.0)
@@ -251,20 +270,24 @@ def get_high_mass_star_indices(cluster: Particles):
 
 def calc_global_model_yield(cluster: Particles, time_myr: float,
                             dt_myr: float, radius_method: str = "halfmass",
-                            metallicity: float = 0.02,
-                            mass_tracks: str = "lc18"):
+                            metallicity: float | None = None,
+                            mass_tracks: str | None = None,
+                            metadata=None):
     """Recompute the global-model wind deposition rate for a snapshot
     (al26_plot.py:488-544): stellar wind rates at `time_myr` from the
     stellar-evolution module, bubble radius from the half-mass or virial
-    radius. Pass the run's cfg.mass_tracks (and metallicity): a
-    seba-track run's wind rates are orders of magnitude below the lc18
-    default's, so recomputing with the wrong family silently mismatches
-    what the simulation deposited."""
+    radius. Pass the run's state.metadata (or cfg.mass_tracks and
+    metallicity explicitly): a seba-track run's wind rates are orders of
+    magnitude below the lc18 default's, so recomputing with the wrong
+    family silently mismatches what the simulation deposited."""
     import jax.numpy as jnp
 
     from ..models.stellar.evolution import wind_mdot
     from ..ops.deposition import wind_deposition
     from ..ops.nbody import virial_radius
+
+    metallicity, mass_tracks = _run_stellar_params(
+        metadata, metallicity, mass_tracks)
 
     pos, vel, mass = _pos_vel_mass(cluster)
     m0 = np.asarray(

@@ -199,7 +199,7 @@ def load_run(base: str, n_checkpoint: Optional[int] = None,
         base, n_checkpoint
     )
     metadata.update_access_time()
-    cfg = override_cfg or SimConfig.from_dict(vars(metadata.args))
+    cfg = override_cfg or SimConfig.from_checkpoint_dict(vars(metadata.args))
     dtype = jnp.float64 if cfg.dtype == "f64" else jnp.float32
     cluster = particles_to_cluster(particles, dtype=dtype)
     if not isinstance(converter, Converter):

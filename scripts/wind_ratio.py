@@ -5,10 +5,14 @@ wind-ratio.py analysis scripts (SeBa-driven there): for each initial mass,
 integrate wind_ratio * mdot(t) over time and plot/print the cumulative SLR
 release alongside the lifetime total from the LC18 tables.
 
-Usage: python scripts/wind_ratio.py [out.pdf] [mass_tracks]
+Usage: python scripts/wind_ratio.py [out.pdf] [mass_tracks] [yields_vel]
 (also prints a text table; mass_tracks selects the stellar track
 family — lc18 default, or e.g. seba for the reference-outcome runs,
-whose wind budgets are orders of magnitude smaller)
+whose wind budgets are orders of magnitude smaller. yields_vel selects
+the LC18 yield-table reduction like cfg.yields_vel: 300 by default for
+EVERY track family — the reference itself pairs vel=300 yields with
+SeBa tracks — pass 0/150 alongside lc18_vel0/lc18_vel150 for the fully
+self-consistent non-rotating/150 km/s analysis)
 """
 from __future__ import annotations
 
@@ -32,13 +36,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(outname: str = "wind-ratio.pdf",
-         mass_tracks: str = "lc18") -> None:
+         mass_tracks: str = "lc18", yields_vel: int | str = 300) -> None:
     import jax.numpy as jnp
 
     from al26_tpu.models.stellar import evolution as st
     from al26_tpu.models.yields import calc_slr_yield, read_slrs
 
-    slrs = read_slrs()
+    slrs = read_slrs(vel=int(yields_vel))
     al = slrs["Al26"]
     masses = [20.0, 25.0, 30.0, 40.0, 60.0]
     curves = {}

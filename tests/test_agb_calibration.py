@@ -118,12 +118,13 @@ def test_shipped_slr_columns_are_constant_fractions():
 
 
 def test_sub8_t_end_anchors_bounded_by_hurley_tbgb():
-    """The sub-8 Msun end-of-burning anchors (_T_END) are bounded by the
-    published Hurley t_bgb: t_end/t_bgb in [0.95, 1.30] across the band
-    (the AGB tip sits a giant-branch duration past the BGB). These
-    anchors position the AGB phase absolutely; every shipped consumer
-    (the phase-relative generated tables) depends only on the CALIBRATED
-    durations."""
+    """The sub-8 Msun end-of-burning times (t_end's closed form,
+    Hurley t_bgb x (1 + F_POST_BGB) — round 4 replaced the old hand-set
+    _T_END table) stay bounded by the published t_bgb: t_end/t_bgb in
+    [0.95, 1.30] across the band (the AGB tip sits a giant-branch
+    duration past the BGB). These times position the AGB phase
+    absolutely; every shipped consumer (the phase-relative generated
+    tables) depends only on the CALIBRATED durations."""
     m = np.array([0.8, 1.5, 3.0, 5.0, 7.0, 7.9])
     ratio = (np.asarray(st.t_end(jnp.asarray(m)))
              / np.asarray(hurley2000.t_bgb(m)))

@@ -230,7 +230,16 @@ def test_parity_mode_resolves_seba_tracks_at_init():
     d = SimConfig(n=8).to_dict()
     d.pop("mass_tracks")
     d["sn_parity_mode"] = True
-    assert SimConfig.from_dict(d).mass_tracks == "lc18"
+    assert SimConfig.from_checkpoint_dict(d).mass_tracks == "lc18"
+    # ...but a FRESH user dict missing the key behaves like the
+    # constructor: mass_tracks stays None and resolves to seba at init
+    # (the documented reference-outcome pairing, library callers too)
+    cfg_fresh = SimConfig.from_dict(
+        {"n": 8, "sn_parity_mode": True,
+         "no_massive_star_requirement": True})
+    assert cfg_fresh.mass_tracks is None
+    _, _, resolved = init_cluster(cfg_fresh)
+    assert resolved.mass_tracks == "seba"
     # an unresolved cfg consumed WITHOUT init resolution fails loudly
     with pytest.raises(ValueError, match="unresolved"):
         st.m_presn(jnp.asarray(20.0), tracks=None)
@@ -328,9 +337,12 @@ def test_global_model_yield_threads_mass_tracks():
     state, aux, cfg = init_cluster(cfg)
     m0 = np.asarray(state.cluster.m0).copy()
     m0[0] = 20.0
+    mass = np.asarray(state.cluster.mass).copy()
+    mass[0] = 20.0  # current mass too: calc_sn_times bins on it
     wind_ratio = np.asarray(state.cluster.wind_ratio).copy()
     wind_ratio[0] = [1e-5, 1e-5]
     cluster = dataclasses.replace(state.cluster, m0=jnp.asarray(m0),
+                                  mass=jnp.asarray(mass),
                                   wind_ratio=jnp.asarray(wind_ratio))
     p = cluster_to_particles(cluster)
     # t = 9.0 Myr: the 20 Msun star is post-MS on BOTH families, where
@@ -341,6 +353,17 @@ def test_global_model_yield_threads_mass_tracks():
                                          mass_tracks="seba")
     assert al_lc.sum() > 0.0 and al_seba.sum() > 0.0
     assert al_lc.sum() > 50.0 * al_seba.sum()
+    # the run's RECORDED cfg threads through metadata= — no need to
+    # remember which family the run used (checkpoint args carry it)
+    from al26_tpu.io.compat import Args, Metadata
+    from al26_tpu.plotting.lib import calc_sn_times
+
+    md = Metadata(Args(**cfg.replace(mass_tracks="seba").to_dict()), 10.0)
+    al_md, _ = calc_global_model_yield(p, 9.0, 0.01, metadata=md)
+    np.testing.assert_array_equal(al_md, al_seba)
+    t_md, _ = calc_sn_times(p, metadata=md)
+    t_seba, _ = calc_sn_times(p, mass_tracks="seba")
+    assert t_md == t_seba and t_md != calc_sn_times(p)[0]
 
 
 def test_ensemble_parity_seba_sn_fires(tmp_path):

@@ -145,6 +145,37 @@ def reference_env():
                 sys.modules[k] = prev
 
 
+def _no_tex_render(monkeypatch):
+    """This image ships no TeX, so make the reference figure scripts
+    render TeX-free while staying verbatim: (a) wrap plt.savefig to
+    revert their text.usetex rcParams at render time (Text objects
+    capture usetex at creation, so revert those too), and (b) spell the
+    LaTeX-only \\textrm macro the mathtext way (\\mathrm) as labels are
+    set. Shared by all four verbatim figure tests."""
+    import matplotlib.pyplot as plt
+    import matplotlib.text
+
+    real_set_text = matplotlib.text.Text.set_text
+
+    def set_text_mathrm(self, s):
+        if isinstance(s, str):
+            s = s.replace("\\textrm", "\\mathrm")
+        return real_set_text(self, s)
+
+    monkeypatch.setattr(matplotlib.text.Text, "set_text", set_text_mathrm)
+    real_savefig = plt.savefig
+
+    def savefig_no_tex(*a, **kw):
+        plt.rcParams["text.usetex"] = False
+        plt.rcParams["font.family"] = "sans-serif"
+        for num in plt.get_fignums():
+            for t in plt.figure(num).findobj(matplotlib.text.Text):
+                t.set_usetex(False)
+        return real_savefig(*a, **kw)
+
+    monkeypatch.setattr(plt, "savefig", savefig_no_tex)
+
+
 def test_reference_postprocess_runs_verbatim(sim_grid, reference_env,
                                              tmp_path):
     import pandas as pd
@@ -196,25 +227,12 @@ def test_reference_slr_statistics_figure_runs_verbatim(sim_grid,
     """The reference's paper-figure script plot_slr_statistics.py also
     runs UNMODIFIED over this framework's run output (2x2 CDF grid of
     enrichment ratios read straight off our state/yields files). The one
-    environment accommodation: no TeX lives in this image, so the
-    script's use_tex() rcParams are reverted inside the savefig wrapper
-    (rendering happens at save time); everything else is verbatim."""
+    environment accommodation is _no_tex_render; everything else is
+    verbatim."""
     import matplotlib.pyplot as plt
 
     script = os.path.join(REF_PLOTTING, "plot_slr_statistics.py")
-    real_savefig = plt.savefig
-
-    def savefig_no_tex(*a, **kw):
-        import matplotlib.text
-
-        plt.rcParams["text.usetex"] = False
-        for num in plt.get_fignums():
-            # Text objects capture usetex at creation; revert those too
-            for t in plt.figure(num).findobj(matplotlib.text.Text):
-                t.set_usetex(False)
-        return real_savefig(*a, **kw)
-
-    monkeypatch.setattr(plt, "savefig", savefig_no_tex)
+    _no_tex_render(monkeypatch)
     simset = glob(str(sim_grid) + "/pt-*/pt-*/")[0]
     cwd = os.getcwd()
     os.chdir(simset)
@@ -238,18 +256,7 @@ def test_reference_heating_figure_runs_verbatim(sim_grid, reference_env,
     import matplotlib.pyplot as plt
 
     script = os.path.join(REF_PLOTTING, "plot_slr_heating.py")
-    real_savefig = plt.savefig
-
-    def savefig_no_tex(*a, **kw):
-        import matplotlib.text
-
-        plt.rcParams["text.usetex"] = False
-        for num in plt.get_fignums():
-            for t in plt.figure(num).findobj(matplotlib.text.Text):
-                t.set_usetex(False)
-        return real_savefig(*a, **kw)
-
-    monkeypatch.setattr(plt, "savefig", savefig_no_tex)
+    _no_tex_render(monkeypatch)
     simset = glob(str(sim_grid) + "/pt-*/pt-*/")[0]
     cwd = os.getcwd()
     os.chdir(simset)
@@ -271,36 +278,13 @@ def test_reference_plot_3d_pos_runs_verbatim(sim_grid, reference_env,
     3-D scatter to pos-<digits>.png. With this, every non-empty
     reference analysis script (postprocess, slr-statistics, heating,
     box-plot, 3d-pos; violin-plot.py ships empty) executes verbatim
-    over this framework's output. No-TeX accommodations as in the other
-    figure tests: the script sets text.usetex=True at module level, so
-    the savefig wrapper reverts it at render time, and the legend labels
-    use the LaTeX-only \\textrm macro, which matplotlib's mathtext
-    spells \\mathrm (the box-plot test's set_text shim)."""
+    over this framework's output. The only environment accommodation is
+    _no_tex_render (the script sets text.usetex=True at module level and
+    its legend labels use the LaTeX-only \\textrm macro)."""
     import matplotlib.pyplot as plt
-    import matplotlib.text
 
-    real_set_text = matplotlib.text.Text.set_text
-
-    def set_text_mathrm(self, s):
-        if isinstance(s, str):
-            s = s.replace("\\textrm", "\\mathrm")
-        return real_set_text(self, s)
-
-    monkeypatch.setattr(matplotlib.text.Text, "set_text", set_text_mathrm)
     script = os.path.join(REF_PLOTTING, "plot_3d_pos.py")
-    real_savefig = plt.savefig
-
-    def savefig_no_tex(*a, **kw):
-        import matplotlib.text
-
-        plt.rcParams["text.usetex"] = False
-        plt.rcParams["font.family"] = "sans-serif"
-        for num in plt.get_fignums():
-            for t in plt.figure(num).findobj(matplotlib.text.Text):
-                t.set_usetex(False)
-        return real_savefig(*a, **kw)
-
-    monkeypatch.setattr(plt, "savefig", savefig_no_tex)
+    _no_tex_render(monkeypatch)
     simdir = sorted(glob(str(sim_grid) + "/pt-*/pt-*/pt-*/"))[0]
     cwd = os.getcwd()
     os.chdir(simdir)
@@ -325,24 +309,14 @@ def test_reference_box_plot_runs_verbatim(sim_grid, reference_env,
     state files and renders the boxplot axes (the script constructs the
     figure without saving it — executing to completion with a non-empty
     frame is the verbatim check). seaborn triggers text layout mid-
-    script, so the no-TeX accommodation here neuters al26_plot.use_tex
-    (this image ships no TeX) rather than wrapping savefig."""
+    script, so on top of _no_tex_render this test neuters
+    al26_plot.use_tex (a savefig-time revert would come too late)."""
     import matplotlib.pyplot as plt
-    import matplotlib.text
 
     import al26_plot  # the reference's module (reference_env sys.path)
 
     monkeypatch.setattr(al26_plot, "use_tex", lambda *a, **kw: None)
-    # TeX-free rendering: the script's labels use the LaTeX-only \textrm
-    # macro, which matplotlib's mathtext spells \mathrm
-    real_set_text = matplotlib.text.Text.set_text
-
-    def set_text_mathrm(self, s):
-        if isinstance(s, str):
-            s = s.replace("\\textrm", "\\mathrm")
-        return real_set_text(self, s)
-
-    monkeypatch.setattr(matplotlib.text.Text, "set_text", set_text_mathrm)
+    _no_tex_render(monkeypatch)
     script = os.path.join(REF_PLOTTING, "box-plot.py")
     cwd = os.getcwd()
     os.chdir(sim_grid)
