@@ -68,8 +68,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Time until interloper enters AGB phase (Myr)")
     p.add_argument("-trji", "--interloper_trajectory", action="store_true",
                    help="Write AGB position to text file, interloper_trajectory.dat")
-    p.add_argument("-t_f", "--final_time", type=float, default=10.0,
-                   help="Final time to simulate to in Myr")
+    p.add_argument("-t_f", "--final_time", type=float, default=None,
+                   help="Final time to simulate to in Myr (default 10). "
+                        "With -r: extend/truncate the resumed run to "
+                        "~this time on the stored step grid (the "
+                        "reference re-reads -t_f on reload, "
+                        "al26_nbody.py:1638); omit it to continue the "
+                        "stored schedule")
     p.add_argument("-v", "--verbose", action="store_true",
                    help="Print additional statements")
     # TPU-native extras
@@ -205,6 +210,15 @@ def config_from_args(args: argparse.Namespace):
             )
     d = vars(args).copy()
     d.pop("adaptive_timestep", None)
+    # -t_f is dual-purpose like the reference's (al26_nbody.py:1638 reads
+    # it from the fresh invocation on reload): on a cold start it IS the
+    # schedule (default 10 Myr); alongside -r an EXPLICIT value extends
+    # the resumed run (extend_final_time), while omitting it continues
+    # the stored schedule instead of the reference's silent re-default.
+    if d.get("reload") and d.get("final_time") is not None:
+        d["extend_final_time"] = d["final_time"]
+    if d.get("final_time") is None:
+        d["final_time"] = 10.0
     if d.get("mass_tracks") is None and d.get("sn_parity_mode"):
         # the resolution itself lives at init (sim.init.init_cluster,
         # so library callers get it too); the CLI just says so up front

@@ -32,6 +32,18 @@ class SimConfig:
     final_time: float = 10.0           # Myr                           (ref: -t_f)
     n_plot: int = 100                  # checkpoints per run   (al26_nbody.py:54)
     steps_per_plot: int = 10           # substeps per save     (al26_nbody.py:55)
+    extend_final_time: Optional[float] = None  # Myr; with reload only: run
+    #   the RESUMED simulation on to ~this time (the reference reads -t_f
+    #   from the fresh invocation on every reload, al26_nbody.py:1638,786,
+    #   so `-r X -t_f 20` extends a finished 10 Myr run). The reference
+    #   recomputes dt = t_f/(n_plot*spp) from the NEW t_f — silently
+    #   changing the physics timestep mid-run; here time lives on the
+    #   step grid (time = step_count * dt), so extension keeps the
+    #   ORIGINAL dt and grows n_plot instead (extended_to), landing
+    #   final_time on the nearest whole save interval. The CLI maps an
+    #   explicit `-t_f` alongside `-r` to this field; a bare `-r X`
+    #   continues the stored schedule (deliberate divergence: the
+    #   reference would silently re-default an extended run to 10 Myr).
 
     # -- physics constants --------------------------------------------
     r_bub_local_wind: float = 0.1      # pc (al26_nbody.py:77)
@@ -224,6 +236,24 @@ class SimConfig:
 
     def replace(self, **kw) -> "SimConfig":
         return dataclasses.replace(self, **kw)
+
+    def extended_to(self, t_new: float) -> "SimConfig":
+        """Extend (or truncate) the run schedule to ~`t_new` Myr KEEPING
+        the current timestep: n_plot grows/shrinks by whole save
+        intervals at the original dt, and final_time lands on the
+        nearest step-grid point (time = step_count * dt stays exact).
+        The reference instead recomputes dt from the fresh -t_f on every
+        reload (al26_nbody.py:786,1638) — same capability, but without
+        silently changing the physics timestep mid-run. The returned cfg
+        clears extend_final_time: it is a one-shot resume directive, not
+        part of the stored schedule."""
+        if t_new <= 0.0:
+            raise ValueError(f"extend_final_time={t_new}: must be > 0 Myr")
+        interval = self.dt * self.steps_per_plot
+        n_plot_new = max(1, round(t_new / interval))
+        return self.replace(n_plot=n_plot_new,
+                            final_time=n_plot_new * interval,
+                            extend_final_time=None)
 
     def to_dict(self) -> dict:
         return dataclasses.asdict(self)

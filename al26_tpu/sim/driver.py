@@ -27,7 +27,8 @@ import numpy as np
 
 from ..config import SimConfig
 from ..io import checkpoint as ckpt
-from ..io.compat import Args, Converter, Metadata, cluster_to_particles, particles_to_cluster
+from ..io.compat import (Args, Converter, Metadata, Quantity,
+                         cluster_to_particles, particles_to_cluster)
 from ..io.yields_store import Yields
 from ..state import SimState
 from ..units import myr
@@ -237,10 +238,30 @@ def run(cfg: SimConfig, progress: bool = True,
     # config (reference semantics, al26_nbody.py:1647) — whose own reload
     # field is empty
     reload_base = cfg.reload
+    extend_t = cfg.extend_final_time
+    if extend_t is not None and not reload_base:
+        raise ValueError(
+            "extend_final_time is a resume directive: set reload too "
+            "(a cold start takes its schedule from final_time/n_plot)"
+        )
     if reload_base:
         state, aux, cfg, metadata, yields, converter = load_run(
             reload_base, cfg.n_checkpoint, data_dir=data_dir
         )
+        if extend_t is not None:
+            # `-r X -t_f T` extends/truncates the resumed run to ~T on
+            # the ORIGINAL step grid (reference: al26_nbody.py:1638,786
+            # reads t_f from the fresh invocation; see
+            # SimConfig.extended_to for the dt-preserving divergence).
+            # Write the new schedule into the stored args so the NEXT
+            # resume continues the extended run, not the original one.
+            cfg = cfg.extended_to(extend_t)
+            metadata.args.final_time = cfg.final_time
+            metadata.args.n_plot = cfg.n_plot
+            metadata.t_f = Quantity(cfg.final_time, myr)
+            if abs(cfg.final_time - extend_t) > 1e-9 * max(1.0, extend_t):
+                print(f"# extend: final time snapped to the save grid: "
+                      f"{extend_t} -> {cfg.final_time} Myr")
         # continue writing at the PATH the user pointed at, not at
         # metadata.filename: the metadata records only the original base
         # NAME, so a path-qualified resume ('-r out/sim' from another cwd)
@@ -512,6 +533,12 @@ def run_ensemble(cfg: SimConfig, progress: bool = True,
             "BHTree-parity leapfrog with the raw-potential virial radius "
             "(docs/precision.md)"
         )
+    extend_t = cfg.extend_final_time
+    if extend_t is not None and not cfg.reload:
+        raise ValueError(
+            "extend_final_time is a resume directive: set reload too "
+            "(a cold start takes its schedule from final_time/n_plot)"
+        )
     if cfg.reload:
         states, auxes, cfgs, metas, yieldses, converters, sim_dirs = (
             load_ensemble(cfg.reload, cfg.n_checkpoint, data_dir)
@@ -519,6 +546,15 @@ def run_ensemble(cfg: SimConfig, progress: bool = True,
         n_real = len(sim_dirs)
         batch_state, batch_aux = stack_ensemble(states, auxes)
         cfg = cfgs[0]
+        if extend_t is not None:
+            # same `-r X -t_f T` extension semantics as run(): one grid-
+            # preserving schedule shared by every realization, carried
+            # into each stored args for the next resume
+            cfg = cfg.extended_to(extend_t)
+            for md in metas:
+                md.args.final_time = cfg.final_time
+                md.args.n_plot = cfg.n_plot
+                md.t_f = Quantity(cfg.final_time, myr)
         for k in range(n_real):
             base_k = os.path.join(sim_dirs[k], metas[k].filename)
             _bound_resumed_yields(

@@ -199,6 +199,74 @@ def test_resume_continues_identically(tmp_path):
         os.chdir(cwd)
 
 
+def test_resume_extends_final_time(tmp_path):
+    """`-r X -t_f T` extends a finished run (the reference re-reads -t_f
+    from the fresh invocation on reload, al26_nbody.py:1638,786). Ours
+    keeps the ORIGINAL dt and snaps T to the save grid
+    (SimConfig.extended_to), so the extension bit-matches an
+    uninterrupted run on the same grid; the extended schedule is written
+    into the stored args so the NEXT resume continues it."""
+    import pytest
+
+    from al26_tpu.config import SimConfig
+    from al26_tpu.sim.driver import run
+
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        # original: 1.0 Myr on dt = 1.0/(5*4) = 0.05; uninterrupted
+        # comparator: 2.0 Myr on the SAME grid (n_plot doubled)
+        cfg = SimConfig(n=32, rc=0.5, final_time=1.0, seed=9,
+                        filename="short", n_plot=5, steps_per_plot=4)
+        run(cfg, progress=False)
+        full = run(cfg.replace(filename="long", final_time=2.0, n_plot=10),
+                   progress=False)
+
+        # 1.93 snaps to the nearest whole save interval (0.2) -> 2.0
+        res = run(SimConfig(reload="short", extend_final_time=1.93),
+                  progress=False)
+        assert res.cfg.final_time == pytest.approx(2.0)
+        assert res.cfg.dt == pytest.approx(0.05)
+        assert float(res.state.time) == pytest.approx(2.0)
+        np.testing.assert_allclose(
+            np.asarray(res.state.cluster.pos),
+            np.asarray(full.state.cluster.pos), rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(
+            np.asarray(res.state.cluster.slr),
+            np.asarray(full.state.cluster.slr), rtol=1e-8, atol=1e-30)
+
+        # the stored schedule now IS the extended one: a plain resume
+        # from an interior checkpoint runs on to 2.0 Myr
+        res2 = run(SimConfig(reload="short", n_checkpoint=7),
+                   progress=False)
+        assert res2.cfg.final_time == pytest.approx(2.0)
+        assert float(res2.state.time) == pytest.approx(2.0)
+
+        # a one-shot directive: the extended run's own cfg doesn't carry it
+        assert res.cfg.extend_final_time is None
+
+        # extension without reload fails loudly
+        with pytest.raises(ValueError, match="resume directive"):
+            run(SimConfig(n=8, extend_final_time=2.0), progress=False)
+    finally:
+        os.chdir(cwd)
+
+
+def test_cli_maps_t_f_to_extension_on_reload():
+    """config_from_args: an explicit -t_f alongside -r becomes
+    extend_final_time; a bare -r continues the stored schedule (no
+    silent re-default to 10 Myr); cold starts default to 10."""
+    from al26_tpu.cli import build_parser, config_from_args
+
+    p = build_parser()
+    cfg = config_from_args(p.parse_args(["-r", "x", "-t_f", "20"]))
+    assert cfg.extend_final_time == 20.0
+    cfg = config_from_args(p.parse_args(["-r", "x"]))
+    assert cfg.extend_final_time is None
+    cfg = config_from_args(p.parse_args(["-n", "8", "-rc", "1.0"]))
+    assert cfg.final_time == 10.0 and cfg.extend_final_time is None
+
+
 class _RefLikeClass:
     """Module-level donor class: its pickle bytes get rewritten to point at
     a module that does not exist here (mimicking an AMUSE class)."""

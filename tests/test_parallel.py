@@ -316,6 +316,37 @@ def test_ensemble_resume_roundtrip(tmp_path):
                                   np.asarray(full.cluster.slr))
 
 
+def test_ensemble_resume_extends_final_time(tmp_path):
+    """`--ensemble -r X -t_f T`: the whole grid extends on the original
+    step grid (SimConfig.extended_to) and bit-matches an uninterrupted
+    ensemble on the same grid; every realization's stored args carry the
+    extended schedule for the next resume."""
+    import os
+
+    import numpy as np
+
+    from al26_tpu.sim.driver import run_ensemble
+
+    cfg = SimConfig(n=24, rc=0.5, final_time=0.5, seed=77, ensemble=2,
+                    n_plot=2, steps_per_plot=5,
+                    no_massive_star_requirement=True)
+    run_ensemble(cfg, progress=False, root=str(tmp_path / "short"))
+    full, _, _ = run_ensemble(cfg.replace(final_time=1.0, n_plot=4),
+                              progress=False, root=str(tmp_path / "long"))
+    cfg_r = cfg.replace(reload=str(tmp_path / "short" / "pt-0.5-24"),
+                        extend_final_time=0.96)  # snaps to 1.0
+    resumed, dirs_r, _ = run_ensemble(cfg_r, progress=False)
+    assert float(resumed.time[0]) == pytest.approx(1.0)
+    np.testing.assert_array_equal(np.asarray(resumed.cluster.pos),
+                                  np.asarray(full.cluster.pos))
+    np.testing.assert_array_equal(np.asarray(resumed.cluster.slr),
+                                  np.asarray(full.cluster.slr))
+    # next plain resume continues the EXTENDED schedule
+    again, _, _ = run_ensemble(cfg.replace(
+        reload=str(tmp_path / "short" / "pt-0.5-24")), progress=False)
+    assert float(again.time[0]) == pytest.approx(1.0)
+
+
 # ---------------------------------------------------------------------------
 # Round-3 mesh-path parity with the single-chip cache machinery
 # (VERDICT r2 weak item 3 / next-round item 4)
