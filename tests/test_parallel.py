@@ -316,6 +316,7 @@ def test_ensemble_resume_roundtrip(tmp_path):
                                   np.asarray(full.cluster.slr))
 
 
+@pytest.mark.slow  # faster sibling: test_io.py::test_resume_extends_final_time
 def test_ensemble_resume_extends_final_time(tmp_path):
     """`--ensemble -r X -t_f T`: the whole grid extends on the original
     step grid (SimConfig.extended_to) and bit-matches an uninterrupted
