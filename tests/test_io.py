@@ -841,6 +841,47 @@ def test_trajectory_file_reset_on_rerun_and_resume(tmp_path):
         os.chdir(cwd)
 
 
+def test_interloper_resume_keeps_depositing(tmp_path):
+    """A resumed interloper run continues AGB deposition and bit-matches
+    the uninterrupted run. Deliberate divergence from the reference,
+    which arms the AGB lookup only on a COLD start (al26_nbody.py:1660
+    gates read_AGBs() on args.reload == \"\"), so its resumed -i runs
+    carry AGB=None and silently stop depositing; our resume rebuilds the
+    AGB wind tables from the restored config (_rebuild_aux). See
+    docs/MIGRATION.md \"Resume\"."""
+    from al26_tpu.config import SimConfig
+    from al26_tpu.sim.driver import run
+    from al26_tpu.units import msol
+
+    kw = dict(n=24, rc=0.5, final_time=0.2, seed=6,
+              filename="ir", n_plot=4, steps_per_plot=5,
+              star_max_mass=3.0, no_massive_star_requirement=True,
+              interloper=True, interloper_mass=3.0,
+              interloper_velocity=20.0, interloper_radius=0.05,
+              interloper_offset_time=0.0)
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        full = run(SimConfig(**kw), progress=False)
+        agb_full = np.asarray(full.state.cluster.agb_raw)
+        assert agb_full.sum() > 0.0, "fixture flyby never deposited"
+
+        # resume just BEFORE the flyby window (deposition lands between
+        # checkpoints 1 and 2 for this fixture); the AGB channel must
+        # still be GROWING afterwards (the reference's would freeze here)
+        res = run(SimConfig(reload="ir", n_checkpoint=1), progress=False)
+        from al26_tpu.io.checkpoint import load_checkpoint
+
+        parts, _, _, _ = load_checkpoint("ir", 1)
+        agb_at_resume = (np.asarray(parts.mass_26al_agb_raw.value_in(msol))
+                         + np.asarray(parts.mass_60fe_agb_raw.value_in(msol)))
+        agb_res = np.asarray(res.state.cluster.agb_raw)
+        np.testing.assert_array_equal(agb_res, agb_full)
+        assert agb_res.sum() > agb_at_resume.sum()
+    finally:
+        os.chdir(cwd)
+
+
 def test_particles_index_bounds():
     """Particles integer indexing supports negatives but RAISES on
     out-of-range instead of silently wrapping to a wrong star
