@@ -239,6 +239,7 @@ def run(cfg: SimConfig, progress: bool = True,
     # field is empty
     reload_base = cfg.reload
     extend_t = cfg.extend_final_time
+    fresh_verbose = cfg.verbose
     if extend_t is not None and not reload_base:
         raise ValueError(
             "extend_final_time is a resume directive: set reload too "
@@ -248,6 +249,11 @@ def run(cfg: SimConfig, progress: bool = True,
         state, aux, cfg, metadata, yields, converter = load_run(
             reload_base, cfg.n_checkpoint, data_dir=data_dir
         )
+        # -v is a property of the INVOCATION, not the stored run: the
+        # reference reads it from the fresh args on reload (its prints
+        # all gate on the current argparse namespace). Physics/store
+        # knobs stay restored.
+        cfg = cfg.replace(verbose=fresh_verbose)
         if extend_t is not None:
             # `-r X -t_f T` extends/truncates the resumed run to ~T on
             # the ORIGINAL step grid (reference: al26_nbody.py:1638,786
@@ -534,6 +540,7 @@ def run_ensemble(cfg: SimConfig, progress: bool = True,
             "(docs/precision.md)"
         )
     extend_t = cfg.extend_final_time
+    fresh_verbose = cfg.verbose
     if extend_t is not None and not cfg.reload:
         raise ValueError(
             "extend_final_time is a resume directive: set reload too "
@@ -545,7 +552,8 @@ def run_ensemble(cfg: SimConfig, progress: bool = True,
         )
         n_real = len(sim_dirs)
         batch_state, batch_aux = stack_ensemble(states, auxes)
-        cfg = cfgs[0]
+        cfg = cfgs[0].replace(verbose=fresh_verbose)  # see run(): -v is
+        #   a property of the invocation, like the reference's
         if extend_t is not None:
             # same `-r X -t_f T` extension semantics as run(): one grid-
             # preserving schedule shared by every realization, carried

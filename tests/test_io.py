@@ -248,6 +248,13 @@ def test_resume_extends_final_time(tmp_path):
         # extension without reload fails loudly
         with pytest.raises(ValueError, match="resume directive"):
             run(SimConfig(n=8, extend_final_time=2.0), progress=False)
+
+        # -v follows the INVOCATION on reload, like the reference (whose
+        # prints gate on the current argparse namespace), not the stored
+        # run's flag
+        res3 = run(SimConfig(reload="short", n_checkpoint=9,
+                             verbose=True), progress=False)
+        assert res3.cfg.verbose is True
     finally:
         os.chdir(cwd)
 
