@@ -70,11 +70,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Write AGB position to text file, interloper_trajectory.dat")
     p.add_argument("-t_f", "--final_time", type=float, default=None,
                    help="Final time to simulate to in Myr (default 10). "
-                        "With -r: extend/truncate the resumed run to "
-                        "~this time on the stored step grid (the "
-                        "reference re-reads -t_f on reload, "
-                        "al26_nbody.py:1638); omit it to continue the "
-                        "stored schedule")
+                        "With -r: extend the resumed run to ~this time "
+                        "on the stored step grid (the reference "
+                        "re-reads -t_f on reload, al26_nbody.py:1638); "
+                        "omit it to continue the stored schedule. To "
+                        "shorten a run, resume from an earlier "
+                        "checkpoint with -nc")
     p.add_argument("-v", "--verbose", action="store_true",
                    help="Print additional statements")
     # TPU-native extras
@@ -219,7 +220,16 @@ def config_from_args(args: argparse.Namespace):
         d["extend_final_time"] = d["final_time"]
     if d.get("final_time") is None:
         d["final_time"] = 10.0
-    if d.get("mass_tracks") is None and d.get("sn_parity_mode"):
+    if d.get("reload"):
+        # physics/config comes from the CHECKPOINT on resume (run()
+        # restores it wholesale); of the fresh flags only -t_f / -v /
+        # -nc act. Say so instead of letting e.g. a fresh
+        # --sn_parity_mode look like it changed the resumed physics.
+        if d.get("sn_parity_mode") or d.get("mass_tracks"):
+            print("# -r: physics flags are ignored on resume — the "
+                  "checkpoint's recorded config is restored (fresh "
+                  "-t_f / -v / -nc still apply)")
+    elif d.get("mass_tracks") is None and d.get("sn_parity_mode"):
         # the resolution itself lives at init (sim.init.init_cluster,
         # so library callers get it too); the CLI just says so up front
         print("# --sn_parity_mode: mass_tracks resolves to seba "

@@ -44,6 +44,12 @@ class SimConfig:
     #   explicit `-t_f` alongside `-r` to this field; a bare `-r X`
     #   continues the stored schedule (deliberate divergence: the
     #   reference would silently re-default an extended run to 10 Myr).
+    dt_override: Optional[float] = None  # Myr; set by extended_to so an
+    #   extension keeps the stored timestep BIT-exactly: the dt property
+    #   otherwise derives final_time/(n_plot*spp), and no float
+    #   final_time choice guarantees that division reproduces the
+    #   original dt to the last ulp for non-dyadic schedules. Persisted
+    #   into the checkpoint args so later resumes stay on the same grid.
 
     # -- physics constants --------------------------------------------
     r_bub_local_wind: float = 0.1      # pc (al26_nbody.py:77)
@@ -227,7 +233,10 @@ class SimConfig:
     @property
     def dt(self) -> float:
         """Fixed outer timestep: t_f / (n_plot * steps_per_plot)
-        (al26_nbody.py:786)."""
+        (al26_nbody.py:786), or the bit-exact stored grid after a run
+        extension (dt_override, see extended_to)."""
+        if self.dt_override is not None:
+            return self.dt_override
         return self.final_time / (self.n_plot * self.steps_per_plot)
 
     @property
@@ -238,21 +247,25 @@ class SimConfig:
         return dataclasses.replace(self, **kw)
 
     def extended_to(self, t_new: float) -> "SimConfig":
-        """Extend (or truncate) the run schedule to ~`t_new` Myr KEEPING
-        the current timestep: n_plot grows/shrinks by whole save
-        intervals at the original dt, and final_time lands on the
-        nearest step-grid point (time = step_count * dt stays exact).
-        The reference instead recomputes dt from the fresh -t_f on every
-        reload (al26_nbody.py:786,1638) — same capability, but without
-        silently changing the physics timestep mid-run. The returned cfg
-        clears extend_final_time: it is a one-shot resume directive, not
-        part of the stored schedule."""
+        """Extend (or shrink) the run schedule to ~`t_new` Myr KEEPING
+        the current timestep: n_plot changes by whole save intervals at
+        the original dt, and final_time lands on the nearest step-grid
+        point. The original dt is pinned via dt_override — recomputing
+        it from the new final_time would drift by an ulp for non-dyadic
+        schedules, and time = step_count * dt must stay on the stored
+        grid exactly. The reference instead recomputes dt from the fresh
+        -t_f on every reload (al26_nbody.py:786,1638) — same capability,
+        but without silently changing the physics timestep mid-run. The
+        returned cfg clears extend_final_time: it is a one-shot resume
+        directive, not part of the stored schedule."""
         if t_new <= 0.0:
             raise ValueError(f"extend_final_time={t_new}: must be > 0 Myr")
-        interval = self.dt * self.steps_per_plot
+        dt = self.dt
+        interval = dt * self.steps_per_plot
         n_plot_new = max(1, round(t_new / interval))
         return self.replace(n_plot=n_plot_new,
                             final_time=n_plot_new * interval,
+                            dt_override=dt,
                             extend_final_time=None)
 
     def to_dict(self) -> dict:

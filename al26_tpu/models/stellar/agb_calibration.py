@@ -112,12 +112,22 @@ def anchors() -> dict:
     return out
 
 
+@lru_cache(maxsize=None)
+def _log_grids() -> dict:
+    """log(M_GRID) and log(anchor) arrays, computed once (interp is
+    called several times per agb_mdot evaluation)."""
+    a = anchors()
+    return {"log_m": np.log(M_GRID),
+            **{name: np.log(a[name])
+               for name in ("duration", "m_enter", "m_final", "k")}}
+
+
 def interp(name: str, m0):
     """Log-log interpolation of one anchor array at m0, clamped to the
-    calibrated [3, 7] Msun grid (numpy or jnp input)."""
+    calibrated [3, 7] Msun grid (numpy or jnp input). Same convention
+    as evolution's _sn_anchor_grid branch: exp(interp(log m))."""
     import jax.numpy as jnp
 
-    a = anchors()
+    g = _log_grids()
     x = jnp.log(jnp.clip(m0, M_GRID[0], M_GRID[-1]))
-    return jnp.exp(jnp.interp(x, jnp.asarray(np.log(M_GRID)),
-                              jnp.asarray(np.log(a[name]))))
+    return jnp.exp(jnp.interp(x, g["log_m"], g[name]))

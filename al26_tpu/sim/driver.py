@@ -255,15 +255,26 @@ def run(cfg: SimConfig, progress: bool = True,
         # knobs stay restored.
         cfg = cfg.replace(verbose=fresh_verbose)
         if extend_t is not None:
-            # `-r X -t_f T` extends/truncates the resumed run to ~T on
-            # the ORIGINAL step grid (reference: al26_nbody.py:1638,786
+            # `-r X -t_f T` extends the resumed run to ~T on the
+            # ORIGINAL step grid (reference: al26_nbody.py:1638,786
             # reads t_f from the fresh invocation; see
             # SimConfig.extended_to for the dt-preserving divergence).
             # Write the new schedule into the stored args so the NEXT
             # resume continues the extended run, not the original one.
             cfg = cfg.extended_to(extend_t)
+            if cfg.n_steps <= int(state.step_count):
+                # a target at/behind the resumed time would be a silent
+                # no-op (the loop takes zero steps and persists nothing)
+                # — refuse loudly; the -nc path IS the truncation tool
+                raise ValueError(
+                    f"-t_f {extend_t} does not extend this resume: the "
+                    f"checkpoint is already at t = {float(state.time)} "
+                    f"Myr. To shorten a run, resume from an earlier "
+                    f"checkpoint with -nc instead"
+                )
             metadata.args.final_time = cfg.final_time
             metadata.args.n_plot = cfg.n_plot
+            metadata.args.dt_override = cfg.dt_override
             metadata.t_f = Quantity(cfg.final_time, myr)
             if abs(cfg.final_time - extend_t) > 1e-9 * max(1.0, extend_t):
                 print(f"# extend: final time snapped to the save grid: "
@@ -559,9 +570,18 @@ def run_ensemble(cfg: SimConfig, progress: bool = True,
             # preserving schedule shared by every realization, carried
             # into each stored args for the next resume
             cfg = cfg.extended_to(extend_t)
+            t0 = float(np.asarray(batch_state.time[0]))
+            if cfg.n_steps <= int(round(t0 / cfg.dt)):
+                raise ValueError(
+                    f"-t_f {extend_t} does not extend this resume: the "
+                    f"checkpoints are already at t = {t0} Myr. To "
+                    f"shorten a run, resume from an earlier checkpoint "
+                    f"with -nc instead"
+                )
             for md in metas:
                 md.args.final_time = cfg.final_time
                 md.args.n_plot = cfg.n_plot
+                md.args.dt_override = cfg.dt_override
                 md.t_f = Quantity(cfg.final_time, myr)
         for k in range(n_real):
             base_k = os.path.join(sim_dirs[k], metas[k].filename)

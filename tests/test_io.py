@@ -249,6 +249,28 @@ def test_resume_extends_final_time(tmp_path):
         with pytest.raises(ValueError, match="resume directive"):
             run(SimConfig(n=8, extend_final_time=2.0), progress=False)
 
+        # a target at/behind the resumed time is NOT a silent no-op:
+        # truncation is the -nc path's job
+        with pytest.raises(ValueError, match="does not extend"):
+            run(SimConfig(reload="short", extend_final_time=1.0),
+                progress=False)
+
+        # NON-dyadic schedules keep the stored dt BIT-exactly across an
+        # extension (dt_override; recomputing final_time/(n_plot*spp)
+        # drifts by an ulp for grids like 0.7/20)
+        cfg_nd = SimConfig(n=16, rc=0.5, final_time=0.7, seed=3,
+                           filename="nd", n_plot=5, steps_per_plot=4,
+                           no_massive_star_requirement=True)
+        run(cfg_nd, progress=False)
+        res_nd = run(SimConfig(reload="nd", extend_final_time=1.0),
+                     progress=False)
+        assert res_nd.cfg.dt == cfg_nd.dt  # bitwise, no approx
+        assert res_nd.cfg.n_plot == 7
+        # and the NEXT resume restores the same grid from the stored args
+        from al26_tpu.sim.driver import load_run
+        _, _, cfg_nd2, _, _, _ = load_run("nd")
+        assert cfg_nd2.dt == cfg_nd.dt
+
         # -v follows the INVOCATION on reload, like the reference (whose
         # prints gate on the current argparse namespace), not the stored
         # run's flag
