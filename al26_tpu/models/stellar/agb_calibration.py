@@ -47,10 +47,9 @@ from functools import lru_cache
 
 import numpy as np
 
-DATA_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "data", "agb_wind",
-)
+from . import common
+
+DATA_DIR = os.path.join(common.DATA_ROOT, "agb_wind")
 M_GRID = np.array([3.0, 5.0, 6.0, 7.0])
 
 
@@ -124,10 +123,8 @@ def _log_grids() -> dict:
 
 def interp(name: str, m0):
     """Log-log interpolation of one anchor array at m0, clamped to the
-    calibrated [3, 7] Msun grid (numpy or jnp input). Same convention
-    as evolution's _sn_anchor_grid branch: exp(interp(log m))."""
-    import jax.numpy as jnp
-
+    calibrated [3, 7] Msun grid (numpy or jnp input). The shared
+    convention (common.loglog_interp), same as evolution's
+    _sn_anchor_grid branch: exp(interp(log m))."""
     g = _log_grids()
-    x = jnp.log(jnp.clip(m0, M_GRID[0], M_GRID[-1]))
-    return jnp.exp(jnp.interp(x, g["log_m"], g[name]))
+    return common.loglog_interp(m0, g["log_m"], g[name])

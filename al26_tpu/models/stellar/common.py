@@ -1,0 +1,29 @@
+"""Shared helpers for the stellar-model calibration modules.
+
+Single source for the package data root (al26_tpu/data, holding the
+shipped LC18 raw tables, SeBa event dumps and AGB wind tables these
+modules calibrate on at import) and the one interpolation convention
+they all use: log-log linear between anchors, clamped at the grid ends
+(replacing a copy of the same expression in evolution, lc18_anchors,
+seba_anchors and agb_calibration each).
+"""
+from __future__ import annotations
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+# al26_tpu/data — this file lives at al26_tpu/models/stellar/common.py
+DATA_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "data",
+)
+
+
+def loglog_interp(m0, log_m, log_y):
+    """exp(interp(log m0)) over (log_m, log_y) anchors, clamped to the
+    grid ends. jnp or numpy input; anchors are host-side numpy arrays
+    (converted at trace time, so this is jit/vmap-safe)."""
+    x = jnp.log(jnp.clip(m0, np.exp(log_m[0]), np.exp(log_m[-1])))
+    return jnp.exp(jnp.interp(x, jnp.asarray(log_m), jnp.asarray(log_y)))

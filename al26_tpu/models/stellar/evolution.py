@@ -80,7 +80,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import hurley2000, lc18_anchors, seba_anchors
+from . import common, hurley2000, lc18_anchors, seba_anchors
 
 # --------------------------------------------------------------------------
 # Mass-track families (cfg.mass_tracks; VERDICT r3 item 1)
@@ -147,15 +147,31 @@ M_NS = 1.4
 
 # numerical guard: at most this fraction of the lifetime wind budget is
 # shed on the MS, keeping the post-MS rate strictly positive (the SN
-# signal is mdot == 0, al26_nbody.py:946-948). Never active on the LC18
-# grids — the Z-scaled NJ90 MS loss peaks at 0.40 of the budget (feh=0,
-# 120 Msun; tests/test_stellar_yields.py) — it only bounds off-grid
-# extrapolation there. On the "seba" tracks it engages routinely: the
-# SeBa wind budget (0.16-13.7 Msun over 20-80 Msun, seba_anchors) is
-# comparable to the NJ90 MS integral itself, so the budget splits
-# half/half between the phases (a timing choice only; the
-# lifetime-integrated SLR release is budget-pinned either way).
+# signal is mdot == 0, al26_nbody.py:946-948). Where it engages
+# (measured sweep, m in [8, 120] x all families x z in {2e-2, 2e-3,
+# 2e-4}): ALWAYS near the 8 Msun anchor (the budget m0 - m_presn
+# vanishes there on every family while the NJ90 MS integral does not —
+# uncapped ratios reach 1.3-45 in the 8-13 band, which sits below the
+# reference's 13 Msun physics threshold); on "seba" for every m >= 13
+# (the SeBa budget, 0.16-13.7 Msun over 20-80 Msun, is comparable to
+# the NJ90 MS integral itself — seba_anchors); and on lc18_vel0 at
+# z = 2e-4 for about half the 13-120 grid (peak ratio 1.8 at 60 Msun).
+# On the rotating lc18/lc18_vel150 families at m >= 13 the uncapped
+# ratio peaks at 0.40-0.43 (120 Msun, z=0.02), so the cap stays
+# inactive there. Engaging is a TIMING choice only: the
+# lifetime-integrated SLR release is budget-pinned either way.
 _MS_BUDGET_CAP = 0.5
+
+# strictly positive floor on the lifetime wind budget (Msun): at the
+# exact 8 Msun anchor (and anywhere the interpolated m_presn clamps to
+# m0) the budget is 0, which would make the ALIVE wind rate exactly 0 —
+# the reserved post-supernova signal (wind_mdot docstring;
+# ops/deposition.py treats sn_candidate & mdot == 0 as "collapsed"), so
+# a configurable high_mass_threshold <= 8 would inject that star's SN
+# ~its whole lifetime early. 1e-30 Msun over a ~40 Myr life keeps the
+# rates normal in f32 (~1e-32 Msun/Myr) and is bit-invisible everywhere
+# the budget is genuinely positive (jnp.maximum is identity there).
+_DM_WIND_FLOOR = 1e-30
 
 
 @lru_cache(maxsize=None)
@@ -230,10 +246,10 @@ def t_sn(m0: jax.Array, z: float = 0.02, tracks: str = "lc18") -> jax.Array:
     return jnp.where(m0 >= SN_MIN_MASS, t_end(m0, z, tracks), jnp.inf)
 
 
-def _sn_branch_interp(m0: jax.Array, log_m: np.ndarray,
-                      log_y: np.ndarray) -> jax.Array:
-    x = jnp.log(jnp.clip(m0, np.exp(log_m[0]), np.exp(log_m[-1])))
-    return jnp.exp(jnp.interp(x, jnp.asarray(log_m), jnp.asarray(log_y)))
+
+# the shared log-log-clamped anchor interpolation (common.loglog_interp);
+# kept under its historical name — it is the SN-branch convention here
+_sn_branch_interp = common.loglog_interp
 
 
 def m_presn(m0: jax.Array, z: float = 0.02,
@@ -275,7 +291,7 @@ def _phase_rates(m0, z: float = 0.02, tracks: str = "lc18"):
     SeBa's own lifetime loss at e.g. 20 Msun (~0.16 Msun) is comparable
     to its NJ90 MS integral, i.e. its post-MS phases shed little."""
     t_cc = t_end(m0, z, tracks)
-    dm_wind = jnp.maximum(m0 - m_presn(m0, z, tracks), 0.0)
+    dm_wind = jnp.maximum(m0 - m_presn(m0, z, tracks), _DM_WIND_FLOOR)
     t_ms = t_cc / (1.0 + hurley2000.F_HE_BURN)
     log_mg, log_rate = _ms_mdot_table(z)
     mdot_zams = _sn_branch_interp(m0, log_mg, log_rate)

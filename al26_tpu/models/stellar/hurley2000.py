@@ -67,6 +67,10 @@ def coeffs(z: float = Z_SOLAR) -> dict:
 
     zeta = log10(z / 0.02); x = max(0.95, min(0.95 - 0.03(zeta + 0.30103),
     0.99)) — Hurley et al. (2000) eq. (6)."""
+    if not 1e-4 <= z <= 0.03:
+        raise ValueError(
+            f"z={z} outside the Hurley+2000 fit validity range [1e-4, 0.03]"
+        )
     zeta = math.log10(z / Z_SOLAR)
     zs = (1.0, zeta, zeta * zeta, zeta * zeta * zeta)
     a = {i: sum(c * p for c, p in zip(poly, zs))

@@ -53,6 +53,8 @@ from functools import lru_cache
 
 import numpy as np
 
+from . import common
+
 # initial-mass grid of the LC18 models (Msun), table 8 column order
 M_GRID = np.array([13.0, 15.0, 20.0, 25.0, 30.0, 40.0, 60.0, 80.0, 120.0])
 # masses covered by the wind-only table 9 (models that also explode)
@@ -60,11 +62,12 @@ M_GRID_WIND = M_GRID[:4]
 VEL = 300  # km/s, the reference's fixed selection (fit-data.py)
 VEL_GRID = (0, 150, 300)  # rotation velocities tabulated in the raw files
 FEH_GRID = (0, -1, -2, -3)
+# isotope rows per (vel, [Fe/H]) model set in tables 8 AND 9 — H to Bi209.
+# A mass-conservation sum is only right if every row is seen, so the
+# parse validates this count instead of silently summing what matched.
+_N_ISO = 333
 
-_RAW_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "data", "limongi_chieffi_2018", "raw",
-)
+_RAW_DIR = os.path.join(common.DATA_ROOT, "limongi_chieffi_2018", "raw")
 
 _ROW = re.compile(r"^\s*(\d+)\s+(-?\d+)\s+(\S+)\s+(.*)$")
 
@@ -72,8 +75,11 @@ _ROW = re.compile(r"^\s*(\d+)\s+(-?\d+)\s+(\S+)\s+(.*)$")
 @lru_cache(maxsize=None)
 def _yield_sums(path: str, n_mass: int) -> dict:
     """{(vel, feh): per-mass total ejected mass} summed over all isotopes.
-    One parse per table file covers every [Fe/H] set (cached)."""
+    One parse per table file covers every [Fe/H] set (cached). Raises if
+    any of the 12 (vel, feh) sets is missing rows — a partial sum would
+    silently break the mass-conservation anchors."""
     out: dict = {}
+    counts: dict = {}
     with open(path) as f:
         for line in f:
             m = _ROW.match(line)
@@ -85,6 +91,15 @@ def _yield_sums(path: str, n_mass: int) -> dict:
             key = (int(m.group(1)), int(m.group(2)))
             acc = out.setdefault(key, np.zeros(n_mass))
             acc += vals
+            counts[key] = counts.get(key, 0) + 1
+    expected = {(v, f) for v in VEL_GRID for f in FEH_GRID}
+    bad = {k: c for k, c in sorted(counts.items()) if c != _N_ISO}
+    if set(out) != expected or bad:
+        raise ValueError(
+            f"LC18 raw table {os.path.basename(path)} parse incomplete: "
+            f"keys {sorted(out)} (expected {sorted(expected)}), "
+            f"off-count keys {bad} (expected {_N_ISO} isotope rows each)"
+        )
     return out
 
 

@@ -65,10 +65,9 @@ from functools import lru_cache
 
 import numpy as np
 
-_DATA = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "data", "seba", "binev-events.csv",
-)
+from . import common
+
+_DATA = os.path.join(common.DATA_ROOT, "seba", "binev-events.csv")
 
 # the SeBa run grid recorded in the reference tarball (fit.ipynb/yield.py)
 M_GRID = np.array([20.0, 30.0, 40.0, 50.0, 60.0, 70.0, 80.0])

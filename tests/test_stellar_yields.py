@@ -408,20 +408,72 @@ def test_nj90_formula_transcription():
 
 
 def test_ms_wind_cap_never_engages_on_grid():
-    """The _MS_BUDGET_CAP guard is inactive for every LC18 grid mass and
-    [Fe/H]: the NJ90-at-ZAMS MS loss stays below half the wind budget, so
-    the post-MS rate is strictly positive (the SN signal is mdot == 0)."""
+    """The _MS_BUDGET_CAP guard is inactive for every LC18 grid mass on
+    the default (vel=300) family at every PRODUCTION-REACHABLE (z, [Fe/H])
+    pairing: the NJ90-at-ZAMS MS loss stays below half the wind budget,
+    so the post-MS rate is strictly positive (the SN signal is mdot == 0).
+    The pairings use the runtime resolution feh_for_z — the feh=-3 set is
+    unreachable within the Hurley validity range [1e-4, 0.03] (it needs
+    z < 6.3e-5), and a cross-matched low-z/feh=-3 combination DOES engage
+    the cap at 20 Msun (a timing choice, see evolution._MS_BUDGET_CAP)."""
     from al26_tpu.models.stellar import hurley2000 as h
     from al26_tpu.models.stellar import lc18_anchors as lc
+    from al26_tpu.models.yields import feh_for_z
 
     tms = np.asarray(h.t_ms(lc.M_GRID))
-    for feh, z in [(0, 0.02), (-1, 0.002), (-2, 2e-4), (-3, 2e-5)]:
-        presn, _ = lc.anchors(feh)
+    zs = [0.02, 0.002, 2e-4, 1e-4]
+    assert [feh_for_z(z) for z in zs] == [0, -1, -2, -2]
+    for z in zs:
+        presn, _ = lc.anchors(feh_for_z(z))
         dm_ms = np.asarray(h.ms_wind_mdot(lc.M_GRID, z)) * tms
         frac = dm_ms / (lc.M_GRID - presn)
-        assert np.all(frac < st._MS_BUDGET_CAP), (feh, frac)
+        assert np.all(frac < st._MS_BUDGET_CAP), (z, frac)
         _, _, mdot_post, _ = st._phase_rates(jnp.asarray(lc.M_GRID), z)
-        assert np.all(np.asarray(mdot_post) > 0.0), feh
+        assert np.all(np.asarray(mdot_post) > 0.0), z
+
+
+def test_wind_rate_positive_at_the_8msun_anchor():
+    """The lifetime wind budget m0 - m_presn vanishes at the exact 8 Msun
+    anchor on the LC18 families (the anchor grid pins presn(8) = 8), so
+    without _DM_WIND_FLOOR the ALIVE rate there would be exactly 0 — the
+    reserved post-collapse SN signal (al26_nbody.py:946-948). Pin > 0
+    while alive and == 0 after collapse, on every track family."""
+    m0 = jnp.asarray(8.0)
+    for tracks in st.TRACKS:
+        t_cc = float(st.t_end(m0, 0.02, tracks))
+        for frac in (0.1, 0.5, 0.98):
+            rate = float(st.wind_mdot(m0, jnp.asarray(t_cc * frac),
+                                      0.02, tracks))
+            assert rate > 0.0, (tracks, frac)
+        assert float(st.wind_mdot(m0, jnp.asarray(t_cc * 1.001),
+                                  0.02, tracks)) == 0.0, tracks
+
+
+def test_wind_rates_strictly_positive_dense_grid():
+    """Both phase rates stay strictly positive over a dense [8, 120]
+    grid for every family: mdot == 0 must mean 'collapsed', never
+    'budget rounded to zero' (the floor keeps the 8-Msun-adjacent band
+    and the interpolation-clamp plateaus off exact zero)."""
+    ms = jnp.asarray(np.geomspace(8.0, 120.0, 257))
+    for tracks in st.TRACKS:
+        _, mdot_ms, mdot_post, _ = st._phase_rates(ms, 0.02, tracks)
+        assert np.all(np.asarray(mdot_ms) > 0.0), tracks
+        assert np.all(np.asarray(mdot_post) > 0.0), tracks
+
+
+def test_hurley_z_validity_guard():
+    """coeffs raises outside the published fit range [1e-4, 0.03]: the
+    config-level check (sim.init) is bypassed by library callers passing
+    an explicit z kwarg, so the formula module enforces its own domain."""
+    from al26_tpu.models.stellar import hurley2000 as h
+
+    with pytest.raises(ValueError, match="validity"):
+        h.coeffs(5e-5)
+    with pytest.raises(ValueError, match="validity"):
+        st.t_sn(jnp.asarray(20.0), z=0.05)
+    # the boundary values are valid
+    assert float(h.t_bgb(jnp.asarray(20.0), 1e-4)) > 0.0
+    assert float(h.t_bgb(jnp.asarray(20.0), 0.03)) > 0.0
 
 
 def test_ms_mdot_table_matches_closed_form():
