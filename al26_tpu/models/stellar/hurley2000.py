@@ -61,16 +61,25 @@ _A_POLY = {
 }
 
 
+def check_z(z: float) -> None:
+    """Domain guard for every published fit in this module: the Hurley
+    et al. (2000) (and Kudritzki et al. 1989 wind-scaling) calibrations
+    cover Z in [1e-4, 0.03]. sim.init enforces the same range on
+    cfg.metallicity; this catches library callers passing an explicit z
+    kwarg that bypasses the config check."""
+    if not 1e-4 <= z <= 0.03:
+        raise ValueError(
+            f"z={z} outside the Hurley+2000 fit validity range [1e-4, 0.03]"
+        )
+
+
 @lru_cache(maxsize=None)
 def coeffs(z: float = Z_SOLAR) -> dict:
     """a1-a10 plus the eq. (6) exponent x, as plain floats at metallicity z.
 
     zeta = log10(z / 0.02); x = max(0.95, min(0.95 - 0.03(zeta + 0.30103),
     0.99)) — Hurley et al. (2000) eq. (6)."""
-    if not 1e-4 <= z <= 0.03:
-        raise ValueError(
-            f"z={z} outside the Hurley+2000 fit validity range [1e-4, 0.03]"
-        )
+    check_z(z)
     zeta = math.log10(z / Z_SOLAR)
     zs = (1.0, zeta, zeta * zeta, zeta * zeta * zeta)
     a = {i: sum(c * p for c, p in zip(poly, zs))
@@ -194,5 +203,6 @@ def ms_wind_mdot(m, z: float = Z_SOLAR) -> _np.ndarray:
     shed in the post-MS phase, consistent with massive-star mass loss
     being RSG/WR-dominated (the anchors' LC18 models; see
     evolution._phase_rates)."""
+    check_z(z)
     return (1.0e6 * math.sqrt(z / Z_SOLAR)
             * mdot_nj90(m, l_zams(m), r_zams(m)))

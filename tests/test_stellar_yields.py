@@ -471,6 +471,9 @@ def test_hurley_z_validity_guard():
         h.coeffs(5e-5)
     with pytest.raises(ValueError, match="validity"):
         st.t_sn(jnp.asarray(20.0), z=0.05)
+    # the wind-rate path carries its own (Kudritzki-scaled) z too
+    with pytest.raises(ValueError, match="validity"):
+        h.ms_wind_mdot(20.0, 5e-5)
     # the boundary values are valid
     assert float(h.t_bgb(jnp.asarray(20.0), 1e-4)) > 0.0
     assert float(h.t_bgb(jnp.asarray(20.0), 0.03)) > 0.0
