@@ -105,11 +105,24 @@ def build_parser() -> argparse.ArgumentParser:
                         "and row-shards each realization's force sweep "
                         "across R")
     p.add_argument("--force_impl", type=str, default="auto",
-                   choices=("auto", "pallas", "sharded", "ring", "default"),
+                   choices=("auto", "pallas", "sharded", "ring", "default",
+                            "tree"),
                    help="Pairwise force backend (auto: sharded when a mesh "
                         "is set, Pallas tiled kernel on TPU at N >= 4096 in "
                         "f32, plain XLA otherwise; ring = ppermute-streamed "
-                        "columns, O(N/D) memory per chip)")
+                        "columns, O(N/D) memory per chip; tree = opt-in "
+                        "Barnes-Hut monopole tier, leapfrog-only, the "
+                        "reference BHTree's algorithmic class — for "
+                        "N >~ 2e5)")
+    p.add_argument("--tree_theta", type=float, default=0.75,
+                   help="Barnes-Hut opening angle for --force_impl tree "
+                        "(0.75 = the reference BHTree default)")
+    p.add_argument("--tree_leaf", type=int, default=256,
+                   help="Stars per Morton leaf block (--force_impl tree)")
+    p.add_argument("--tree_kavg", type=int, default=0,
+                   help="Near-field pair budget per block (--force_impl "
+                        "tree); 0 = auto-size at init from measured "
+                        "partner counts x2 slack")
     p.add_argument("--eta", dest="eta_hermite", type=float, default=0.14,
                    help="Hermite accuracy parameter (smaller = more "
                         "substeps)")

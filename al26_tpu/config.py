@@ -221,7 +221,23 @@ class SimConfig:
     #   being written for the analysis pipeline.
     force_impl: str = "auto"           # pairwise force backend:
     #   "auto" (sharded if mesh, Pallas on TPU at N >= 4096/f32, else XLA),
-    #   "pallas" | "sharded" | "ring" | "default" — see sim.step._build_force_fn
+    #   "pallas" | "sharded" | "ring" | "default" | "tree" —
+    #   see sim.step._build_force_fn. "tree" is the opt-in Barnes-Hut
+    #   tier (ops/tree.py): the same algorithmic class as the reference's
+    #   default BHTree solver, leapfrog-only, single-chip, approximate
+    #   (monopole MAC at tree_theta) — for N >~ 2e5 where the exact
+    #   O(N^2) roof dominates. Knobs below.
+    tree_theta: float = 0.75           # Barnes-Hut opening angle (the
+    #   reference BHTree default, al26_nbody.py:59,1712-1714) for the
+    #   conservative block-level MAC. Measured on fractal ICs at
+    #   N=65536: median |da|/|a| 2.1e-3 (p99 2.0e-2) vs exact.
+    tree_leaf: int = 256               # stars per Morton leaf block
+    tree_kavg: int = 0                 # near-field budget: pair-list
+    #   length = tree_kavg * n_blocks. 0 = auto-size at init from the
+    #   initial cluster's measured partner counts (x2 slack,
+    #   sim.init.resolve_integrator); overflow at runtime poisons the
+    #   forces with NaN so utils.validate fails loudly at the next
+    #   checkpoint instead of silently truncating forces.
 
     @property
     def eps2(self) -> float:

@@ -1,0 +1,439 @@
+"""Fixed-shape Barnes-Hut tree gravity for TPU.
+
+The reference's default gravity is AMUSE BHTree (a classic Barnes-Hut
+octree treecode, monopole cells, opening angle 0.75;
+al26_nbody.py:59,1712-1714). This build's default remains exact direct
+summation (more accurate than any tree, and faster on TPU up to
+N ~ 1e5 — ops/pallas_nbody.py), but the O(N^2) roof eventually wins:
+at N = 4e5 a full-physics step costs ~208 s/Myr on one chip. This module
+is the opt-in approximate tier for that regime — the same algorithmic
+class as the reference's default solver, redesigned for XLA's static
+shapes (no pointers, no recursion, no data-dependent sizes):
+
+  1. Morton-sort stars and split the sorted order into B = 2^D
+     equal-count *leaf blocks* of L stars (one (static) reshape).
+  2. Build a complete binary tree over the blocks bottom-up: each node
+     stores total mass, centre of mass and a bounding radius
+     (levels are arrays [2^l], a static python loop over l).
+  3. For every (target block, node) pair evaluate a *conservative* MAC
+     (multipole acceptance criterion):
+
+         accept  <=>  r_node < theta * (|com_node - com_block| - r_block)
+
+     i.e. the node must look small from *every* star of the target
+     block, not just from its centre. Nodes whose parent was already
+     accepted are masked off top-down. Ancestor nodes of the target
+     block can never be accepted for theta <= 1 (their bounding sphere
+     contains the block, so |com_n - com_b| <= r_node + r_block), so no
+     explicit self-exclusion is needed.
+  4. Far field: accepted nodes contribute their monopole. Evaluated
+     densely — every star against every node of every level, masked by
+     the block-level accept matrix. That is sum_l N*2^l = 2*N*B point-
+     node interactions, ~1% of the N^2 exact pair work at L = 256, and
+     entirely gather-free (TPU-friendly).
+  5. Near field: leaf blocks that survive to the bottom unaccepted
+     (including the block itself) are resolved by exact P2P. The true
+     entries of the [B, B] mask are packed into ONE flat, statically
+     padded pair list of (target block, source block) indices; a
+     lax.scan over fixed-size chunks evaluates [C, L, L] exact pair
+     tiles and scatter-adds them into the per-block accumulators. Work
+     therefore scales with the MEAN partner count, not the max — on
+     fractal ICs the count distribution is heavy-tailed (N = 4e5,
+     theta = 0.75: mean 171 of 2048 blocks but max 1515; a per-block
+     [B, kmax] packing would pay the max and erase the entire win).
+     Pair lists longer than the static budget are reported via the
+     returned `overflow` flag (forces are then *underestimated*: excess
+     pairs are dropped — callers must treat overflow as an error).
+
+Cost: kavg*L*N + 2*N^2/L pair-interactions vs N^2 exact. Measured on
+the production fractal ICs (D = 2.0) at N = 4e5, theta = 0.75 (the
+reference BHTree's own opening angle): ~0.12 of the exact pair work.
+
+Unlike the flat single-level decomposition measured as a dead end in
+ROADMAP.md ("Measured dead end (round 4)"), the multi-level MAC gives
+every node a distance-proportional size bound, which is what recovers
+BHTree-class accuracy (the flat K-nearest-blocks cut could not).
+
+All functions are pure and jittable; `leaf`, `theta`, `kavg` are static.
+f32-safe (no f64 required); works under vmap over a leading ensemble
+axis only via outer wrapping (positions define their own sort).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..units import G_INTERNAL
+
+
+# ---------------------------------------------------------------------------
+# Morton (Z-order) keys — 10 bits per axis, int32-safe (30-bit keys).
+# Key resolution only has to be fine enough to make the sorted order
+# spatially coherent; ties inside one 1/1024-box cell are harmless (the
+# tree works on the *positions*, the keys only choose the ordering).
+# ---------------------------------------------------------------------------
+def _spread_bits_10(x: jax.Array) -> jax.Array:
+    """Spread the low 10 bits of int32 x so consecutive bits land 3 apart
+    (standard magic-number bit interleave)."""
+    x = x & 0x3FF
+    x = (x | (x << 16)) & 0x30000FF
+    x = (x | (x << 8)) & 0x300F00F
+    x = (x | (x << 4)) & 0x30C30C3
+    x = (x | (x << 2)) & 0x9249249
+    return x
+
+
+def morton_keys(pos: jax.Array) -> jax.Array:
+    """int32 Z-order keys for pos [N,3], normalised to the data bounds."""
+    lo = jnp.min(pos, axis=0)
+    hi = jnp.max(pos, axis=0)
+    span = jnp.maximum(hi - lo, 1e-30)
+    q = ((pos - lo) / span * 1023.0).astype(jnp.int32)
+    q = jnp.clip(q, 0, 1023)
+    return (
+        _spread_bits_10(q[:, 0])
+        | (_spread_bits_10(q[:, 1]) << 1)
+        | (_spread_bits_10(q[:, 2]) << 2)
+    )
+
+
+class BlockTree(NamedTuple):
+    """Complete binary tree over Morton-sorted equal-count leaf blocks.
+
+    levels[l] holds (mass [2^l], com [2^l,3], radius [2^l]) for the 2^l
+    nodes at depth l; levels[-1] are the leaves (one per block).
+    """
+
+    order: jax.Array        # [Np] sorted-particle -> original index
+    pos_s: jax.Array        # [B, L, 3] sorted, padded positions
+    mass_s: jax.Array       # [B, L] sorted, padded masses (pad = 0)
+    gidx_s: jax.Array       # [B, L] original index per slot (pad = Np..)
+    masses: Tuple[jax.Array, ...]
+    coms: Tuple[jax.Array, ...]
+    radii: Tuple[jax.Array, ...]
+
+
+def build_block_tree(pos: jax.Array, mass: jax.Array, leaf: int) -> BlockTree:
+    """Sort by Morton key, pad to B = 2^D blocks of `leaf`, reduce the
+    node properties bottom-up. Padding slots replicate the last sorted
+    star's position with zero mass, so they never perturb a centre of
+    mass or inflate a bounding radius."""
+    n = pos.shape[0]
+    nblocks = -(-n // leaf)
+    depth = max(1, (nblocks - 1).bit_length())
+    b = 1 << depth
+    npad = b * leaf
+
+    keys = morton_keys(pos)
+    order = jnp.argsort(keys)
+    pos_sorted = pos[order]
+    mass_sorted = mass[order]
+
+    pad = npad - n
+    if pad:
+        pos_sorted = jnp.concatenate(
+            [pos_sorted, jnp.broadcast_to(pos_sorted[-1], (pad, 3))], axis=0
+        )
+        mass_sorted = jnp.concatenate(
+            [mass_sorted, jnp.zeros(pad, mass.dtype)], axis=0
+        )
+    pos_s = pos_sorted.reshape(b, leaf, 3)
+    mass_s = mass_sorted.reshape(b, leaf)
+    gidx = jnp.concatenate([order, jnp.arange(n, npad)]).reshape(b, leaf)
+
+    # leaves
+    m_leaf = jnp.sum(mass_s, axis=1)                          # [B]
+    wsum = jnp.sum(pos_s * mass_s[..., None], axis=1)         # [B,3]
+    com_leaf = jnp.where(
+        m_leaf[:, None] > 0.0, wsum / jnp.maximum(m_leaf, 1e-30)[:, None],
+        jnp.mean(pos_s, axis=1),
+    )
+    r_leaf = jnp.sqrt(
+        jnp.max(jnp.sum((pos_s - com_leaf[:, None, :]) ** 2, axis=-1), axis=1)
+    )
+
+    masses = [m_leaf]
+    coms = [com_leaf]
+    radii = [r_leaf]
+    while masses[0].shape[0] > 1:
+        mc = masses[0].reshape(-1, 2)
+        cc = coms[0].reshape(-1, 2, 3)
+        rc = radii[0].reshape(-1, 2)
+        mp = jnp.sum(mc, axis=1)
+        wp = jnp.sum(cc * mc[..., None], axis=1)
+        cp = jnp.where(
+            mp[:, None] > 0.0, wp / jnp.maximum(mp, 1e-30)[:, None],
+            jnp.mean(cc, axis=1),
+        )
+        rp = jnp.max(
+            jnp.sqrt(jnp.sum((cc - cp[:, None, :]) ** 2, axis=-1)) + rc,
+            axis=1,
+        )
+        masses.insert(0, mp)
+        coms.insert(0, cp)
+        radii.insert(0, rp)
+
+    return BlockTree(order, pos_s, mass_s, gidx, tuple(masses), tuple(coms),
+                     tuple(radii))
+
+
+def mac_masks(tree: BlockTree, theta: float, g: float = G_INTERNAL,
+              aref: jax.Array | None = None):
+    """Per-level accept matrices.
+
+    Returns (accepts, p2p) where accepts[l] is bool [B, 2^l] — node c at
+    level l serves target block i as a monopole — and p2p is bool [B, B]
+    — leaf block j must be resolved exactly for target block i. Every
+    (target star, source star) pair is covered exactly once: a node is
+    accepted at the first (shallowest) level whose MAC passes, its
+    subtree is masked below, and unaccepted leaves fall through to p2p.
+
+    Two acceptance criteria:
+
+    * geometric (aref=None):  r_node < theta * (d - r_block) — the node
+      must subtend less than theta from every star of the target block.
+      Purely geometric BH; on equal-count blocks it is hopeless for
+      centrally concentrated clusters (sparse-halo leaves are spatially
+      huge, so they are never accepted even though their force
+      contribution is negligible — measured: mean P2P partner count
+      ~27% of all blocks on an N=4e5 Plummer sphere).
+    * relative (aref [B] = per-block reference acceleration magnitude,
+      e.g. min |acc| of the previous evaluation — the force cache
+      already carries it): accept iff the worst-case monopole truncation
+      error is a small fraction of the actual force,
+
+          3 G M_node r_node^2 / d_min^4  <  theta * aref_block,
+
+      with d_min = d - r_block (closest target star to the node com)
+      and the expansion-validity guard d_min > r_node. This is the
+      Springel (2005, GADGET-2 eq. 18) relative opening criterion
+      adapted to bounding spheres; `theta` plays the role of the
+      tolerance alpha (~1e-3..1e-2).
+    """
+    b = tree.pos_s.shape[0]
+    com_b = tree.coms[-1]                                     # [B,3]
+    r_b = tree.radii[-1]                                      # [B]
+
+    accepts = []
+    avail = jnp.ones((b, 1), dtype=bool)                      # level 0
+    for m_l, com_l, r_l in zip(tree.masses, tree.coms, tree.radii):
+        d = jnp.sqrt(
+            jnp.sum((com_l[None, :, :] - com_b[:, None, :]) ** 2, axis=-1)
+        )                                                     # [B, 2^l]
+        if aref is None:
+            ok = r_l[None, :] < theta * (d - r_b[:, None])
+        else:
+            dmin = d - r_b[:, None]
+            valid = dmin > r_l[None, :]
+            err = 3.0 * g * m_l[None, :] * r_l[None, :] ** 2 \
+                / jnp.maximum(dmin, 1e-30) ** 4
+            ok = valid & (err < theta * aref[:, None])
+        acc = avail & ok
+        accepts.append(acc)
+        if m_l.shape[0] < b:
+            child_avail = avail & ~acc                        # [B, 2^l]
+            avail = jnp.repeat(child_avail, 2, axis=1)        # [B, 2^(l+1)]
+    p2p = avail & ~accepts[-1]                                # [B, B]
+    return accepts, p2p
+
+
+def _monopole_far_field(tree, accepts, eps2, g, pot_eps2, chunk=128):
+    """Masked dense point-node monopole sweep.
+
+    All tree levels are flattened into one node axis (C_tot = 2B - 1
+    nodes) and evaluated in target-block chunks of `chunk` blocks, so
+    peak memory is [chunk, L, C_tot] regardless of N. The quadratic
+    forms use the matmul identity (r^2 = |x|^2 + |c|^2 - 2 x.c; the
+    monopole sum factorises as (sum_c s_c com_c) - pos * sum_c s_c), so
+    the two O(L*C) contractions per chunk ride the MXU instead of
+    materialising a [.., 3] displacement tensor. The |x|^2-cancellation
+    this identity risks is bounded here: accepted nodes are far
+    (d > r_node / theta), so r^2 is never tiny relative to |x|^2 at the
+    scales f32 cares about; the near field keeps the exact dx form.
+    """
+    b, leaf, _ = tree.pos_s.shape
+    dtype = tree.pos_s.dtype
+    m_all = jnp.concatenate(tree.masses)                      # [C]
+    com_all = jnp.concatenate(tree.coms, axis=0)              # [C,3]
+    mask_all = jnp.concatenate(accepts, axis=1)               # [B,C]
+    w_all = jnp.where(mask_all, m_all[None, :], 0.0)          # [B,C]
+    com_sq = jnp.sum(com_all * com_all, axis=-1)              # [C]
+    chunk = min(chunk, b)
+
+    def one_chunk(pc_wc):
+        pos_c, w_c = pc_wc                                    # [Bc,L,3],[Bc,C]
+        dot = jnp.einsum("blk,ck->blc", pos_c, com_all)       # MXU
+        r2 = (jnp.sum(pos_c * pos_c, axis=-1)[..., None]
+              + com_sq[None, None, :] - 2.0 * dot + eps2)
+        inv_r = jax.lax.rsqrt(r2)
+        s = w_c[:, None, :] * inv_r / r2                      # [Bc,L,C]
+        acc = g * (jnp.einsum("blc,ck->blk", s, com_all)      # MXU
+                   - pos_c * jnp.sum(s, axis=-1)[..., None])
+        if pot_eps2 is not None:
+            r2p = r2 - eps2 + pot_eps2
+            inv_r = jax.lax.rsqrt(r2p)
+        pot = -g * jnp.sum(w_c[:, None, :] * inv_r, axis=-1)
+        return acc, pot
+
+    pos_ch = tree.pos_s.reshape(b // chunk, chunk, leaf, 3)
+    w_ch = w_all.reshape(b // chunk, chunk, -1)
+    acc, pot = jax.lax.map(one_chunk, (pos_ch, w_ch))
+    return acc.reshape(b, leaf, 3), pot.reshape(b, leaf)
+
+
+def _p2p_near_field(tree, p2p, eps2, g, pot_eps2, kavg, chunk=8):
+    """Exact pair sweep over the MAC-failing (target, source) leaf pairs.
+
+    The true entries of the [B, B] p2p mask are packed into one flat
+    pair list padded to the static budget kavg*B (stable argsort of the
+    raveled mask keeps pairs target-major); a lax.scan over chunks of
+    `chunk` pairs evaluates [C, L, L] exact tiles and scatter-adds them
+    into the [B, L] accumulators. Cost scales with the MEAN partner
+    count (the budget), never the per-block max.
+    """
+    b, leaf, _ = tree.pos_s.shape
+    dtype = tree.pos_s.dtype
+    chunk = min(chunk, b * b)               # b, chunk: powers of two
+    budget = min(kavg * b, b * b)
+    budget = min(-(-budget // chunk) * chunk, b * b)          # static
+    flat = p2p.reshape(-1)
+    overflow = jnp.sum(flat) > budget
+    idx = jnp.argsort(~flat, stable=True)[:budget]
+    ti = (idx // b).reshape(-1, chunk)                        # target block
+    sj = (idx % b).reshape(-1, chunk)                         # source block
+    ok = flat[idx].reshape(-1, chunk)
+
+    def one_chunk(carry, slot):
+        acc, pot = carry
+        i_c, j_c, ok_c = slot                                 # [C] each
+        pos_t = tree.pos_s[i_c]                               # [C,L,3]
+        gidx_t = tree.gidx_s[i_c]                             # [C,L]
+        pos_j = tree.pos_s[j_c]
+        mass_j = jnp.where(ok_c[:, None], tree.mass_s[j_c], 0.0)
+        gidx_j = tree.gidx_s[j_c]
+        dx = pos_j[:, None, :, :] - pos_t[:, :, None, :]      # [C,Lt,Ls,3]
+        r2 = jnp.sum(dx * dx, axis=-1) + eps2
+        self_pair = gidx_j[:, None, :] == gidx_t[:, :, None]
+        inv_r = jnp.where(self_pair, 0.0, jax.lax.rsqrt(r2))
+        mj3 = mass_j[:, None, :] * inv_r / jnp.where(self_pair, 1.0, r2)
+        d_acc = g * jnp.einsum("cij,cijk->cik", mj3, dx)      # [C,L,3]
+        if pot_eps2 is not None:
+            r2p = r2 - eps2 + pot_eps2
+            inv_r = jnp.where(self_pair, 0.0, jax.lax.rsqrt(r2p))
+        d_pot = -g * jnp.sum(mass_j[:, None, :] * inv_r, axis=-1)
+        return (acc.at[i_c].add(d_acc), pot.at[i_c].add(d_pot)), None
+
+    init = (jnp.zeros((b, leaf, 3), dtype), jnp.zeros((b, leaf), dtype))
+    (acc, pot), _ = jax.lax.scan(one_chunk, init, (ti, sj, ok))
+    return acc, pot, overflow
+
+
+@partial(jax.jit, static_argnames=("leaf", "theta", "kavg", "g"))
+def tree_acc_pot(
+    pos: jax.Array,
+    mass: jax.Array,
+    eps2: float | jax.Array = 0.0,
+    g: float = G_INTERNAL,
+    *,
+    leaf: int = 256,
+    theta: float = 0.5,
+    kavg: int = 256,
+    pot_eps2: float | None = None,
+    aref: jax.Array | None = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Barnes-Hut accelerations [N,3], potentials [N] and an `overflow`
+    bool (true => the near-field pair list exceeded the kavg*B budget
+    and the result is truncated; treat as an error and re-run with a
+    larger kavg or a larger leaf — size kavg with p2p_partner_counts).
+
+    `aref` [N]: per-star reference acceleration magnitudes (previous
+    evaluation) switching the MAC to the relative criterion (see
+    mac_masks); None uses the geometric criterion.
+    `pot_eps2` softens the potential separately from the forces (same
+    convention as ops.nbody._row_block_acc_jerk_pot / the Pallas kernel);
+    None reuses `eps2`.
+    """
+    n = pos.shape[0]
+    tree = build_block_tree(pos, mass, leaf)
+    aref_b = None
+    if aref is not None:
+        pad = tree.gidx_s.size - n
+        aref_s = jnp.concatenate(
+            [aref[tree.order], jnp.full(pad, jnp.inf, aref.dtype)]
+        ) if pad else aref[tree.order]
+        aref_b = jnp.min(aref_s.reshape(tree.pos_s.shape[0], -1), axis=1)
+    accepts, p2p = mac_masks(tree, theta, g, aref_b)
+    far_acc, far_pot = _monopole_far_field(tree, accepts, eps2, g, pot_eps2)
+    near_acc, near_pot, overflow = _p2p_near_field(
+        tree, p2p, eps2, g, pot_eps2, kavg
+    )
+    acc_s = (far_acc + near_acc).reshape(-1, 3)
+    pot_s = (far_pot + near_pot).reshape(-1)
+
+    npad = acc_s.shape[0]
+    inv = jnp.zeros(npad, jnp.int32).at[tree.gidx_s.reshape(-1)].set(
+        jnp.arange(npad, dtype=jnp.int32)
+    )
+    acc = acc_s[inv[:n]]
+    pot = pot_s[inv[:n]]
+    return acc, pot, overflow
+
+
+def make_tree_sweep(mass, eps2, *, leaf: int, theta: float, kavg: int,
+                    pot_eps2: float | None, g: float = G_INTERNAL):
+    """Full-sweep `(pos, vel) -> (acc, None, pot)` for sim.step: the
+    tree-tier analogue of ops.pallas_nbody.pallas_acc_jerk_pot (no jerk —
+    the tier is leapfrog-only, like the reference's BHTree). A near-field
+    pair-budget overflow POISONS the outputs with NaN: silent force
+    truncation must never pass as physics, and utils.validate's
+    finiteness check turns the poison into a loud error at the next
+    checkpoint boundary (the in-jit path cannot raise)."""
+
+    def sweep(pos, vel=None):
+        del vel
+        acc, pot, ovf = tree_acc_pot(
+            pos, mass, eps2, g, leaf=leaf, theta=theta, kavg=kavg,
+            pot_eps2=pot_eps2,
+        )
+        poison = jnp.where(ovf, jnp.nan, 0.0).astype(acc.dtype)
+        # zeros jerk (not None) — the pallas_acc_jerk_pot with_jerk=False
+        # convention, so the force-cache pytree is scan-stable
+        return acc + poison, jnp.zeros_like(acc), pot + poison
+
+    return sweep
+
+
+def make_tree_acc(mass, eps2, *, leaf: int, theta: float, kavg: int,
+                  g: float = G_INTERNAL):
+    """Substep `pos -> acc` for the leapfrog interior evaluations (the
+    potential reuses the force softening — no second rsqrt)."""
+
+    def acc_fn(pos):
+        acc, _, ovf = tree_acc_pot(
+            pos, mass, eps2, g, leaf=leaf, theta=theta, kavg=kavg,
+        )
+        return acc + jnp.where(ovf, jnp.nan, 0.0).astype(acc.dtype)
+
+    return acc_fn
+
+
+def p2p_partner_counts(pos: jax.Array, mass: jax.Array, leaf: int = 256,
+                       theta: float = 0.5, g: float = G_INTERNAL,
+                       aref: jax.Array | None = None) -> jax.Array:
+    """Diagnostic: per-block near-field partner counts [B] (for sizing
+    kavg = ceil(mean count) on a given distribution before committing
+    to a run; overflow then flags any drift past the budget)."""
+    n = pos.shape[0]
+    tree = build_block_tree(pos, mass, leaf)
+    aref_b = None
+    if aref is not None:
+        pad = tree.gidx_s.size - n
+        aref_s = jnp.concatenate(
+            [aref[tree.order], jnp.full(pad, jnp.inf, aref.dtype)]
+        ) if pad else aref[tree.order]
+        aref_b = jnp.min(aref_s.reshape(tree.pos_s.shape[0], -1), axis=1)
+    _, p2p = mac_masks(tree, theta, g, aref_b)
+    return jnp.sum(p2p, axis=1)

@@ -245,6 +245,12 @@ def run(cfg: SimConfig, progress: bool = True,
             "extend_final_time is a resume directive: set reload too "
             "(a cold start takes its schedule from final_time/n_plot)"
         )
+    if cfg.mesh_shape and cfg.force_impl == "tree":
+        # before any filesystem side effects (trajectory reset, run dirs)
+        raise ValueError(
+            "force_impl='tree' is single-chip; with mesh_shape use "
+            "'auto', 'sharded' or 'ring'"
+        )
     if reload_base:
         state, aux, cfg, metadata, yields, converter = load_run(
             reload_base, cfg.n_checkpoint, data_dir=data_dir
@@ -331,6 +337,11 @@ def run(cfg: SimConfig, progress: bool = True,
     # optional multi-chip row sharding of a single large run
     mesh = None
     if cfg.mesh_shape:
+        if cfg.force_impl == "tree":
+            raise ValueError(
+                "force_impl='tree' is single-chip; with mesh_shape use "
+                "'auto', 'sharded' or 'ring'"
+            )
         from ..parallel.sharded import make_mesh, shard_state_rows
 
         n_dev = int(np.prod(cfg.mesh_shape))
@@ -549,6 +560,13 @@ def run_ensemble(cfg: SimConfig, progress: bool = True,
             "/ --k_ultra) apply to single runs only; ensembles resolve to "
             "BHTree-parity leapfrog with the raw-potential virial radius "
             "(docs/precision.md)"
+        )
+    if cfg.force_impl == "tree":
+        # the ensemble paths run group-masked fused sweeps (flat block
+        # diagonal / 2-D mesh); a Morton tree would mix realizations
+        raise ValueError(
+            "force_impl='tree' is a single-run backend; ensembles use "
+            "the group-masked fused sweeps (see docs/precision.md)"
         )
     extend_t = cfg.extend_final_time
     fresh_verbose = cfg.verbose

@@ -172,7 +172,17 @@ def resolve_integrator(cfg: SimConfig, m_total: float) -> SimConfig:
     from ..units import G_INTERNAL
 
     integ = cfg.integrator
-    if integ == "auto":
+    if cfg.force_impl == "tree":
+        # the Barnes-Hut tier provides accelerations only (no jerk):
+        # leapfrog-only, like the reference's default BHTree solver
+        if integ == "auto":
+            integ = "leapfrog"
+        elif integ != "leapfrog":
+            raise ValueError(
+                "force_impl='tree' is leapfrog-only (monopole tree forces "
+                f"carry no jerk); got integrator={integ!r}"
+            )
+    elif integ == "auto":
         integ = "hermite4" if cfg.n <= 8192 else "hermite4_block"
     n_sub = cfg.leapfrog_n_sub
     if integ == "leapfrog" and n_sub is None:
@@ -320,6 +330,20 @@ def init_cluster(cfg: SimConfig, data_dir: str | None = None,
     is_interloper = np.zeros(n_total, bool)
     if cfg.interloper:
         is_interloper[-1] = True
+
+    # -- tree-tier near-field budget (like resolve_integrator: the
+    # resolved literal is what checkpoints record) — measured on the
+    # realised initial positions, x2 slack for relaxation drift; runtime
+    # overflow past the budget NaN-poisons the forces (ops.tree)
+    if resolved.force_impl == "tree" and resolved.tree_kavg == 0:
+        from ..ops.tree import p2p_partner_counts
+
+        with jax.default_device(cpu):
+            cnt = np.asarray(p2p_partner_counts(
+                jnp.asarray(pos), jnp.asarray(masses),
+                leaf=resolved.tree_leaf, theta=resolved.tree_theta,
+            ))
+        resolved = resolved.replace(tree_kavg=int(2.0 * cnt.mean()) + 8)
 
     # -- fixed massive-star candidate slots ---------------------------------
     hm_candidates, hm_valid = _hm_candidate_slots(cfg, masses)

@@ -90,6 +90,12 @@ def _build_force_fn(mass, eps2, cfg: SimConfig, mesh, force_impl: str):
     if force_impl == "pallas":
         from ..ops.pallas_nbody import make_pallas_acc, make_pallas_force
         return make_pallas_force(mass, eps2), make_pallas_acc(mass, eps2)
+    if force_impl == "tree":
+        from ..ops.tree import make_tree_acc
+        return None, make_tree_acc(
+            mass, cfg.eps2, leaf=cfg.tree_leaf, theta=cfg.tree_theta,
+            kavg=cfg.tree_kavg or 256,
+        )
     raise ValueError(f"unknown force_impl: {force_impl}")
 
 
@@ -145,6 +151,13 @@ def _sweep_eval_fn(cfg: SimConfig, mesh, force_impl: str, mass,
                          pot_eps2=_pot_eps2(cfg), with_jerk=needs_jerk)
 
         return sweep_eval
+    if force_impl == "tree":
+        from ..ops.tree import make_tree_sweep
+
+        return make_tree_sweep(
+            mass, cfg.eps2, leaf=cfg.tree_leaf, theta=cfg.tree_theta,
+            kavg=cfg.tree_kavg or 256, pot_eps2=_pot_eps2(cfg),
+        )
     from ..ops.pallas_nbody import pallas_acc_jerk_pot
 
     def sweep_eval(p, v):
@@ -193,6 +206,8 @@ def _resolve_integ(cfg: SimConfig, n: int) -> str:
     """Defensive "auto" resolution for callers that bypass init_cluster's
     resolve_integrator (e.g. a cfg recreated from a dict)."""
     if cfg.integrator == "auto":
+        if cfg.force_impl == "tree":
+            return "leapfrog"  # tree forces carry no jerk
         return "hermite4" if n <= 8192 else "hermite4_block"
     return cfg.integrator
 
@@ -226,6 +241,8 @@ def _cacheable(cfg: SimConfig, n, dtype, mesh, force_impl) -> bool:
         return False
     if mesh is not None:
         return force_impl in ("auto", "sharded", "ring")
+    if force_impl == "tree":
+        return True  # leapfrog-only; closing tree eval at final positions
     return _pallas_here(cfg, n, dtype, mesh, force_impl)
 
 
@@ -242,6 +259,14 @@ def _step_impl(state: SimState, aux: SimAux, cfg: SimConfig,
     from ..units import G_INTERNAL
 
     integ = _resolve_integ(cfg, c.n)
+    tree_here = force_impl == "tree"
+    if tree_here and integ != "leapfrog":
+        # direct step() callers can bypass sim.init.resolve_integrator;
+        # a Hermite advance would silently fall back to dense exact
+        # forces instead of the tree the caller asked for
+        raise ValueError(
+            f"force_impl='tree' is leapfrog-only; got integrator={integ!r}"
+        )
     pallas_here = _pallas_here(cfg, c.n, c.pos.dtype, mesh, force_impl)
     cache_ok = want_cache and _cacheable(cfg, c.n, c.pos.dtype, mesh,
                                          force_impl)
@@ -256,7 +281,7 @@ def _step_impl(state: SimState, aux: SimAux, cfg: SimConfig,
     needs_jerk = integ in ("hermite4", "hermite4_block")
     fused_mesh = mesh is not None
     sweep_eval = None  # (pos, vel) -> (acc, jerk, pot) full fused sweep
-    if fused_mesh or pallas_here:
+    if fused_mesh or pallas_here or tree_here:
         sweep_eval = _sweep_eval_fn(cfg, mesh, force_impl, c.mass,
                                     needs_jerk)
     if sweep_eval is not None:
