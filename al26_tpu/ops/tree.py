@@ -331,7 +331,22 @@ def _p2p_near_field(tree, p2p, eps2, g, pot_eps2, kavg, chunk=8):
     return acc, pot, overflow
 
 
-@partial(jax.jit, static_argnames=("leaf", "theta", "kavg", "g"))
+def _use_pallas_near(near_impl: str, dtype) -> bool:
+    """Resolve the near-field backend: the Pallas pair-list kernel
+    (ops/pallas_tree.py) on a real TPU at f32 without x64 (the tier's
+    production configuration — same gate as pallas_nbody.use_pallas),
+    the XLA scan everywhere else. 'pallas' forces the kernel (interpret
+    mode off-TPU, for tests); 'xla' forces the scan."""
+    if near_impl == "pallas":
+        return True
+    if near_impl != "auto":
+        return False
+    return (jax.default_backend() == "tpu" and dtype == jnp.float32
+            and not jax.config.jax_enable_x64)
+
+
+@partial(jax.jit, static_argnames=("leaf", "theta", "kavg", "g",
+                                   "near_impl"))
 def tree_acc_pot(
     pos: jax.Array,
     mass: jax.Array,
@@ -343,6 +358,7 @@ def tree_acc_pot(
     kavg: int = 256,
     pot_eps2: float | None = None,
     aref: jax.Array | None = None,
+    near_impl: str = "auto",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Barnes-Hut accelerations [N,3], potentials [N] and an `overflow`
     bool (true => the near-field pair list exceeded the kavg*B budget
@@ -355,6 +371,8 @@ def tree_acc_pot(
     `pot_eps2` softens the potential separately from the forces (same
     convention as ops.nbody._row_block_acc_jerk_pot / the Pallas kernel);
     None reuses `eps2`.
+    `near_impl` ('auto' | 'pallas' | 'xla') selects the near-field
+    backend — see _use_pallas_near.
     """
     n = pos.shape[0]
     tree = build_block_tree(pos, mass, leaf)
@@ -367,9 +385,17 @@ def tree_acc_pot(
         aref_b = jnp.min(aref_s.reshape(tree.pos_s.shape[0], -1), axis=1)
     accepts, p2p = mac_masks(tree, theta, g, aref_b)
     far_acc, far_pot = _monopole_far_field(tree, accepts, eps2, g, pot_eps2)
-    near_acc, near_pot, overflow = _p2p_near_field(
-        tree, p2p, eps2, g, pot_eps2, kavg
-    )
+    if _use_pallas_near(near_impl, pos.dtype):
+        from .pallas_tree import pallas_p2p_near_field
+
+        near_acc, near_pot, overflow = pallas_p2p_near_field(
+            tree.pos_s, tree.mass_s, p2p, n, eps2,
+            leaf=leaf, kavg=kavg, g=g, pot_eps2=pot_eps2,
+        )
+    else:
+        near_acc, near_pot, overflow = _p2p_near_field(
+            tree, p2p, eps2, g, pot_eps2, kavg
+        )
     acc_s = (far_acc + near_acc).reshape(-1, 3)
     pot_s = (far_pot + near_pot).reshape(-1)
 

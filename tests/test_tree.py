@@ -251,3 +251,83 @@ def test_cli_tree_flags():
     assert cfg.tree_theta == 0.6
     assert cfg.tree_leaf == 128
     assert cfg.tree_kavg == 32
+
+
+# ---------------------------------------------------------------------------
+# Pallas near-field kernel (ops/pallas_tree.py)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+def test_pallas_near_field_matches_xla():
+    # the pair-list Pallas kernel is the same pair sum as the XLA scan,
+    # rescheduled — agreement to f32 summation-order roundoff, with
+    # padding exercised (n not a multiple of leaf) and the revisited-
+    # output accumulation crossing many uneven target runs (clumpy MAC);
+    # slow lane: the interpret-mode grid loop is python-speed — the
+    # default lane covers the kernel through the public entry point
+    # (test_tree_acc_pot_near_impl_pallas_full_path)
+    from al26_tpu.ops.pallas_tree import pallas_p2p_near_field
+    from al26_tpu.ops.tree import _p2p_near_field, build_block_tree, mac_masks
+    from al26_tpu.units import G_INTERNAL
+
+    rng = np.random.default_rng(23)
+    n, leaf = 900, 128
+    pos, mass = _clumpy(rng, n)
+    pos32 = pos.astype(jnp.float32)
+    mass32 = mass.astype(jnp.float32)
+    eps2 = 1e-4
+    tree = build_block_tree(pos32, mass32, leaf)
+    _, p2p = mac_masks(tree, 0.75)
+    assert 0 < int(jnp.sum(p2p)) < p2p.size  # MAC engaged: sparse pair list
+    cnt = np.asarray(jnp.sum(p2p, axis=1))
+    kavg = int(cnt.mean()) + 4
+
+    for pot_eps2 in (None, 1e-30):
+        a_x, p_x, o_x = _p2p_near_field(
+            tree, p2p, eps2, G_INTERNAL, pot_eps2, kavg)
+        a_p, p_p, o_p = pallas_p2p_near_field(
+            tree.pos_s, tree.mass_s, p2p, n, eps2, leaf=leaf, kavg=kavg,
+            pot_eps2=pot_eps2, interpret=True)
+        assert not bool(o_x) and not bool(o_p)
+        sa = float(jnp.max(jnp.abs(a_x)))
+        sp = float(jnp.max(jnp.abs(p_x)))
+        np.testing.assert_allclose(np.asarray(a_p), np.asarray(a_x),
+                                   rtol=0, atol=1e-5 * sa)
+        np.testing.assert_allclose(np.asarray(p_p), np.asarray(p_x),
+                                   rtol=0, atol=1e-5 * sp)
+
+
+def test_pallas_near_field_overflow_flag():
+    from al26_tpu.ops.pallas_tree import pallas_p2p_near_field
+    from al26_tpu.ops.tree import build_block_tree, mac_masks
+
+    rng = np.random.default_rng(29)
+    pos, mass = _clumpy(rng, 1024)
+    tree = build_block_tree(pos.astype(jnp.float32),
+                            mass.astype(jnp.float32), 128)
+    _, p2p = mac_masks(tree, 0.75)
+    _, _, ovf = pallas_p2p_near_field(
+        tree.pos_s, tree.mass_s, p2p, 1024, 1e-4, leaf=128, kavg=1,
+        interpret=True)
+    assert bool(ovf)
+
+
+def test_tree_acc_pot_near_impl_pallas_full_path():
+    # near_impl="pallas" through the public entry point equals the XLA
+    # near field composed with the same far field (f32 roundoff)
+    rng = np.random.default_rng(31)
+    n = 1200
+    pos, mass = _clumpy(rng, n)
+    pos32 = pos.astype(jnp.float32)
+    mass32 = mass.astype(jnp.float32)
+    a_x, p_x, o_x = tree_acc_pot(pos32, mass32, 1e-4, leaf=128, theta=0.75,
+                                 kavg=16, pot_eps2=1e-30, near_impl="xla")
+    a_p, p_p, o_p = tree_acc_pot(pos32, mass32, 1e-4, leaf=128, theta=0.75,
+                                 kavg=16, pot_eps2=1e-30, near_impl="pallas")
+    assert not bool(o_x) and not bool(o_p)
+    sa = float(jnp.max(jnp.abs(a_x)))
+    sp = float(jnp.max(jnp.abs(p_x)))
+    np.testing.assert_allclose(np.asarray(a_p), np.asarray(a_x),
+                               rtol=0, atol=1e-5 * sa)
+    np.testing.assert_allclose(np.asarray(p_p), np.asarray(p_x),
+                               rtol=0, atol=1e-5 * sp)
