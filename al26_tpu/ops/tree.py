@@ -446,12 +446,15 @@ def make_tree_acc(mass, eps2, *, leaf: int, theta: float, kavg: int,
     return acc_fn
 
 
+@partial(jax.jit, static_argnames=("leaf", "theta", "g"))
 def p2p_partner_counts(pos: jax.Array, mass: jax.Array, leaf: int = 256,
                        theta: float = 0.5, g: float = G_INTERNAL,
                        aref: jax.Array | None = None) -> jax.Array:
     """Diagnostic: per-block near-field partner counts [B] (for sizing
     kavg = ceil(mean count) on a given distribution before committing
-    to a run; overflow then flags any drift past the budget)."""
+    to a run; overflow then flags any drift past the budget). Jitted —
+    the tree build + MAC are hundreds of small ops, which dispatched
+    eagerly over the tunneled TPU take minutes (observed)."""
     n = pos.shape[0]
     tree = build_block_tree(pos, mass, leaf)
     aref_b = None
