@@ -111,12 +111,24 @@ def build_parser() -> argparse.ArgumentParser:
                         "is set, Pallas tiled kernel on TPU at N >= 4096 in "
                         "f32, plain XLA otherwise; ring = ppermute-streamed "
                         "columns, O(N/D) memory per chip; tree = opt-in "
-                        "Barnes-Hut monopole tier, leapfrog-only, the "
-                        "reference BHTree's algorithmic class — for "
-                        "N >~ 2e5)")
+                        "Barnes-Hut monopole tier (the reference BHTree's "
+                        "algorithmic class; leapfrog at small N, "
+                        "block-timestep Hermite over tree acc+jerk above "
+                        "8192 — for N >~ 2e5)")
     p.add_argument("--tree_theta", type=float, default=0.75,
                    help="Barnes-Hut opening angle for --force_impl tree "
                         "(0.75 = the reference BHTree default)")
+    p.add_argument("--tree_mac", type=str, default="geometric",
+                   choices=("geometric", "relative"),
+                   help="Tree multipole acceptance criterion: geometric "
+                        "(BHTree-parity opening angle) or relative "
+                        "(Springel 2005: per-node truncation error < "
+                        "tree_alpha x |a| from the force cache; "
+                        "hermite4_block only — the strong choice for "
+                        "centrally concentrated clusters)")
+    p.add_argument("--tree_alpha", type=float, default=3e-3,
+                   help="Relative-MAC error tolerance (--tree_mac "
+                        "relative)")
     p.add_argument("--tree_leaf", type=int, default=256,
                    help="Stars per Morton leaf block (--force_impl tree)")
     p.add_argument("--tree_kavg", type=int, default=0,

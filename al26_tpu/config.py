@@ -229,8 +229,22 @@ class SimConfig:
     #   O(N^2) roof dominates. Knobs below.
     tree_theta: float = 0.75           # Barnes-Hut opening angle (the
     #   reference BHTree default, al26_nbody.py:59,1712-1714) for the
-    #   conservative block-level MAC. Measured on fractal ICs at
-    #   N=65536: median |da|/|a| 2.1e-3 (p99 2.0e-2) vs exact.
+    #   conservative geometric block-level MAC. Measured on fractal ICs
+    #   at N=65536: median |da|/|a| 2.1e-3 (p99 2.0e-2) vs exact.
+    tree_mac: str = "geometric"        # "geometric" (BHTree-parity
+    #   opening angle tree_theta) | "relative" (round 5): the Springel
+    #   2005 relative criterion — a node is accepted when its worst-case
+    #   monopole truncation error is < tree_alpha x the target block's
+    #   reference acceleration (the force cache's previous evaluation).
+    #   On centrally-concentrated Plummer clusters the geometric MAC
+    #   accepts almost nothing (mean near-field partner count ~40% of
+    #   all blocks at N=4e5 — the dense core's leaf blocks look huge
+    #   from everywhere), while the relative criterion opens exactly
+    #   where the force is strong; hermite4_block-only (the reference
+    #   acceleration rides the force cache).
+    tree_alpha: float = 3e-3           # relative-MAC tolerance (per-node
+    #   truncation error bound as a fraction of |a|); ~BHTree-class
+    #   total error at 3e-3 (measured, docs/precision.md)
     tree_leaf: int = 256               # stars per Morton leaf block
     tree_kavg: int = 0                 # near-field budget: pair-list
     #   length = tree_kavg * n_blocks. 0 = auto-size at init from the

@@ -57,15 +57,20 @@ reference's high-mass threshold so it never enters the physics), and the
 Kalirai et al. (2008) initial-final mass relation (m_wd) below the SN
 cut.
 
-The wind history is a two-phase piecewise-constant rate: a main-sequence
-wind at the Nieuwenhuijzen & de Jager (1990) rate evaluated at the Tout
-et al. (1996) ZAMS luminosity/radius with Hurley's (Z/Zsun)^0.5 scaling
-(hurley2000.ms_wind_mdot — held at ZAMS, a documented lower bound), for
-t < t_ms = t_sn/1.11 (the Hurley MS fraction); then a strong post-MS
-(RSG/WR) wind shedding the rest of the m0 - m_presn budget. The phase
-split sets the *timing* of SLR wind deposition; the lifetime-integrated
-SLR release is pinned to the Limongi-Chieffi yield tables regardless
-(see al26_tpu.models.yields).
+The wind history is two-phase: a main-sequence wind that RISES linearly
+through the MS (round 5) — anchored at the Nieuwenhuijzen & de Jager
+(1990) rate evaluated at the Tout et al. (1996) ZAMS luminosity/radius
+with Hurley's (Z/Zsun)^0.5 scaling (hurley2000.ms_wind_mdot), rising by
+the factor 1 + c(m0) calibrated on the reference's own committed SeBa
+wind histories (models.stellar.wind_shape; c = 1.5-2.9, SeBa's L(t)
+growth) — for t < t_ms = t_sn/1.11 (the Hurley MS fraction); then a
+strong post-MS (RSG/WR) wind shedding the rest of the m0 - m_presn
+budget at a constant rate (the same dump curves show the post-knee
+release is near-uniform in time). For the "seba" family the MS budget
+share itself is the dump-calibrated ms_frac (3-10%), replacing the
+round-4 0.5 cap. The phase split sets the *timing* of SLR wind
+deposition; the lifetime-integrated SLR release is pinned to the
+Limongi-Chieffi yield tables regardless (see al26_tpu.models.yields).
 
 Interpolation is linear in (log m, log y) between anchors, clamped at the
 ends; everything is differentiable except the intended discontinuity at
@@ -80,7 +85,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import common, hurley2000, lc18_anchors, seba_anchors
+from . import common, hurley2000, lc18_anchors, seba_anchors, wind_shape
 
 # --------------------------------------------------------------------------
 # Mass-track families (cfg.mass_tracks; VERDICT r3 item 1)
@@ -145,20 +150,20 @@ F_POST_BGB = 0.10
 # al26_nbody.py:1211, so it never enters the simulation physics)
 M_NS = 1.4
 
-# numerical guard: at most this fraction of the lifetime wind budget is
-# shed on the MS, keeping the post-MS rate strictly positive (the SN
-# signal is mdot == 0, al26_nbody.py:946-948). Where it engages
-# (measured sweep, m in [8, 120] x all families x z in {2e-2, 2e-3,
-# 2e-4}): ALWAYS near the 8 Msun anchor (the budget m0 - m_presn
-# vanishes there on every family while the NJ90 MS integral does not —
-# uncapped ratios reach 1.3-45 in the 8-13 band, which sits below the
-# reference's 13 Msun physics threshold); on "seba" for every m >= 13
-# (the SeBa budget, 0.16-13.7 Msun over 20-80 Msun, is comparable to
-# the NJ90 MS integral itself — seba_anchors); and on lc18_vel0 at
-# z = 2e-4 for about half the 13-120 grid (peak ratio 1.8 at 60 Msun).
-# On the rotating lc18/lc18_vel150 families at m >= 13 the uncapped
-# ratio peaks at 0.40-0.43 (120 Msun, z=0.02), so the cap stays
-# inactive there. Engaging is a TIMING choice only: the
+# numerical guard (lc18 families; "seba" uses the dump-calibrated
+# ms_frac instead, models.stellar.wind_shape): at most this fraction of
+# the lifetime wind budget is shed on the MS, keeping the post-MS rate
+# strictly positive (the SN signal is mdot == 0, al26_nbody.py:946-948).
+# Where it engages (measured sweep, m in [8, 120] x lc18 families x z in
+# {2e-2, 2e-3, 2e-4}): ALWAYS near the 8 Msun anchor (the budget
+# m0 - m_presn vanishes there on every family while the NJ90 MS
+# integral does not — uncapped ratios reach 1.3-45 in the 8-13 band,
+# which sits below the reference's 13 Msun physics threshold); and on
+# lc18_vel0 at z = 2e-4 for much of the 13-120 grid. On the rotating
+# lc18/lc18_vel150 families at m >= 13 the uncapped ratio peaks at
+# 0.40-0.43 x (1 + c/2) ~ 0.7-1.0 (120 Msun, z=0.02; the round-5 ramp
+# raises the NJ90 MS integral by 1 + c/2), so the cap can engage at the
+# very top of the grid there too. Engaging is a TIMING choice only: the
 # lifetime-integrated SLR release is budget-pinned either way.
 _MS_BUDGET_CAP = 0.5
 
@@ -281,24 +286,47 @@ def total_wind_loss(m0: jax.Array, z: float = 0.02,
 
 
 def _phase_rates(m0, z: float = 0.02, tracks: str = "lc18"):
-    """(t_ms, mdot_ms, mdot_post, t_cc) for the two-phase wind model:
-    MS wind at the NJ90-at-ZAMS rate (hurley2000.ms_wind_mdot) for
-    t < t_ms = t_cc / 1.11 (the Hurley MS fraction, by construction of
-    hurley2000.t_sn), then the remainder of the m0 - m_presn budget as
-    the post-MS (RSG/WR) wind. For tracks="seba" the budget is the small
-    SeBa one (0.16-13.7 Msun over 20-80 Msun), so the MS share is
-    routinely the _MS_BUDGET_CAP half rather than the NJ90 integral —
-    SeBa's own lifetime loss at e.g. 20 Msun (~0.16 Msun) is comparable
-    to its NJ90 MS integral, i.e. its post-MS phases shed little."""
+    """(t_ms, mdot_ms0, mdot_ms_slope, mdot_post, t_cc) for the wind
+    model: a linearly RISING main-sequence wind
+
+        rate(t) = mdot_ms0 + mdot_ms_slope * t,   t < t_ms,
+
+    then the remainder of the m0 - m_presn budget as a constant post-MS
+    (RSG/WR) wind. Round 5 (VERDICT r4 item 3): the within-MS rise is
+    calibrated on the reference's own committed SeBa wind histories
+    (models.stellar.wind_shape: rate(t_ms)/rate(0) = 1 + c(m0), c = 1.5
+    to 2.9 over the 20-60 Msun dump grid — SeBa's MS rate is monotone
+    rising, not flat), and the budget integral is preserved EXACTLY:
+    integral of the ramp over the MS equals the family's MS budget by
+    construction.
+
+    MS budget per family:
+      * lc18 families — the NJ90 rate anchored AT ZAMS (the published
+        Tout+96/NJ90 construction, hurley2000.ms_wind_mdot) rising by
+        the calibrated ramp: dm_ms = mdot_zams * t_ms * (1 + c/2),
+        capped at _MS_BUDGET_CAP of the lifetime budget as before;
+      * "seba" — the calibrated MS SHARE from the same dumps that set
+        the family's mass tracks: dm_ms = ms_frac(m0) * dm_wind
+        (0.032-0.100 over the grid; the round-4 model put the 0.5 CAP
+        here, shedding ~half the budget on the MS — measured against
+        the dump curves that was ~5-15x too early-heavy).
+    """
     t_cc = t_end(m0, z, tracks)
     dm_wind = jnp.maximum(m0 - m_presn(m0, z, tracks), _DM_WIND_FLOOR)
     t_ms = t_cc / (1.0 + hurley2000.F_HE_BURN)
-    log_mg, log_rate = _ms_mdot_table(z)
-    mdot_zams = _sn_branch_interp(m0, log_mg, log_rate)
-    dm_ms = jnp.minimum(mdot_zams * t_ms, _MS_BUDGET_CAP * dm_wind)
-    mdot_ms = dm_ms / t_ms
+    c = wind_shape.interp("ramp_c", m0)
+    if tracks == "seba":
+        dm_ms = wind_shape.interp("ms_frac", m0) * dm_wind
+    else:
+        log_mg, log_rate = _ms_mdot_table(z)
+        mdot_zams = _sn_branch_interp(m0, log_mg, log_rate)
+        dm_ms = jnp.minimum(mdot_zams * t_ms * (1.0 + 0.5 * c),
+                            _MS_BUDGET_CAP * dm_wind)
+    # ramp with exact budget: r0 * t_ms * (1 + c/2) == dm_ms
+    mdot_ms0 = dm_ms / (t_ms * (1.0 + 0.5 * c))
+    mdot_ms_slope = c * mdot_ms0 / t_ms
     mdot_post = (dm_wind - dm_ms) / jnp.maximum(t_cc - t_ms, 1e-12)
-    return t_ms, mdot_ms, mdot_post, t_cc
+    return t_ms, mdot_ms0, mdot_ms_slope, mdot_post, t_cc
 
 
 def wind_mdot(m0: jax.Array, t: jax.Array, z: float = 0.02,
@@ -309,9 +337,9 @@ def wind_mdot(m0: jax.Array, t: jax.Array, z: float = 0.02,
     `wind_mass_loss_rate == 0` (al26_nbody.py:946-948) and we keep that
     signal. Low-mass stars (m0 < 8) return ~0 within cluster lifetimes
     (their MS wind is negligible at the Myr scales simulated here)."""
-    t_ms, mdot_ms, mdot_post, t_cc = _phase_rates(m0, z, tracks)
+    t_ms, r0, r1, mdot_post, t_cc = _phase_rates(m0, z, tracks)
     sn_mass = m0 >= SN_MIN_MASS
-    alive_rate = jnp.where(t < t_ms, mdot_ms, mdot_post)
+    alive_rate = jnp.where(t < t_ms, r0 + r1 * t, mdot_post)
     rate = jnp.where(t < t_cc, alive_rate, 0.0)
     # below the SN cut: negligible wind on sim timescales -> 0 by design
     return jnp.where(sn_mass, rate, 0.0)
@@ -319,13 +347,17 @@ def wind_mdot(m0: jax.Array, t: jax.Array, z: float = 0.02,
 
 def mass_at(m0: jax.Array, t: jax.Array, z: float = 0.02,
             tracks: str = "lc18") -> jax.Array:
-    """Current mass at age t: wind losses accumulate piecewise-linearly,
-    then the star drops to its remnant mass at t_sn (for m0 >= 8)."""
-    t_ms, mdot_ms, mdot_post, t_cc = _phase_rates(m0, z, tracks)
+    """Current mass at age t: wind losses accumulate piecewise (the MS
+    ramp integrates quadratically), then the star drops to its remnant
+    mass at t_sn (for m0 >= 8)."""
+    t_ms, r0, r1, mdot_post, t_cc = _phase_rates(m0, z, tracks)
+    # expression shape matches evolve_from_table exactly (bit-equality
+    # between the two paths is pinned in tests)
     lost = jnp.where(
         t < t_ms,
-        mdot_ms * t,
-        mdot_ms * t_ms + mdot_post * (jnp.minimum(t, t_cc) - t_ms),
+        (r0 + 0.5 * r1 * t) * t,
+        (r0 + 0.5 * r1 * t_ms) * t_ms
+        + mdot_post * (jnp.minimum(t, t_cc) - t_ms),
     )
     m_alive = m0 - lost
     sn_mass = m0 >= SN_MIN_MASS
@@ -414,7 +446,8 @@ class PhaseTable(NamedTuple):
     `evolve`'s promote-then-cast results bit-identically."""
 
     t_ms: jax.Array       # [N] Myr: end of the MS wind phase
-    mdot_ms: jax.Array    # [N] Msun/Myr: MS wind rate
+    mdot_ms: jax.Array    # [N] Msun/Myr: MS wind rate AT ZAMS (ramp r0)
+    mdot_slope: jax.Array  # [N] Msun/Myr^2: MS ramp slope (wind_shape)
     mdot_post: jax.Array  # [N] Msun/Myr: post-MS (RSG/WR) wind rate
     t_cc: jax.Array       # [N] Myr: core collapse (= t_end)
     m_rem: jax.Array      # [N] Msun: remnant mass
@@ -425,8 +458,8 @@ def phase_table(m0: jax.Array, z: float = 0.02,
                 tracks: str = "lc18") -> PhaseTable:
     """Precompute the (m0, z, tracks)-only inputs of `evolve`
     (see PhaseTable)."""
-    t_ms, mdot_ms, mdot_post, t_cc = _phase_rates(m0, z, tracks)
-    return PhaseTable(t_ms, mdot_ms, mdot_post, t_cc,
+    t_ms, r0, r1, mdot_post, t_cc = _phase_rates(m0, z, tracks)
+    return PhaseTable(t_ms, r0, r1, mdot_post, t_cc,
                       m_remnant(m0, z, tracks), m0 >= SN_MIN_MASS)
 
 
@@ -436,13 +469,14 @@ def evolve_from_table(tbl: PhaseTable, m0: jax.Array, t: jax.Array):
     per-step recomputation of their (m0, z)-only inputs."""
     lost = jnp.where(
         t < tbl.t_ms,
-        tbl.mdot_ms * t,
-        tbl.mdot_ms * tbl.t_ms
+        (tbl.mdot_ms + 0.5 * tbl.mdot_slope * t) * t,
+        (tbl.mdot_ms + 0.5 * tbl.mdot_slope * tbl.t_ms) * tbl.t_ms
         + tbl.mdot_post * (jnp.minimum(t, tbl.t_cc) - tbl.t_ms),
     )
     mass = jnp.where((t >= tbl.t_cc) & tbl.is_sn, tbl.m_rem, m0 - lost)
     mass = jnp.where(tbl.is_sn, mass, m0)
-    rate = jnp.where(t < tbl.t_ms, tbl.mdot_ms, tbl.mdot_post)
+    rate = jnp.where(t < tbl.t_ms, tbl.mdot_ms + tbl.mdot_slope * t,
+                     tbl.mdot_post)
     rate = jnp.where(t < tbl.t_cc, rate, 0.0)
     mdot = jnp.where(tbl.is_sn, rate, 0.0)
     return mass, mdot

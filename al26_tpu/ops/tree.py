@@ -48,6 +48,15 @@ shapes (no pointers, no recursion, no data-dependent sizes):
 Cost: kavg*L*N + 2*N^2/L pair-interactions vs N^2 exact. Measured on
 the production fractal ICs (D = 2.0) at N = 4e5, theta = 0.75 (the
 reference BHTree's own opening angle): ~0.12 of the exact pair work.
+(On centrally-concentrated Plummer ICs the geometric MAC is much
+weaker — see mac_masks on the relative criterion.)
+
+Round 5: the tier carries JERK (far field: monopole jerk with nodes
+moving at their mass-weighted mean velocities; near field: exact
+pairwise jerk), so the block-timestep Hermite integrator runs over
+tree forces — one tree sweep per step through the force cache, with
+the exact K x N fast-group subcycle on top (sim.step), composing with
+the gravity stride. The leapfrog path remains for BHTree parity.
 
 Unlike the flat single-level decomposition measured as a dead end in
 ROADMAP.md ("Measured dead end (round 4)"), the multi-level MAC gives
@@ -104,7 +113,10 @@ class BlockTree(NamedTuple):
     """Complete binary tree over Morton-sorted equal-count leaf blocks.
 
     levels[l] holds (mass [2^l], com [2^l,3], radius [2^l]) for the 2^l
-    nodes at depth l; levels[-1] are the leaves (one per block).
+    nodes at depth l; levels[-1] are the leaves (one per block). When the
+    tree is built with velocities (the Hermite path needs jerk), vel_s
+    and the per-node mass-weighted mean velocities vcoms are populated;
+    otherwise they are None.
     """
 
     order: jax.Array        # [Np] sorted-particle -> original index
@@ -114,13 +126,29 @@ class BlockTree(NamedTuple):
     masses: Tuple[jax.Array, ...]
     coms: Tuple[jax.Array, ...]
     radii: Tuple[jax.Array, ...]
+    vel_s: jax.Array | None = None      # [B, L, 3] sorted velocities
+    vcoms: Tuple[jax.Array, ...] | None = None  # per-level node velocities
 
 
-def build_block_tree(pos: jax.Array, mass: jax.Array, leaf: int) -> BlockTree:
+def near_budget(kavg: int, b: int, chunk: int = 8) -> int:
+    """Static near-field pair-list budget shared by BOTH near-field
+    backends (the XLA scan and the Pallas kernel): kavg * B, rounded up
+    to a multiple of the scan chunk, capped at B^2. One definition so
+    the two backends agree bit-for-bit on when the list overflows
+    (advisor r4: they previously rounded differently and could disagree
+    near the boundary)."""
+    budget = min(kavg * b, b * b)
+    return min(-(-budget // chunk) * chunk, b * b)
+
+
+def build_block_tree(pos: jax.Array, mass: jax.Array, leaf: int,
+                     vel: jax.Array | None = None) -> BlockTree:
     """Sort by Morton key, pad to B = 2^D blocks of `leaf`, reduce the
     node properties bottom-up. Padding slots replicate the last sorted
     star's position with zero mass, so they never perturb a centre of
-    mass or inflate a bounding radius."""
+    mass or inflate a bounding radius. Passing `vel` additionally sorts
+    velocities and reduces per-node mass-weighted mean velocities (the
+    far-field monopole jerk needs them)."""
     n = pos.shape[0]
     nblocks = -(-n // leaf)
     depth = max(1, (nblocks - 1).bit_length())
@@ -131,6 +159,7 @@ def build_block_tree(pos: jax.Array, mass: jax.Array, leaf: int) -> BlockTree:
     order = jnp.argsort(keys)
     pos_sorted = pos[order]
     mass_sorted = mass[order]
+    vel_sorted = vel[order] if vel is not None else None
 
     pad = npad - n
     if pad:
@@ -140,16 +169,22 @@ def build_block_tree(pos: jax.Array, mass: jax.Array, leaf: int) -> BlockTree:
         mass_sorted = jnp.concatenate(
             [mass_sorted, jnp.zeros(pad, mass.dtype)], axis=0
         )
+        if vel_sorted is not None:
+            vel_sorted = jnp.concatenate(
+                [vel_sorted, jnp.zeros((pad, 3), vel.dtype)], axis=0
+            )
     pos_s = pos_sorted.reshape(b, leaf, 3)
     mass_s = mass_sorted.reshape(b, leaf)
+    vel_s = (vel_sorted.reshape(b, leaf, 3)
+             if vel_sorted is not None else None)
     gidx = jnp.concatenate([order, jnp.arange(n, npad)]).reshape(b, leaf)
 
     # leaves
     m_leaf = jnp.sum(mass_s, axis=1)                          # [B]
     wsum = jnp.sum(pos_s * mass_s[..., None], axis=1)         # [B,3]
+    m_safe = jnp.maximum(m_leaf, 1e-30)[:, None]
     com_leaf = jnp.where(
-        m_leaf[:, None] > 0.0, wsum / jnp.maximum(m_leaf, 1e-30)[:, None],
-        jnp.mean(pos_s, axis=1),
+        m_leaf[:, None] > 0.0, wsum / m_safe, jnp.mean(pos_s, axis=1),
     )
     r_leaf = jnp.sqrt(
         jnp.max(jnp.sum((pos_s - com_leaf[:, None, :]) ** 2, axis=-1), axis=1)
@@ -158,15 +193,19 @@ def build_block_tree(pos: jax.Array, mass: jax.Array, leaf: int) -> BlockTree:
     masses = [m_leaf]
     coms = [com_leaf]
     radii = [r_leaf]
+    vcoms = None
+    if vel_s is not None:
+        vw = jnp.sum(vel_s * mass_s[..., None], axis=1)
+        vcoms = [jnp.where(m_leaf[:, None] > 0.0, vw / m_safe, 0.0)]
     while masses[0].shape[0] > 1:
         mc = masses[0].reshape(-1, 2)
         cc = coms[0].reshape(-1, 2, 3)
         rc = radii[0].reshape(-1, 2)
         mp = jnp.sum(mc, axis=1)
         wp = jnp.sum(cc * mc[..., None], axis=1)
+        mp_safe = jnp.maximum(mp, 1e-30)[:, None]
         cp = jnp.where(
-            mp[:, None] > 0.0, wp / jnp.maximum(mp, 1e-30)[:, None],
-            jnp.mean(cc, axis=1),
+            mp[:, None] > 0.0, wp / mp_safe, jnp.mean(cc, axis=1),
         )
         rp = jnp.max(
             jnp.sqrt(jnp.sum((cc - cp[:, None, :]) ** 2, axis=-1)) + rc,
@@ -175,9 +214,14 @@ def build_block_tree(pos: jax.Array, mass: jax.Array, leaf: int) -> BlockTree:
         masses.insert(0, mp)
         coms.insert(0, cp)
         radii.insert(0, rp)
+        if vcoms is not None:
+            vc = vcoms[0].reshape(-1, 2, 3)
+            vp = jnp.sum(vc * mc[..., None], axis=1)
+            vcoms.insert(0, jnp.where(mp[:, None] > 0.0, vp / mp_safe, 0.0))
 
     return BlockTree(order, pos_s, mass_s, gidx, tuple(masses), tuple(coms),
-                     tuple(radii))
+                     tuple(radii), vel_s,
+                     tuple(vcoms) if vcoms is not None else None)
 
 
 def mac_masks(tree: BlockTree, theta: float, g: float = G_INTERNAL,
@@ -240,7 +284,8 @@ def mac_masks(tree: BlockTree, theta: float, g: float = G_INTERNAL,
     return accepts, p2p
 
 
-def _monopole_far_field(tree, accepts, eps2, g, pot_eps2, chunk=128):
+def _monopole_far_field(tree, accepts, eps2, g, pot_eps2, chunk=128,
+                        with_jerk=False):
     """Masked dense point-node monopole sweep.
 
     All tree levels are flattened into one node axis (C_tot = 2B - 1
@@ -253,52 +298,114 @@ def _monopole_far_field(tree, accepts, eps2, g, pot_eps2, chunk=128):
     this identity risks is bounded here: accepted nodes are far
     (d > r_node / theta), so r^2 is never tiny relative to |x|^2 at the
     scales f32 cares about; the near field keeps the exact dx form.
+
+    `with_jerk` (requires a velocity-built tree) adds the monopole jerk
+
+        jerk_i = G sum_c [ s_c v_rel - 3 s_c (d.v_rel)/r^2 d ],
+        d = com_c - x_i,  v_rel = vcom_c - v_i,  s_c = m_c / r^3,
+
+    with every contraction factorised the same matmul way (the pairwise
+    scalar d.v_rel expands into four dot products, two of them einsums).
+    The monopole jerk treats each node as a point moving at its
+    mass-weighted mean velocity — the standard treecode approximation
+    (exact for the force derivative of the monopole itself; the
+    neglected internal-motion terms are the same order as the
+    truncation the MAC already admits). Jerk only steers the Hermite
+    timestep criterion and corrector, so this accuracy class is ample.
     """
     b, leaf, _ = tree.pos_s.shape
-    dtype = tree.pos_s.dtype
     m_all = jnp.concatenate(tree.masses)                      # [C]
     com_all = jnp.concatenate(tree.coms, axis=0)              # [C,3]
     mask_all = jnp.concatenate(accepts, axis=1)               # [B,C]
     w_all = jnp.where(mask_all, m_all[None, :], 0.0)          # [B,C]
     com_sq = jnp.sum(com_all * com_all, axis=-1)              # [C]
-    chunk = min(chunk, b)
+    # cap the [chunk, L, C] temporaries at ~128 MiB f32 each: at
+    # N = 4e5+ (C = 2B-1 ~ 4k) a chunk of 128 blocks makes them ~540 MiB
+    # and the several live at once (r2/inv_r/s, + rv/q with jerk) OOM the
+    # chip. chunk is a power of two so it divides b exactly.
+    c_tot = int(m_all.shape[0])
+    cap = max(1, (32 * 1024 * 1024) // max(leaf * c_tot, 1))
+    cap = 1 << (cap.bit_length() - 1)
+    chunk = min(chunk, b, cap)
+    # TPU MXU note: at the default matmul precision these einsums run
+    # bf16 — the r^2 identity then cancels catastrophically for the
+    # masked-out NEAR pairs (dense evaluation covers them too), going
+    # negative past eps2 -> rsqrt(NaN) -> 0 * NaN poisons the mask; and
+    # accepted-pair forces silently degrade to ~1e-3 relative. HIGHEST
+    # forces true-f32 passes; the far field is ~1-3% of the sweep's
+    # pair work, so the 3-pass cost is noise.
+    hi = jax.lax.Precision.HIGHEST
+    einsum = partial(jnp.einsum, precision=hi)
+    if with_jerk:
+        vcom_all = jnp.concatenate(tree.vcoms, axis=0)        # [C,3]
+        cvdot = jnp.sum(com_all * vcom_all, axis=-1)          # [C]
 
-    def one_chunk(pc_wc):
-        pos_c, w_c = pc_wc                                    # [Bc,L,3],[Bc,C]
-        dot = jnp.einsum("blk,ck->blc", pos_c, com_all)       # MXU
-        r2 = (jnp.sum(pos_c * pos_c, axis=-1)[..., None]
-              + com_sq[None, None, :] - 2.0 * dot + eps2)
+    def one_chunk(args):
+        if with_jerk:
+            pos_c, vel_c, w_c = args                # [Bc,L,3] x2, [Bc,C]
+        else:
+            pos_c, w_c = args
+        dot = einsum("blk,ck->blc", pos_c, com_all)           # MXU
+        # clamp: masked-out near pairs (a star against its own ancestor
+        # nodes) cancel to ~0 and can land slightly negative in f32;
+        # their w is 0, but rsqrt(negative) would poison 0 * NaN
+        r2 = jnp.maximum(
+            jnp.sum(pos_c * pos_c, axis=-1)[..., None]
+            + com_sq[None, None, :] - 2.0 * dot + eps2, 1e-30)
         inv_r = jax.lax.rsqrt(r2)
         s = w_c[:, None, :] * inv_r / r2                      # [Bc,L,C]
-        acc = g * (jnp.einsum("blc,ck->blk", s, com_all)      # MXU
-                   - pos_c * jnp.sum(s, axis=-1)[..., None])
+        s_sum = jnp.sum(s, axis=-1)[..., None]
+        acc = g * (einsum("blc,ck->blk", s, com_all)          # MXU
+                   - pos_c * s_sum)
+        jerk = None
+        if with_jerk:
+            xv = jnp.sum(pos_c * vel_c, axis=-1)              # [Bc,L]
+            rv = (cvdot[None, None, :]
+                  - einsum("blk,ck->blc", vel_c, com_all)
+                  - einsum("blk,ck->blc", pos_c, vcom_all)
+                  + xv[..., None])                            # [Bc,L,C]
+            q = 3.0 * s * rv / r2
+            q_sum = jnp.sum(q, axis=-1)[..., None]
+            jerk = g * (einsum("blc,ck->blk", s, vcom_all)
+                        - vel_c * s_sum
+                        - einsum("blc,ck->blk", q, com_all)
+                        + pos_c * q_sum)
         if pot_eps2 is not None:
-            r2p = r2 - eps2 + pot_eps2
+            r2p = jnp.maximum(r2 - eps2 + pot_eps2, 1e-30)
             inv_r = jax.lax.rsqrt(r2p)
         pot = -g * jnp.sum(w_c[:, None, :] * inv_r, axis=-1)
+        if with_jerk:
+            return acc, jerk, pot
         return acc, pot
 
     pos_ch = tree.pos_s.reshape(b // chunk, chunk, leaf, 3)
     w_ch = w_all.reshape(b // chunk, chunk, -1)
+    if with_jerk:
+        vel_ch = tree.vel_s.reshape(b // chunk, chunk, leaf, 3)
+        acc, jerk, pot = jax.lax.map(one_chunk, (pos_ch, vel_ch, w_ch))
+        return (acc.reshape(b, leaf, 3), jerk.reshape(b, leaf, 3),
+                pot.reshape(b, leaf))
     acc, pot = jax.lax.map(one_chunk, (pos_ch, w_ch))
-    return acc.reshape(b, leaf, 3), pot.reshape(b, leaf)
+    return acc.reshape(b, leaf, 3), None, pot.reshape(b, leaf)
 
 
-def _p2p_near_field(tree, p2p, eps2, g, pot_eps2, kavg, chunk=8):
+def _p2p_near_field(tree, p2p, eps2, g, pot_eps2, kavg, chunk=8,
+                    with_jerk=False):
     """Exact pair sweep over the MAC-failing (target, source) leaf pairs.
 
     The true entries of the [B, B] p2p mask are packed into one flat
-    pair list padded to the static budget kavg*B (stable argsort of the
-    raveled mask keeps pairs target-major); a lax.scan over chunks of
-    `chunk` pairs evaluates [C, L, L] exact tiles and scatter-adds them
-    into the [B, L] accumulators. Cost scales with the MEAN partner
-    count (the budget), never the per-block max.
+    pair list padded to the static budget (near_budget — shared with the
+    Pallas backend; stable argsort of the raveled mask keeps pairs
+    target-major); a lax.scan over chunks of `chunk` pairs evaluates
+    [C, L, L] exact tiles and scatter-adds them into the [B, L]
+    accumulators. Cost scales with the MEAN partner count (the budget),
+    never the per-block max. `with_jerk` adds the exact pairwise jerk
+    (velocity-built tree required).
     """
     b, leaf, _ = tree.pos_s.shape
     dtype = tree.pos_s.dtype
     chunk = min(chunk, b * b)               # b, chunk: powers of two
-    budget = min(kavg * b, b * b)
-    budget = min(-(-budget // chunk) * chunk, b * b)          # static
+    budget = near_budget(kavg, b, chunk)
     flat = p2p.reshape(-1)
     overflow = jnp.sum(flat) > budget
     idx = jnp.argsort(~flat, stable=True)[:budget]
@@ -307,7 +414,7 @@ def _p2p_near_field(tree, p2p, eps2, g, pot_eps2, kavg, chunk=8):
     ok = flat[idx].reshape(-1, chunk)
 
     def one_chunk(carry, slot):
-        acc, pot = carry
+        acc, jerk, pot = carry
         i_c, j_c, ok_c = slot                                 # [C] each
         pos_t = tree.pos_s[i_c]                               # [C,L,3]
         gidx_t = tree.gidx_s[i_c]                             # [C,L]
@@ -318,17 +425,35 @@ def _p2p_near_field(tree, p2p, eps2, g, pot_eps2, kavg, chunk=8):
         r2 = jnp.sum(dx * dx, axis=-1) + eps2
         self_pair = gidx_j[:, None, :] == gidx_t[:, :, None]
         inv_r = jnp.where(self_pair, 0.0, jax.lax.rsqrt(r2))
-        mj3 = mass_j[:, None, :] * inv_r / jnp.where(self_pair, 1.0, r2)
-        d_acc = g * jnp.einsum("cij,cijk->cik", mj3, dx)      # [C,L,3]
+        r2_safe = jnp.where(self_pair, 1.0, r2)
+        mj3 = mass_j[:, None, :] * inv_r / r2_safe
+        # HIGHEST: the default TPU matmul precision would contract these
+        # in bf16 — ~1e-3 relative error on the exact near field, the
+        # part of the tree that exists to be exact
+        hi = jax.lax.Precision.HIGHEST
+        d_acc = g * jnp.einsum("cij,cijk->cik", mj3, dx,
+                               precision=hi)                  # [C,L,3]
+        if with_jerk:
+            dv = (tree.vel_s[j_c][:, None, :, :]
+                  - tree.vel_s[i_c][:, :, None, :])
+            rv = jnp.sum(dx * dv, axis=-1)
+            q = 3.0 * mj3 * rv / r2_safe
+            d_jerk = g * (jnp.einsum("cij,cijk->cik", mj3, dv,
+                                     precision=hi)
+                          - jnp.einsum("cij,cijk->cik", q, dx,
+                                       precision=hi))
+            jerk = jerk.at[i_c].add(d_jerk)
         if pot_eps2 is not None:
             r2p = r2 - eps2 + pot_eps2
             inv_r = jnp.where(self_pair, 0.0, jax.lax.rsqrt(r2p))
         d_pot = -g * jnp.sum(mass_j[:, None, :] * inv_r, axis=-1)
-        return (acc.at[i_c].add(d_acc), pot.at[i_c].add(d_pot)), None
+        return (acc.at[i_c].add(d_acc), jerk, pot.at[i_c].add(d_pot)), None
 
-    init = (jnp.zeros((b, leaf, 3), dtype), jnp.zeros((b, leaf), dtype))
-    (acc, pot), _ = jax.lax.scan(one_chunk, init, (ti, sj, ok))
-    return acc, pot, overflow
+    init = (jnp.zeros((b, leaf, 3), dtype),
+            jnp.zeros((b, leaf, 3), dtype) if with_jerk else jnp.zeros((), dtype),
+            jnp.zeros((b, leaf), dtype))
+    (acc, jerk, pot), _ = jax.lax.scan(one_chunk, init, (ti, sj, ok))
+    return acc, (jerk if with_jerk else None), pot, overflow
 
 
 def _use_pallas_near(near_impl: str, dtype) -> bool:
@@ -345,8 +470,103 @@ def _use_pallas_near(near_impl: str, dtype) -> bool:
             and not jax.config.jax_enable_x64)
 
 
+def _check_theta(theta: float, aref) -> None:
+    """Geometric-MAC validity (advisor r4): the no-self-interaction
+    argument (an ancestor node's bounding sphere contains the target
+    block, so it can never pass r_node < theta * (d - r_block)) only
+    holds for theta <= 1. The relative criterion carries its own
+    d_min > r_node validity guard, so there `theta` is the tolerance
+    alpha and any positive value is safe. Raised at trace time (theta
+    is static)."""
+    if theta <= 0.0:
+        raise ValueError(f"tree_theta={theta}: must be > 0")
+    if aref is None and theta > 1.0:
+        raise ValueError(
+            f"tree_theta={theta}: the geometric MAC requires theta <= 1 "
+            "(above that an accepted ancestor node would double-count "
+            "the target block's own stars); use the relative criterion "
+            "(aref) for aggressive opening instead"
+        )
+
+
 @partial(jax.jit, static_argnames=("leaf", "theta", "kavg", "g",
-                                   "near_impl"))
+                                   "near_impl", "with_jerk"))
+def tree_acc_jerk_pot(
+    pos: jax.Array,
+    vel: jax.Array | None,
+    mass: jax.Array,
+    eps2: float | jax.Array = 0.0,
+    g: float = G_INTERNAL,
+    *,
+    leaf: int = 256,
+    theta: float = 0.5,
+    kavg: int = 256,
+    pot_eps2: float | None = None,
+    aref: jax.Array | None = None,
+    near_impl: str = "auto",
+    with_jerk: bool = False,
+) -> Tuple[jax.Array, jax.Array | None, jax.Array, jax.Array]:
+    """Barnes-Hut accelerations [N,3], jerks [N,3] (None unless
+    `with_jerk`), potentials [N] and an `overflow` bool (true => the
+    near-field pair list exceeded the near_budget(kavg, B) budget and
+    the result is truncated; treat as an error and re-run with a larger
+    kavg or a larger leaf — size kavg with p2p_partner_counts).
+
+    `with_jerk` makes the tier Hermite-capable (round 5): the far field
+    adds the monopole jerk (nodes as points moving at their mass-
+    weighted mean velocity), the near field the exact pairwise jerk.
+    `aref` [N]: per-star reference acceleration magnitudes (previous
+    evaluation) switching the MAC to the relative criterion (see
+    mac_masks); None uses the geometric criterion.
+    `pot_eps2` softens the potential separately from the forces (same
+    convention as ops.nbody._row_block_acc_jerk_pot / the Pallas kernel);
+    None reuses `eps2`.
+    `near_impl` ('auto' | 'pallas' | 'xla') selects the near-field
+    backend — see _use_pallas_near.
+    """
+    _check_theta(theta, aref)
+    n = pos.shape[0]
+    tree = build_block_tree(pos, mass, leaf,
+                            vel if with_jerk else None)
+    aref_b = None
+    if aref is not None:
+        pad = tree.gidx_s.size - n
+        aref_s = jnp.concatenate(
+            [aref[tree.order], jnp.full(pad, jnp.inf, aref.dtype)]
+        ) if pad else aref[tree.order]
+        aref_b = jnp.min(aref_s.reshape(tree.pos_s.shape[0], -1), axis=1)
+    accepts, p2p = mac_masks(tree, theta, g, aref_b)
+    far_acc, far_jerk, far_pot = _monopole_far_field(
+        tree, accepts, eps2, g, pot_eps2, with_jerk=with_jerk
+    )
+    if _use_pallas_near(near_impl, pos.dtype):
+        from .pallas_tree import pallas_p2p_near_field
+
+        near = pallas_p2p_near_field(
+            tree.pos_s, tree.mass_s, p2p, n, eps2,
+            leaf=leaf, kavg=kavg, g=g, pot_eps2=pot_eps2,
+            vel_s=tree.vel_s, with_jerk=with_jerk,
+        )
+    else:
+        near = _p2p_near_field(
+            tree, p2p, eps2, g, pot_eps2, kavg, with_jerk=with_jerk
+        )
+    near_acc, near_jerk, near_pot, overflow = near
+    acc_s = (far_acc + near_acc).reshape(-1, 3)
+    pot_s = (far_pot + near_pot).reshape(-1)
+
+    npad = acc_s.shape[0]
+    inv = jnp.zeros(npad, jnp.int32).at[tree.gidx_s.reshape(-1)].set(
+        jnp.arange(npad, dtype=jnp.int32)
+    )
+    acc = acc_s[inv[:n]]
+    pot = pot_s[inv[:n]]
+    jerk = None
+    if with_jerk:
+        jerk = (far_jerk + near_jerk).reshape(-1, 3)[inv[:n]]
+    return acc, jerk, pot, overflow
+
+
 def tree_acc_pot(
     pos: jax.Array,
     mass: jax.Array,
@@ -360,76 +580,58 @@ def tree_acc_pot(
     aref: jax.Array | None = None,
     near_impl: str = "auto",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Barnes-Hut accelerations [N,3], potentials [N] and an `overflow`
-    bool (true => the near-field pair list exceeded the kavg*B budget
-    and the result is truncated; treat as an error and re-run with a
-    larger kavg or a larger leaf — size kavg with p2p_partner_counts).
-
-    `aref` [N]: per-star reference acceleration magnitudes (previous
-    evaluation) switching the MAC to the relative criterion (see
-    mac_masks); None uses the geometric criterion.
-    `pot_eps2` softens the potential separately from the forces (same
-    convention as ops.nbody._row_block_acc_jerk_pot / the Pallas kernel);
-    None reuses `eps2`.
-    `near_impl` ('auto' | 'pallas' | 'xla') selects the near-field
-    backend — see _use_pallas_near.
-    """
-    n = pos.shape[0]
-    tree = build_block_tree(pos, mass, leaf)
-    aref_b = None
-    if aref is not None:
-        pad = tree.gidx_s.size - n
-        aref_s = jnp.concatenate(
-            [aref[tree.order], jnp.full(pad, jnp.inf, aref.dtype)]
-        ) if pad else aref[tree.order]
-        aref_b = jnp.min(aref_s.reshape(tree.pos_s.shape[0], -1), axis=1)
-    accepts, p2p = mac_masks(tree, theta, g, aref_b)
-    far_acc, far_pot = _monopole_far_field(tree, accepts, eps2, g, pot_eps2)
-    if _use_pallas_near(near_impl, pos.dtype):
-        from .pallas_tree import pallas_p2p_near_field
-
-        near_acc, near_pot, overflow = pallas_p2p_near_field(
-            tree.pos_s, tree.mass_s, p2p, n, eps2,
-            leaf=leaf, kavg=kavg, g=g, pot_eps2=pot_eps2,
-        )
-    else:
-        near_acc, near_pot, overflow = _p2p_near_field(
-            tree, p2p, eps2, g, pot_eps2, kavg
-        )
-    acc_s = (far_acc + near_acc).reshape(-1, 3)
-    pot_s = (far_pot + near_pot).reshape(-1)
-
-    npad = acc_s.shape[0]
-    inv = jnp.zeros(npad, jnp.int32).at[tree.gidx_s.reshape(-1)].set(
-        jnp.arange(npad, dtype=jnp.int32)
+    """(acc [N,3], pot [N], overflow) — the jerk-free entry point (the
+    leapfrog path and the diagnostics use it)."""
+    acc, _, pot, overflow = tree_acc_jerk_pot(
+        pos, None, mass, eps2, g, leaf=leaf, theta=theta, kavg=kavg,
+        pot_eps2=pot_eps2, aref=aref, near_impl=near_impl, with_jerk=False,
     )
-    acc = acc_s[inv[:n]]
-    pot = pot_s[inv[:n]]
     return acc, pot, overflow
 
 
 def make_tree_sweep(mass, eps2, *, leaf: int, theta: float, kavg: int,
-                    pot_eps2: float | None, g: float = G_INTERNAL):
-    """Full-sweep `(pos, vel) -> (acc, None, pot)` for sim.step: the
-    tree-tier analogue of ops.pallas_nbody.pallas_acc_jerk_pot (no jerk —
-    the tier is leapfrog-only, like the reference's BHTree). A near-field
-    pair-budget overflow POISONS the outputs with NaN: silent force
-    truncation must never pass as physics, and utils.validate's
-    finiteness check turns the poison into a loud error at the next
-    checkpoint boundary (the in-jit path cannot raise)."""
+                    pot_eps2: float | None, g: float = G_INTERNAL,
+                    with_jerk: bool = False, aref: jax.Array | None = None):
+    """Full-sweep `(pos, vel) -> (acc, jerk, pot)` for sim.step: the
+    tree-tier analogue of ops.pallas_nbody.pallas_acc_jerk_pot.
+    `with_jerk=False` (the leapfrog tier) returns zeros for jerk — the
+    pallas_acc_jerk_pot with_jerk=False convention, so the force-cache
+    pytree is scan-stable; True returns the real tree jerk (the
+    hermite4_block tier). A near-field pair-budget overflow POISONS the
+    outputs with NaN: silent force truncation must never pass as
+    physics, and utils.validate's finiteness check turns the poison into
+    a loud error at the next checkpoint boundary (the in-jit path cannot
+    raise)."""
 
     def sweep(pos, vel=None):
-        del vel
-        acc, pot, ovf = tree_acc_pot(
-            pos, mass, eps2, g, leaf=leaf, theta=theta, kavg=kavg,
-            pot_eps2=pot_eps2,
+        acc, jerk, pot, ovf = tree_acc_jerk_pot(
+            pos, vel, mass, eps2, g, leaf=leaf, theta=theta, kavg=kavg,
+            pot_eps2=pot_eps2, with_jerk=with_jerk, aref=aref,
         )
         poison = jnp.where(ovf, jnp.nan, 0.0).astype(acc.dtype)
-        # zeros jerk (not None) — the pallas_acc_jerk_pot with_jerk=False
-        # convention, so the force-cache pytree is scan-stable
-        return acc + poison, jnp.zeros_like(acc), pot + poison
+        if jerk is None:
+            jerk = jnp.zeros_like(acc)
+        else:
+            jerk = jerk + poison
+        return acc + poison, jerk, pot + poison
 
     return sweep
+
+
+def make_tree_force(mass, eps2, *, leaf: int, theta: float, kavg: int,
+                    g: float = G_INTERNAL):
+    """`(pos, vel) -> (acc, jerk)` for the Hermite integrators'
+    force_fn hook (overflow NaN-poisons, as everywhere in the tier)."""
+
+    def force_fn(pos, vel):
+        acc, jerk, _, ovf = tree_acc_jerk_pot(
+            pos, vel, mass, eps2, g, leaf=leaf, theta=theta, kavg=kavg,
+            with_jerk=True,
+        )
+        poison = jnp.where(ovf, jnp.nan, 0.0).astype(acc.dtype)
+        return acc + poison, jerk + poison
+
+    return force_fn
 
 
 def make_tree_acc(mass, eps2, *, leaf: int, theta: float, kavg: int,

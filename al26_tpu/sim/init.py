@@ -173,14 +173,46 @@ def resolve_integrator(cfg: SimConfig, m_total: float) -> SimConfig:
 
     integ = cfg.integrator
     if cfg.force_impl == "tree":
-        # the Barnes-Hut tier provides accelerations only (no jerk):
-        # leapfrog-only, like the reference's default BHTree solver
-        if integ == "auto":
-            integ = "leapfrog"
-        elif integ != "leapfrog":
+        # round 5: the tier carries acc AND jerk (monopole far-field
+        # jerk + exact near-field jerk, ops.tree.tree_acc_jerk_pot), so
+        # the block-timestep Hermite runs over tree forces — ONE tree
+        # sweep per step through the force cache. auto: BHTree-parity
+        # leapfrog at small N, hermite4_block in the large-N regime the
+        # tier exists for. The shared-adaptive hermite4 stays rejected
+        # (a full tree build+sweep per substep defeats the tier).
+        if cfg.tree_mac not in ("geometric", "relative"):
             raise ValueError(
-                "force_impl='tree' is leapfrog-only (monopole tree forces "
-                f"carry no jerk); got integrator={integ!r}"
+                f"tree_mac={cfg.tree_mac!r}: 'geometric' or 'relative'"
+            )
+        if cfg.tree_mac == "relative":
+            # the reference acceleration rides the force cache on the
+            # hermite4_block path (sim.step); leapfrog's interior
+            # substeps carry no acceleration channel to thread it
+            if integ == "auto":
+                integ = "hermite4_block"
+            elif integ != "hermite4_block":
+                raise ValueError(
+                    "tree_mac='relative' requires "
+                    f"integrator='hermite4_block'; got {integ!r}"
+                )
+            if cfg.tree_alpha <= 0.0:
+                raise ValueError(
+                    f"tree_alpha={cfg.tree_alpha}: must be > 0"
+                )
+        elif integ == "auto":
+            integ = "leapfrog" if cfg.n <= 8192 else "hermite4_block"
+        elif integ not in ("leapfrog", "hermite4_block"):
+            raise ValueError(
+                "force_impl='tree' supports integrator='leapfrog' or "
+                f"'hermite4_block'; got integrator={integ!r}"
+            )
+        if not 0.0 < cfg.tree_theta <= 1.0:
+            # the geometric MAC's no-self-interaction argument needs
+            # theta <= 1 (ops.tree._check_theta; advisor r4). Validated
+            # in every tree_mac: the cache-seeding first sweep of a run
+            # is always geometric.
+            raise ValueError(
+                f"tree_theta={cfg.tree_theta}: must be in (0, 1]"
             )
     elif integ == "auto":
         integ = "hermite4" if cfg.n <= 8192 else "hermite4_block"
@@ -338,12 +370,43 @@ def init_cluster(cfg: SimConfig, data_dir: str | None = None,
     if resolved.force_impl == "tree" and resolved.tree_kavg == 0:
         from ..ops.tree import p2p_partner_counts
 
-        with jax.default_device(cpu):
-            cnt = np.asarray(p2p_partner_counts(
-                jnp.asarray(pos), jnp.asarray(masses),
-                leaf=resolved.tree_leaf, theta=resolved.tree_theta,
+        if resolved.tree_mac == "relative":
+            # the relative criterion needs a reference acceleration:
+            # one exact sweep on the default device (the Pallas kernel
+            # at production N — ~1.4 s at N=4e5 — the chunked XLA sweep
+            # on CPU test scales). Budget = max of the geometric counts
+            # (the cache-seeding first sweep of every run/resume) and
+            # the relative counts the per-step sweeps settle at.
+            from ..ops.nbody import acc_jerk_pot_chunked
+            from ..ops.pallas_nbody import pallas_acc_jerk_pot, use_pallas
+
+            pos_d = jnp.asarray(pos, dtype)
+            mass_d = jnp.asarray(masses, dtype)
+            if use_pallas(len(masses), pos_d.dtype):
+                a_ex, _, _ = pallas_acc_jerk_pot(pos_d, pos_d * 0.0,
+                                                 mass_d, resolved.eps2)
+            else:
+                a_ex, _, _ = jax.jit(acc_jerk_pot_chunked)(
+                    pos_d, pos_d * 0.0, mass_d,
+                    jnp.asarray(resolved.eps2, dtype))
+            aref = jnp.sqrt(jnp.sum(a_ex * a_ex, axis=-1))
+            cnt_rel = np.asarray(p2p_partner_counts(
+                pos_d, mass_d, leaf=resolved.tree_leaf,
+                theta=resolved.tree_alpha, aref=aref,
             ))
-        resolved = resolved.replace(tree_kavg=int(2.0 * cnt.mean()) + 8)
+            cnt_geo = np.asarray(p2p_partner_counts(
+                pos_d, mass_d, leaf=resolved.tree_leaf,
+                theta=resolved.tree_theta,
+            ))
+            kavg = int(2.0 * max(cnt_rel.mean(), cnt_geo.mean())) + 8
+        else:
+            with jax.default_device(cpu):
+                cnt = np.asarray(p2p_partner_counts(
+                    jnp.asarray(pos), jnp.asarray(masses),
+                    leaf=resolved.tree_leaf, theta=resolved.tree_theta,
+                ))
+            kavg = int(2.0 * cnt.mean()) + 8
+        resolved = resolved.replace(tree_kavg=kavg)
 
     # -- fixed massive-star candidate slots ---------------------------------
     hm_candidates, hm_valid = _hm_candidate_slots(cfg, masses)

@@ -91,11 +91,11 @@ def _build_force_fn(mass, eps2, cfg: SimConfig, mesh, force_impl: str):
         from ..ops.pallas_nbody import make_pallas_acc, make_pallas_force
         return make_pallas_force(mass, eps2), make_pallas_acc(mass, eps2)
     if force_impl == "tree":
-        from ..ops.tree import make_tree_acc
-        return None, make_tree_acc(
-            mass, cfg.eps2, leaf=cfg.tree_leaf, theta=cfg.tree_theta,
-            kavg=cfg.tree_kavg or 256,
-        )
+        from ..ops.tree import make_tree_acc, make_tree_force
+        kw = dict(leaf=cfg.tree_leaf, theta=cfg.tree_theta,
+                  kavg=cfg.tree_kavg or 256)
+        return (make_tree_force(mass, cfg.eps2, **kw),
+                make_tree_acc(mass, cfg.eps2, **kw))
     raise ValueError(f"unknown force_impl: {force_impl}")
 
 
@@ -137,12 +137,19 @@ def _mesh_sweep(mesh, force_impl: str):
 
 
 def _sweep_eval_fn(cfg: SimConfig, mesh, force_impl: str, mass,
-                   needs_jerk: bool):
+                   needs_jerk: bool, tree_aref=None):
     """Full fused sweep `(pos, vel) -> (acc, jerk, pot)`: the mesh
     backends under a mesh, the single-chip Pallas kernel otherwise. The
     ONE place the sweep conventions (cfg.eps2 force softening, _pot_eps2
     virial softening, with_jerk) live — _step_impl, _stride_impl and
-    fresh_cache all build their evaluations here."""
+    fresh_cache all build their evaluations here.
+
+    `tree_aref` [N] (tree tier, cfg.tree_mac="relative"): per-star
+    reference acceleration magnitudes — the previous evaluation, riding
+    the force cache — switching the MAC to the Springel relative
+    criterion at tolerance cfg.tree_alpha. None keeps the geometric
+    opening-angle MAC (always the case for the cache-seeding first
+    sweep of a run, where no previous acceleration exists)."""
     if mesh is not None:
         sweep = _mesh_sweep(mesh, force_impl)
 
@@ -152,12 +159,39 @@ def _sweep_eval_fn(cfg: SimConfig, mesh, force_impl: str, mass,
 
         return sweep_eval
     if force_impl == "tree":
-        from ..ops.tree import make_tree_sweep
+        if cfg.tree_mac == "relative" and tree_aref is None:
+            # relative mode's cache-seeding sweep (no previous
+            # acceleration exists yet) is the EXACT kernel: one full
+            # O(N^2) sweep per run/resume, amortised over every
+            # subsequent tree step — and the near-field budget then only
+            # has to hold the relative-MAC partner counts, not the far
+            # larger geometric ones (sim.init auto-sizing)
+            from ..ops.pallas_nbody import use_pallas
 
-        return make_tree_sweep(
-            mass, cfg.eps2, leaf=cfg.tree_leaf, theta=cfg.tree_theta,
-            kavg=cfg.tree_kavg or 256, pot_eps2=_pot_eps2(cfg),
-        )
+            if not use_pallas(mass.shape[0], mass.dtype):
+                from ..ops.nbody import _row_block_acc_jerk_pot
+                from ..units import G_INTERNAL
+
+                def sweep_eval(p, v):
+                    ids = jnp.arange(p.shape[0], dtype=jnp.int32)
+                    return _row_block_acc_jerk_pot(
+                        p, v, p, v, mass, jnp.asarray(cfg.eps2, p.dtype),
+                        G_INTERNAL, ids, pot_eps2=_pot_eps2(cfg),
+                        with_jerk=needs_jerk)
+
+                return sweep_eval
+            # else: fall through to the exact Pallas sweep below
+        else:
+            from ..ops.tree import make_tree_sweep
+
+            theta = cfg.tree_theta
+            if tree_aref is not None:
+                theta = cfg.tree_alpha
+            return make_tree_sweep(
+                mass, cfg.eps2, leaf=cfg.tree_leaf, theta=theta,
+                kavg=cfg.tree_kavg or 256, pot_eps2=_pot_eps2(cfg),
+                with_jerk=needs_jerk, aref=tree_aref,
+            )
     from ..ops.pallas_nbody import pallas_acc_jerk_pot
 
     def sweep_eval(p, v):
@@ -207,7 +241,11 @@ def _resolve_integ(cfg: SimConfig, n: int) -> str:
     resolve_integrator (e.g. a cfg recreated from a dict)."""
     if cfg.integrator == "auto":
         if cfg.force_impl == "tree":
-            return "leapfrog"  # tree forces carry no jerk
+            # small N: BHTree-parity leapfrog; large N (the regime the
+            # tier exists for): block-timestep Hermite over tree
+            # acc+jerk — ONE tree sweep per step via the force cache,
+            # vs n_sub leapfrog evaluations (round 5)
+            return "leapfrog" if n <= 8192 else "hermite4_block"
         return "hermite4" if n <= 8192 else "hermite4_block"
     return cfg.integrator
 
@@ -242,7 +280,9 @@ def _cacheable(cfg: SimConfig, n, dtype, mesh, force_impl) -> bool:
     if mesh is not None:
         return force_impl in ("auto", "sharded", "ring")
     if force_impl == "tree":
-        return True  # leapfrog-only; closing tree eval at final positions
+        # leapfrog: closing tree eval at the final positions exactly;
+        # hermite4_block: P(EC) semantics like the Pallas path
+        return True
     return _pallas_here(cfg, n, dtype, mesh, force_impl)
 
 
@@ -260,12 +300,13 @@ def _step_impl(state: SimState, aux: SimAux, cfg: SimConfig,
 
     integ = _resolve_integ(cfg, c.n)
     tree_here = force_impl == "tree"
-    if tree_here and integ != "leapfrog":
+    if tree_here and integ not in ("leapfrog", "hermite4_block"):
         # direct step() callers can bypass sim.init.resolve_integrator;
-        # a Hermite advance would silently fall back to dense exact
-        # forces instead of the tree the caller asked for
+        # the shared-adaptive hermite4 would pay a FULL tree build+sweep
+        # per substep — the regime the tier exists for never wants that
         raise ValueError(
-            f"force_impl='tree' is leapfrog-only; got integrator={integ!r}"
+            "force_impl='tree' supports integrator='leapfrog' or "
+            f"'hermite4_block'; got integrator={integ!r}"
         )
     pallas_here = _pallas_here(cfg, c.n, c.pos.dtype, mesh, force_impl)
     cache_ok = want_cache and _cacheable(cfg, c.n, c.pos.dtype, mesh,
@@ -309,16 +350,33 @@ def _step_impl(state: SimState, aux: SimAux, cfg: SimConfig,
             from ..parallel.sharded import make_sharded_force_rows
             force_rows_fn = make_sharded_force_rows(mesh, c.mass, cfg.eps2)
         else:
+            # the fast-group subcycle stays EXACT on every backend (K x N
+            # row sweeps): under the tree tier too — close encounters are
+            # precisely where monopole truncation must not leak in
+            from ..ops.pallas_nbody import use_pallas
+            rows_pallas = pallas_here or (
+                tree_here and use_pallas(c.n, c.pos.dtype)
+            )
             force_rows_fn = _build_force_rows_fn(
-                c.mass, cfg.eps2, "pallas" if pallas_here else "default"
+                c.mass, cfg.eps2, "pallas" if rows_pallas else "default"
             )
             rows_at_factory = _build_rows_at_factory(
-                c.mass, cfg.eps2, pallas_here
+                c.mass, cfg.eps2, rows_pallas
             )
     final_eval_fn = None
     if cache_ok:
+        sweep_close = sweep_eval
+        if tree_here and cfg.tree_mac == "relative":
+            # relative MAC: the step's closing sweep opens nodes against
+            # the OPENING acceleration magnitudes (cache-carried; forces
+            # move O(dt) per step, ample for a truncation-error bound)
+            sweep_close = _sweep_eval_fn(
+                cfg, mesh, force_impl, c.mass, needs_jerk,
+                tree_aref=jnp.sqrt(jnp.sum(a0 * a0, axis=-1)),
+            )
+
         def final_eval_fn(p, v):
-            a, j, pot = sweep_eval(p, v)
+            a, j, pot = sweep_close(p, v)
             return a, (j if needs_jerk else None), pot
 
     out = advance(
@@ -576,8 +634,11 @@ def _stride_impl(state: SimState, aux: SimAux, cfg: SimConfig, cache,
     mtot = jnp.sum(c.mass)
     r_vir = -G_INTERNAL * mtot * mtot / (2.0 * u)
 
+    tree_aref = None
+    if force_impl == "tree" and cfg.tree_mac == "relative":
+        tree_aref = jnp.sqrt(jnp.sum(a0 * a0, axis=-1))
     final_eval_fn = _sweep_eval_fn(cfg, mesh, force_impl, c.mass,
-                                   needs_jerk=True)
+                                   needs_jerk=True, tree_aref=tree_aref)
     if mesh is not None:
         from ..parallel.sharded import make_sharded_force_rows
         force_rows_fn = make_sharded_force_rows(mesh, c.mass, cfg.eps2)

@@ -1,9 +1,6 @@
 """Headline benchmark: sustained pairwise force throughput (Gpairs/s).
 
-Runs the Pallas tiled force/jerk/potential kernel (the hot op of every
-simulation step, replacing the reference's C++ BHTree/Hermite workers) at
-N=131072 on the attached TPU chip(s) with true host synchronisation per
-iteration, and prints ONE JSON line:
+Prints ONE JSON line to stdout:
 
     {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
 
@@ -11,258 +8,220 @@ Baseline: the driver target of >= 50 Gpairs/s sustained at N=100k on a
 v5e-8 (BASELINE.md). The reference publishes no simulation throughput
 numbers of its own. vs_baseline = value / 50.
 
-Secondary diagnostics (wall-clock per simulated Myr for full-physics runs
-at N=1k/10k) go to stderr so stdout stays a single JSON line.
+Architecture (round 5 — wall-proof by construction; VERDICT r4 item 1):
+a thin ORCHESTRATOR that never imports jax runs every measurement as a
+subprocess PHASE (`python bench.py --phase NAME k=v ...`) under its own
+timeout. The headline JSON line is printed and flushed the moment the
+headline value exists — before any secondary work — so a wall-clock
+kill during secondaries can no longer lose the round's evidence
+(BENCH_r04 recorded nothing because the old probe-retry loop ran ahead
+of the headline print). Failure ladder:
+
+  1. `headline` phase (Pallas kernel; row-sharded over all chips when
+     more than one is attached) under a hard timeout — the timeout IS
+     the wedge probe; no separate probe subprocess, no retry sleeps.
+  2. on failure: one `headline_xla` fallback phase (plain-XLA chunked
+     force) after a short quiet pause.
+  3. on failure: an explained-zero JSON line (device unusable this
+     window; the last driver-captured healthy number is cited).
+
+Secondary diagnostics (tree tier, wall-clock per simulated Myr,
+ensembles) each run as their own phase, gated on the remaining budget
+(AL26_BENCH_BUDGET_S, default 1800 s) and capped at three consecutive
+phase failures; results stream to stderr and the FINAL stderr line is a
+machine-readable `# SUMMARY {json}` so the driver's tail capture holds
+every secondary number.
+
+The tunneled-TPU behaviours this design absorbs (observed, see
+.claude/skills/verify/SKILL.md): device execution wedging while
+compiles still succeed, backend init hanging for minutes after a
+crashed kernel, cold remote compiles of 30-300 s (cached across
+processes — a killed phase's compile work is not lost), and
+block_until_ready returning early (all syncs are scalar pulls).
 """
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
-# the ambient JAX_PLATFORMS=axon value breaks backend init outside the repo
-# dir; empty lets jax auto-select the TPU (see .claude/skills/verify/SKILL.md)
-os.environ.pop("JAX_PLATFORMS", None)
-
-import jax  # noqa: E402
-import jax.numpy as jnp  # noqa: E402
-import numpy as np  # noqa: E402
-
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-from al26_tpu.ops.pallas_nbody import pallas_acc_jerk_pot  # noqa: E402
-
-N_BENCH = 131072
+REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_GPAIRS = 50.0
+N_BENCH = 131072
 ITERS = 5
+TOTAL_BUDGET_S = float(os.environ.get("AL26_BENCH_BUDGET_S", "1800"))
+_T0 = time.time()
 
 
-def pallas_device_healthy(compile_budget_s: float = 600.0,
-                          exec_budget_s: float = 90.0) -> bool:
-    """Probe (in a subprocess, so a hang cannot take this process down)
-    whether Pallas kernels currently execute on the device. The tunneled
-    TPU worker intermittently wedges: programs load from the compile cache
-    but device execution never completes.
-
-    Round 3 (VERDICT r2 weak item 5): the probe separates COMPILE from
-    EXECUTION. A kernel-code change invalidates the remote compile cache
-    and a cold compile can take minutes — the subprocess AOT-compiles
-    first (its own generous budget; compiling cannot wedge the worker),
-    prints READY, then executes under a short budget that is a genuine
-    wedge detector. No more burning the whole probe window on a cold
-    compile and mis-classifying it as a hang."""
-    import subprocess
-    import threading
-
-    code = (
-        "import os, sys; os.environ.pop('JAX_PLATFORMS', None);"
-        "sys.path.insert(0, %r);"
-        "import numpy as np, jax, jax.numpy as jnp;"
-        "from al26_tpu.ops.pallas_nbody import pallas_acc_jerk_pot_rows;"
-        "x = jnp.asarray(np.random.default_rng(0).normal(size=(4096,3)),"
-        "jnp.float32);"
-        "ids = jnp.arange(4096, dtype=jnp.int32);"
-        "m = jnp.ones(4096, jnp.float32);"
-        # eps2 matches bench_force_throughput so the probe warms the SAME
-        # statically-selected kernel variant (pot_via_mxu) the bench times
-        "c = pallas_acc_jerk_pot_rows.lower(x, x, ids, x, x, m,"
-        " eps2=0.125).compile();"
-        "print('READY', flush=True);"
-        "a,_,_ = c(x, x, ids, x, x, m);"
-        "print('SUM', float(jnp.sum(np.asarray(a))), flush=True)"
-    ) % os.path.dirname(os.path.abspath(__file__))
-    # stderr merged into stdout: a subprocess that CRASHES (ImportError,
-    # device grabbed, compile API error) must surface its traceback here
-    # instead of being misread as a 600 s compile timeout
-    proc = subprocess.Popen(["python", "-c", code],
-                            stdout=subprocess.PIPE,
-                            stderr=subprocess.STDOUT, text=True)
-    lines: list = []
-
-    def _reader():
-        for line in proc.stdout:
-            lines.append(line.rstrip())
-
-    t = threading.Thread(target=_reader, daemon=True)
-    t.start()
-
-    def _wait_for(tag: str, deadline: float) -> bool:
-        while time.time() < deadline:
-            if any(ln.startswith(tag) for ln in lines):
-                return True
-            if proc.poll() is not None:
-                # drain, then give the reader a moment
-                t.join(timeout=2.0)
-                return any(ln.startswith(tag) for ln in lines)
-            time.sleep(0.5)
-        return False
-
-    def _died_early(stage: str) -> bool:
-        if proc.poll() is None:
-            return False
-        print(f"# pallas probe: subprocess exited rc={proc.returncode} "
-              f"before {stage}; output tail:", file=sys.stderr)
-        for ln in lines[-8:]:
-            print(f"#   {ln}", file=sys.stderr)
-        return True
-
-    try:
-        if not _wait_for("READY", time.time() + compile_budget_s):
-            if not _died_early("READY"):
-                print("# pallas probe: compile did not finish in "
-                      f"{compile_budget_s:.0f}s (compile service problem)",
-                      file=sys.stderr)
-            return False
-        if not _wait_for("SUM", time.time() + exec_budget_s):
-            if not _died_early("SUM"):
-                print("# pallas probe: compiled kernel did not EXECUTE in "
-                      f"{exec_budget_s:.0f}s — device wedged",
-                      file=sys.stderr)
-            return False
-        return True
-    finally:
-        if proc.poll() is None:
-            proc.kill()
+def _remaining() -> float:
+    return TOTAL_BUDGET_S - (time.time() - _T0)
 
 
-def backend_available(budget_s: float = 300.0) -> bool:
-    """Probe (in a subprocess, so a hanging tunnel cannot take this
-    process down) whether the TPU backend initialises at all. The
-    tunneled worker has been observed UNAVAILABLE for 1h+ after heavy
-    load: jax.devices() then either hangs >15 min or raises
-    'Unable to initialize backend axon' — in-process, either would leave
-    the round with NO recorded metric."""
-    import subprocess
+# ===========================================================================
+# Worker phases (subprocess side; jax imported lazily here only)
+# ===========================================================================
 
-    code = ("import os; os.environ.pop('JAX_PLATFORMS', None);"
-            "import jax; print('NDEV', len(jax.devices()), flush=True)")
-    try:
-        out = subprocess.run(["python", "-c", code], timeout=budget_s,
-                             capture_output=True, text=True)
-    except subprocess.TimeoutExpired:
-        print(f"# backend probe: init hung >{budget_s:.0f}s",
-              file=sys.stderr)
-        return False
-    if out.returncode == 0 and "NDEV" in out.stdout:
-        return True
-    tail = (out.stderr or out.stdout).strip().splitlines()[-3:]
-    for ln in tail:
-        print(f"# backend probe: {ln}", file=sys.stderr)
-    return False
+def _jax_setup():
+    os.environ.pop("JAX_PLATFORMS", None)
+    sys.path.insert(0, REPO)
+    import jax  # noqa: F401
+    return jax
 
 
-def bench_force_throughput_xla(n: int = 32768) -> float:
-    """Fallback headline measurement through the plain-XLA chunked force
-    (used when the device cannot run Pallas kernels)."""
+def _sync(x) -> float:
+    """The only reliable device sync on the tunneled TPU is a scalar
+    pull to host (block_until_ready returns early there)."""
+    import jax.numpy as jnp
+    return float(jnp.sum(x))
+
+
+def phase_headline() -> dict:
+    """Best-iteration force throughput of the production Pallas tiled
+    acc+jerk+pot kernel at N_BENCH (row-sharded over all attached chips
+    when more than one is present — the v5e-8 BASELINE configuration)."""
+    jax = _jax_setup()
+    import jax.numpy as jnp
+    import numpy as np
+
+    n_dev = len(jax.devices())
+    rng = np.random.default_rng(0)
+    if n_dev > 1:
+        from al26_tpu.parallel.sharded import make_mesh, sharded_acc_jerk_pot
+
+        n = -(-N_BENCH // n_dev) * n_dev
+        pos = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+        vel = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+        mass = jnp.asarray(rng.uniform(0.1, 2.0, n), jnp.float32)
+        mesh = make_mesh(n_dev)
+        f = lambda: sharded_acc_jerk_pot(pos, vel, mass, mesh, 0.125)
+    else:
+        from al26_tpu.ops.pallas_nbody import pallas_acc_jerk_pot
+
+        n = N_BENCH
+        pos = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+        vel = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+        mass = jnp.asarray(rng.uniform(0.1, 2.0, n), jnp.float32)
+        # eps2=0.125: the simulation's own softening regime (BHTree
+        # parity at rc=1) — selects the pot_via_mxu kernel variant
+        f = lambda: pallas_acc_jerk_pot(pos, vel, mass, 0.125)
+    a, _, _ = f()
+    _sync(a)
+    best = float("inf")
+    t0_all = time.time()
+    for _ in range(ITERS):
+        t0 = time.time()
+        a, _, _ = f()
+        _sync(a)
+        best = min(best, time.time() - t0)
+        if time.time() - t0_all > 120.0:
+            print("# headline stopped early (degraded window)", flush=True)
+            break
+    return {"gpairs": n * n / best / 1e9, "ndev": n_dev}
+
+
+def phase_headline_xla() -> dict:
+    """Fallback headline through the plain-XLA chunked force (used when
+    Pallas execution is wedged this window)."""
+    _jax_setup()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
     from al26_tpu.ops.nbody import acc_jerk_pot_chunked
 
+    n = 32768
     rng = np.random.default_rng(0)
     pos = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
     vel = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
     mass = jnp.asarray(rng.uniform(0.1, 2.0, n), jnp.float32)
     f = jax.jit(lambda p, v, m: acc_jerk_pot_chunked(p, v, m, 0.125))
     a, _, _ = f(pos, vel, mass)
-    float(jnp.sum(a))
+    _sync(a)
     best = float("inf")
-    t_budget0 = time.time()
+    t0_all = time.time()
     for _ in range(ITERS):
         t0 = time.time()
-        a, j, p = f(pos, vel, mass)
-        float(jnp.sum(a))
+        a, _, _ = f(pos, vel, mass)
+        _sync(a)
         best = min(best, time.time() - t0)
-        if time.time() - t_budget0 > 120.0:
+        if time.time() - t0_all > 90.0:
             break
-    return n * n / best / 1e9
+    return {"gpairs": n * n / best / 1e9}
 
 
-def bench_force_throughput_sharded(n: int = N_BENCH) -> float:
-    """Multi-chip headline: the row-sharded force sweep over ALL attached
-    devices (parallel.sharded: all_gathered columns + local Pallas rows).
-    Only called when more than one device is attached — produces the
-    v5e-8 BASELINE numbers the moment a slice is available."""
-    from al26_tpu.parallel.sharded import make_mesh, sharded_acc_jerk_pot
-
-    n_dev = len(jax.devices())
-    n = pad = -(-n // n_dev) * n_dev
-    rng = np.random.default_rng(0)
-    pos = jnp.asarray(rng.normal(size=(pad, 3)), jnp.float32)
-    vel = jnp.asarray(rng.normal(size=(pad, 3)), jnp.float32)
-    mass = jnp.asarray(rng.uniform(0.1, 2.0, pad), jnp.float32)
-    mesh = make_mesh(n_dev)
-    a, _, _ = sharded_acc_jerk_pot(pos, vel, mass, mesh, 0.125)
-    float(jnp.sum(a))
-    best = float("inf")
-    t_budget0 = time.time()
-    for _ in range(ITERS):
-        t0 = time.time()
-        a, j, p = sharded_acc_jerk_pot(pos, vel, mass, mesh, 0.125)
-        float(jnp.sum(a))
-        best = min(best, time.time() - t0)
-        if time.time() - t_budget0 > 120.0:
-            break
-    return n * n / best / 1e9
-
-
-def bench_force_throughput() -> float:
-    rng = np.random.default_rng(0)
-    pos = jnp.asarray(rng.normal(size=(N_BENCH, 3)), jnp.float32)
-    vel = jnp.asarray(rng.normal(size=(N_BENCH, 3)), jnp.float32)
-    mass = jnp.asarray(rng.uniform(0.1, 2.0, N_BENCH), jnp.float32)
-    # warm-up + compile; a scalar pull to host is the only reliable sync on
-    # the tunneled TPU platform (block_until_ready returns early there)
-    # the simulation's own softening regime (BHTree parity: eps2 =
-    # 0.125 rc^2 ~ 0.125 at the benchmark's unit coordinate scale); it
-    # also selects the kernel's matmul-potential recovery (pot_via_mxu)
-    eps2 = 0.125
-    a, _, _ = pallas_acc_jerk_pot(pos, vel, mass, eps2)
-    float(jnp.sum(a))
-    # time-budgeted iteration: the tunneled TPU intermittently degrades to
-    # ~1% throughput — report the BEST iteration (the hardware's sustained
-    # capability) and stop early if the budget is exhausted
-    best_dt = float("inf")
-    t_budget0 = time.time()
-    for _ in range(ITERS):
-        t0 = time.time()
-        a, j, p = pallas_acc_jerk_pot(pos, vel, mass, eps2)
-        float(jnp.sum(a))
-        best_dt = min(best_dt, time.time() - t0)
-        if time.time() - t_budget0 > 120.0:
-            print("# force bench stopped early (degraded device window)",
-                  file=sys.stderr)
-            break
-    return N_BENCH * N_BENCH / best_dt / 1e9
-
-
-def bench_wallclock_per_myr(n: int, repeat_steps: int = 100,
-                            integrator: str = "auto",
-                            gravity_stride: int = 1,
-                            softened_virial: bool = False) -> float:
-    """Full-physics step cadence at the reference dt (t_f=10 -> dt=0.01)."""
+def phase_wallclock(n: int, steps: int, integrator: str = "auto",
+                    stride: int = 1, softened: int = 0,
+                    force_impl: str = "auto", model: str = "plummer",
+                    rc: float = 1.0) -> dict:
+    """Full-physics step cadence at the reference dt (t_f=10 -> dt=0.01),
+    on the production run_steps path for the given backend (force_impl=
+    "tree" benches the Barnes-Hut tier end to end)."""
+    _jax_setup()
     from al26_tpu.config import SimConfig
     from al26_tpu.sim import init_cluster, run_steps
 
-    cfg = SimConfig(n=n, rc=1.0, final_time=10.0, seed=1, dtype="f32",
-                    integrator=integrator, gravity_stride=gravity_stride,
-                    softened_virial=softened_virial)
-    state, aux, cfg = init_cluster(cfg)
-    # warm with the SAME scan length (a different length is a new compile)
-    s = run_steps(state, aux, cfg, repeat_steps)
-    float(jnp.sum(s.cluster.pos))
+    cfg = SimConfig(n=n, rc=rc, final_time=10.0, seed=1, dtype="f32",
+                    model=model, integrator=integrator,
+                    gravity_stride=stride, softened_virial=bool(softened),
+                    force_impl=force_impl)
     t0 = time.time()
-    s = run_steps(s, aux, cfg, repeat_steps)
-    float(jnp.sum(s.cluster.pos))
+    state, aux, cfg = init_cluster(cfg)
+    print(f"# init {time.time() - t0:.1f}s (integ={cfg.integrator} "
+          f"kavg={cfg.tree_kavg})", flush=True)
+    # warm with the SAME scan length (a different length is a new compile)
+    t0 = time.time()
+    s = run_steps(state, aux, cfg, steps, force_impl=cfg.force_impl)
+    _sync(s.cluster.pos)
+    print(f"# warm+compile {time.time() - t0:.1f}s", flush=True)
+    t0 = time.time()
+    s = run_steps(s, aux, cfg, steps, force_impl=cfg.force_impl)
+    _sync(s.cluster.pos)
     wall = time.time() - t0
-    myr = repeat_steps * cfg.dt
-    return wall / myr
+    return {"s_per_myr": wall / (steps * cfg.dt)}
 
 
-def bench_ensemble(n_real: int = 16, n: int = 1024,
-                   repeat_steps: int = 20) -> float:
-    """Vmapped ensemble cadence: realizations/s*Myr on the attached chips."""
+def phase_tree_accuracy(n: int = 65536, theta: float = 0.75,
+                        model: str = "fractal") -> dict:
+    """On-device accuracy spot check of the tree tier vs the exact Pallas
+    sweep: median and p99 of |a_tree - a_exact| / |a_exact| on the
+    realised ICs (VERDICT r4 item 2)."""
+    _jax_setup()
+    import jax.numpy as jnp
+    import numpy as np
+
+    from al26_tpu.config import SimConfig
+    from al26_tpu.ops.pallas_nbody import pallas_acc_jerk_pot
+    from al26_tpu.ops.tree import tree_acc_pot
+    from al26_tpu.sim import init_cluster
+
+    cfg = SimConfig(n=n, rc=1.0, final_time=10.0, seed=1, dtype="f32",
+                    model=model, force_impl="tree", tree_theta=theta)
+    state, aux, cfg = init_cluster(cfg)
+    pos, mass = state.cluster.pos, state.cluster.mass
+    a_x, _, _ = pallas_acc_jerk_pot(pos, pos * 0.0, mass, cfg.eps2)
+    _sync(a_x)
+    a_t, _, ovf = tree_acc_pot(pos, mass, cfg.eps2, theta=theta,
+                               leaf=cfg.tree_leaf, kavg=cfg.tree_kavg)
+    _sync(a_t)
+    rel = np.linalg.norm(np.asarray(a_t - a_x), axis=1) / np.maximum(
+        np.linalg.norm(np.asarray(a_x), axis=1), 1e-30)
+    return {"median": float(np.median(rel)),
+            "p99": float(np.percentile(rel, 99.0)),
+            "overflow": bool(ovf)}
+
+
+def phase_ensemble(n_real: int = 16, n: int = 1024,
+                   steps: int = 20) -> dict:
+    """Vmapped ensemble cadence (block-diagonal flattened sweep)."""
+    _jax_setup()
+    import jax
+
     from al26_tpu.config import SimConfig
     from al26_tpu.parallel.ensemble import (
-        ensemble_run_steps, init_ensemble, make_ensemble_mesh, shard_ensemble,
+        ensemble_run_steps, init_ensemble, make_ensemble_mesh,
+        shard_ensemble,
     )
 
     cfg = SimConfig(n=n, rc=1.0, final_time=10.0, seed=1, dtype="f32")
@@ -270,20 +229,20 @@ def bench_ensemble(n_real: int = 16, n: int = 1024,
     mesh = make_ensemble_mesh()
     if n_real % len(jax.devices()) == 0:
         bs, ba = shard_ensemble(bs, ba, mesh)
-    out = ensemble_run_steps(bs, ba, cfgs[0], repeat_steps)
-    float(jnp.sum(out.cluster.pos))
+    out = ensemble_run_steps(bs, ba, cfgs[0], steps)
+    _sync(out.cluster.pos)
     t0 = time.time()
-    out = ensemble_run_steps(out, ba, cfgs[0], repeat_steps)
-    float(jnp.sum(out.cluster.pos))
-    wall = time.time() - t0
-    return wall / (repeat_steps * cfg.dt)
+    out = ensemble_run_steps(out, ba, cfgs[0], steps)
+    _sync(out.cluster.pos)
+    return {"s_per_myr": (time.time() - t0) / (steps * cfg.dt)}
 
 
-def bench_ensemble_2d(n: int = 8192, repeat_steps: int = 10) -> float:
-    """2-D (ens x rows) mesh cadence at its design point — FEW members x
-    large N per member (the regime the path exists for): 2 realizations,
-    each row-sharded across half the attached chips, on the cached
-    production path. Only called with > 1 device attached."""
+def phase_ensemble2d(n: int = 8192, steps: int = 10) -> dict:
+    """2-D (ens x rows) mesh cadence at its design point (few members x
+    large N per member), cached production path. Needs > 1 device."""
+    _jax_setup()
+    import jax
+
     from al26_tpu.config import SimConfig
     from al26_tpu.parallel.ensemble import (
         ensemble2d_fresh_cache, ensemble_run_steps_2d_cached, init_ensemble,
@@ -298,123 +257,181 @@ def bench_ensemble_2d(n: int = 8192, repeat_steps: int = 10) -> float:
     mesh = make_ensemble2d_mesh(2, n_rows)
     bs, ba = shard_ensemble_2d(bs, ba, mesh)
     cache = ensemble2d_fresh_cache(bs, cfg, mesh)
-    out, cache = ensemble_run_steps_2d_cached(bs, cache, ba, cfg,
-                                              repeat_steps, mesh)
-    float(jnp.sum(out.cluster.pos))
+    out, cache = ensemble_run_steps_2d_cached(bs, cache, ba, cfg, steps,
+                                              mesh)
+    _sync(out.cluster.pos)
     t0 = time.time()
-    out, cache = ensemble_run_steps_2d_cached(out, cache, ba, cfg,
-                                              repeat_steps, mesh)
-    float(jnp.sum(out.cluster.pos))
-    return (time.time() - t0) / (repeat_steps * cfg.dt)
+    out, cache = ensemble_run_steps_2d_cached(out, cache, ba, cfg, steps,
+                                              mesh)
+    _sync(out.cluster.pos)
+    return {"s_per_myr": (time.time() - t0) / (steps * cfg.dt)}
 
 
-def probe_with_retries(attempts: int = 3, quiet_s: float = 150.0) -> bool:
-    """The tunneled worker's wedge RECOVERS after quiet periods (observed
-    repeatedly; .claude/skills/verify/SKILL.md) — a one-shot probe that
-    falls straight back to XLA can turn a transient window into a 0.26x
-    recorded headline. Retry with a genuinely quiet wait between attempts
-    (nothing touching the device) before giving up."""
-    for i in range(attempts):
-        if pallas_device_healthy():
-            return True
-        if i < attempts - 1:
-            print(f"# probe attempt {i + 1}/{attempts} failed; waiting "
-                  f"{quiet_s:.0f}s quiet before retry", file=sys.stderr)
-            time.sleep(quiet_s)
-    # only after the FINAL failed attempt: a mid-retry fallback line in the
-    # log would contradict a bench whose headline is a Pallas measurement
-    print("# falling back to the XLA force path", file=sys.stderr)
-    return False
+def phase_ndev() -> dict:
+    _jax_setup()
+    import jax
+    return {"ndev": len(jax.devices())}
+
+
+PHASES = {
+    "headline": phase_headline,
+    "headline_xla": phase_headline_xla,
+    "wallclock": phase_wallclock,
+    "tree_accuracy": phase_tree_accuracy,
+    "ensemble": phase_ensemble,
+    "ensemble2d": phase_ensemble2d,
+    "ndev": phase_ndev,
+}
+
+_COERCE = {"n": int, "steps": int, "stride": int, "softened": int,
+           "n_real": int, "theta": float, "rc": float}
+
+
+def run_worker(argv: list) -> None:
+    name, kv = argv[0], argv[1:]
+    kwargs = {}
+    for item in kv:
+        k, v = item.split("=", 1)
+        kwargs[k] = _COERCE.get(k, str)(v)
+    out = PHASES[name](**kwargs)
+    print("RESULT " + json.dumps(out), flush=True)
+
+
+# ===========================================================================
+# Orchestrator (no jax; every measurement is a timeout-bounded subprocess)
+# ===========================================================================
+
+def run_phase(phase_args: list, timeout: float):
+    """Run one worker phase under `timeout` seconds; relay its non-RESULT
+    output to stderr; return the parsed RESULT dict or None."""
+    if timeout <= 10.0:
+        print(f"# skip {phase_args[0]}: budget exhausted", file=sys.stderr)
+        return None
+    cmd = [sys.executable, os.path.abspath(__file__), "--phase"] + phase_args
+    t0 = time.time()
+    try:
+        proc = subprocess.run(cmd, timeout=timeout, capture_output=True,
+                              text=True, cwd=REPO)
+    except subprocess.TimeoutExpired as e:
+        tail = ((e.stdout or b"").decode(errors="replace")
+                if isinstance(e.stdout, bytes) else (e.stdout or ""))
+        print(f"# phase {phase_args[0]} TIMED OUT after {timeout:.0f}s; "
+              f"stdout tail: {tail.strip().splitlines()[-2:]}",
+              file=sys.stderr)
+        return None
+    result = None
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT "):
+            result = json.loads(line[len("RESULT "):])
+        elif line.strip():
+            print(f"# [{phase_args[0]}] {line}", file=sys.stderr)
+    if result is None:
+        errtail = proc.stderr.strip().splitlines()[-4:]
+        print(f"# phase {phase_args[0]} FAILED rc={proc.returncode} "
+              f"({time.time() - t0:.0f}s):", file=sys.stderr)
+        for ln in errtail:
+            print(f"#   {ln}", file=sys.stderr)
+    return result
 
 
 def main() -> None:
-    # gate on backend availability FIRST: with the tunnel down, the pallas
-    # probe's subprocess and the XLA fallback would both burn their full
-    # budgets before dying, and an in-process jax.devices() can hang the
-    # whole bench — better a recorded zero with the reason than no metric
-    for attempt in range(3):
-        if backend_available():
-            break
-        if attempt < 2:
-            print(f"# backend unavailable (attempt {attempt + 1}/3); "
-                  "waiting 180s", file=sys.stderr)
-            time.sleep(180.0)
+    summary: dict = {}
+
+    # ---- headline (printed the moment it exists) -------------------------
+    headline_val = 0.0
+    r = run_phase(["headline"], min(600.0, _remaining() - 240.0))
+    if r:
+        n_dev = r.get("ndev", 1)
+        headline_val = r["gpairs"]
+        metric = (f"pairwise force throughput (row-sharded acc+jerk+pot, "
+                  f"N={N_BENCH}, {n_dev} chips)" if n_dev > 1 else
+                  f"pairwise force throughput (acc+jerk+pot, N={N_BENCH}, "
+                  f"1 chip)")
+        summary["ndev"] = n_dev
     else:
-        print(json.dumps({
-            "metric": ("pairwise force throughput — TPU backend "
-                       "UNAVAILABLE this window (tunneled worker outage; "
-                       "healthy-window kernel: 124.4 Gpairs/s, see "
-                       "docs/validation.md)"),
-            "value": 0.0,
-            "unit": "Gpairs/s",
-            "vs_baseline": 0.0,
-        }))
-        return
-    healthy = probe_with_retries()
-    n_dev = len(jax.devices())
-    if healthy:
-        if n_dev > 1:
-            gpairs = bench_force_throughput_sharded()
-            metric = (f"pairwise force throughput (row-sharded acc+jerk+pot,"
-                      f" N={N_BENCH}, {n_dev} chips)")
+        time.sleep(min(30.0, max(0.0, _remaining() - 180.0)))  # quiet pause
+        r = run_phase(["headline_xla"], min(240.0, _remaining() - 20.0))
+        if r:
+            headline_val = r["gpairs"]
+            metric = ("pairwise force throughput (XLA fallback, N=32768; "
+                      "Pallas execution wedged this window — last healthy "
+                      "driver-captured kernel number: 124.84 Gpairs/s, "
+                      "BENCH_r03)")
         else:
-            gpairs = bench_force_throughput()
-            metric = (f"pairwise force throughput (acc+jerk+pot, "
-                      f"N={N_BENCH}, 1 chip)")
-        try:
-            # defaults: hermite4 <= 8192 stars, hermite4_block above
-            for n, steps in ((1024, 100), (10240, 50), (102400, 10)):
-                spm = bench_wallclock_per_myr(n, steps)
-                print(f"# wall-clock per simulated Myr, N={n} (auto "
-                      f"defaults): {spm:.3f} s/Myr", file=sys.stderr)
-            spm2 = bench_wallclock_per_myr(102400, 10, gravity_stride=2)
-            print(f"# wall-clock per simulated Myr, N=102400 "
-                  f"(gravity_stride=2, docs/precision.md): {spm2:.3f} "
-                  f"s/Myr", file=sys.stderr)
-            for stride in (2, 4):
-                spml = bench_wallclock_per_myr(
-                    102400, 10, gravity_stride=stride, softened_virial=True)
-                print(f"# wall-clock per simulated Myr, N=102400 (full "
-                      f"opt-in ladder: softened_virial + stride {stride}, "
-                      f"error budgets in docs/precision.md): {spml:.3f} "
-                      f"s/Myr", file=sys.stderr)
-            spm4 = bench_wallclock_per_myr(409600, 5)
-            print(f"# wall-clock per simulated Myr, N=409600 (scaling "
-                  f"headroom, one chip): {spm4:.3f} s/Myr", file=sys.stderr)
-            spm4l = bench_wallclock_per_myr(409600, 8, gravity_stride=4,
-                                            softened_virial=True)
-            print(f"# wall-clock per simulated Myr, N=409600 (full opt-in "
-                  f"ladder: softened_virial + stride 4): {spm4l:.3f} "
-                  f"s/Myr", file=sys.stderr)
-            es = bench_ensemble()
-            print(f"# 16-realization ensemble (N=1024, block-diagonal "
-                  f"flattened leapfrog): {es:.3f} s/Myr total",
-                  file=sys.stderr)
-            es64 = bench_ensemble(n_real=64)
-            print(f"# 64-realization ensemble (N=1024, the BASELINE.md "
-                  f"campaign row): {es64:.3f} s/Myr total", file=sys.stderr)
-            if n_dev > 1:
-                es2d = bench_ensemble_2d()
-                print(f"# 2-D (2 ens x {n_dev // 2} rows) mesh, N=8192 per "
-                      f"member (design point, cached path): {es2d:.3f} "
-                      f"s/Myr total", file=sys.stderr)
-        except Exception as e:  # diagnostics must not break the headline
-            print(f"# secondary bench failed: {e}", file=sys.stderr)
-    else:
-        # degraded device window: pallas execution wedged — measure through
-        # XLA so the round still records a metric (healthy-window numbers:
-        # 52 Gpairs/s, see README/docs/validation.md)
-        gpairs = bench_force_throughput_xla()
-        metric = ("pairwise force throughput (XLA fallback, N=32768; "
-                  "pallas path wedged this window — healthy-window "
-                  "kernel: 124.4 Gpairs/s)")
+            metric = ("pairwise force throughput — device unusable this "
+                      "window (tunneled TPU outage: Pallas AND XLA phases "
+                      "timed out; last healthy driver-captured number: "
+                      "124.84 Gpairs/s, BENCH_r03)")
     print(json.dumps({
         "metric": metric,
-        "value": round(gpairs, 2),
+        "value": round(headline_val, 2),
         "unit": "Gpairs/s",
-        "vs_baseline": round(gpairs / BASELINE_GPAIRS, 3),
-    }))
+        "vs_baseline": round(headline_val / BASELINE_GPAIRS, 3),
+    }), flush=True)
+    summary["gpairs"] = round(headline_val, 2)
+
+    # ---- secondaries (each its own phase; 3 consecutive failures abort) --
+    n_dev = summary.get("ndev", 1)
+    rows = [
+        # the round-5 evidence rows first: the Barnes-Hut tier end to end
+        ("tree_409600", ["wallclock", "n=409600", "steps=5",
+                         "force_impl=tree"], 900.0, "s_per_myr",
+         "N=409600 tree tier (leapfrog over Barnes-Hut forces)"),
+        ("exact_ladder_409600", ["wallclock", "n=409600", "steps=8",
+                                 "stride=4", "softened=1"], 600.0,
+         "s_per_myr",
+         "N=409600 exact full opt-in ladder (stride 4, softened virial) — "
+         "the BENCH_r03 44.5 s/Myr row"),
+        ("tree_acc_65536", ["tree_accuracy", "n=65536"], 420.0, "median",
+         "tree-vs-exact relative force error at N=65536 (median; fractal "
+         "ICs, theta=0.75)"),
+        ("auto_1024", ["wallclock", "n=1024", "steps=100"], 300.0,
+         "s_per_myr", "N=1024 auto defaults"),
+        ("auto_10240", ["wallclock", "n=10240", "steps=50"], 300.0,
+         "s_per_myr", "N=10240 auto defaults"),
+        ("auto_102400", ["wallclock", "n=102400", "steps=10"], 420.0,
+         "s_per_myr", "N=102400 auto defaults"),
+        ("ladder_102400", ["wallclock", "n=102400", "steps=10", "stride=4",
+                           "softened=1"], 300.0, "s_per_myr",
+         "N=102400 full opt-in ladder (stride 4, softened virial)"),
+        ("exact_409600", ["wallclock", "n=409600", "steps=5"], 600.0,
+         "s_per_myr", "N=409600 auto defaults (exact, one chip)"),
+        ("ens_16", ["ensemble", "n_real=16"], 300.0, "s_per_myr",
+         "16-realization ensemble (N=1024)"),
+        ("ens_64", ["ensemble", "n_real=64"], 300.0, "s_per_myr",
+         "64-realization ensemble (N=1024, the BASELINE.md campaign row)"),
+    ]
+    if n_dev > 1:
+        rows.append(("ens2d", ["ensemble2d"], 420.0, "s_per_myr",
+                     f"2-D (2 ens x {n_dev // 2} rows) mesh, N=8192/member"))
+
+    consecutive_failures = 0
+    for key, args, est, field, label in rows:
+        if _remaining() < 60.0:
+            print(f"# budget exhausted before {key}", file=sys.stderr)
+            break
+        if consecutive_failures >= 3:
+            print("# 3 consecutive phase failures — device gone, stopping "
+                  "secondaries", file=sys.stderr)
+            break
+        r = run_phase(args, min(est, _remaining() - 30.0))
+        if r is None:
+            consecutive_failures += 1
+            continue
+        consecutive_failures = 0
+        if field == "median":
+            print(f"# {label}: median {r['median']:.2e}, p99 "
+                  f"{r['p99']:.2e}, overflow={r['overflow']}",
+                  file=sys.stderr)
+            summary[key] = r
+        else:
+            print(f"# {label}: {r[field]:.3f} s/Myr", file=sys.stderr)
+            summary[key] = round(r[field], 3)
+    print("# SUMMARY " + json.dumps(summary), file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--phase":
+        run_worker(sys.argv[2:])
+    else:
+        main()

@@ -38,8 +38,9 @@ from al26_tpu.units import MSUN_SI, MYR_SI, PC_SI, YR_SI
 
 _AMUSE_MODULES = [
     "amuse", "amuse.datamodel", "amuse.datamodel.particles",
-    "amuse.datamodel.memory", "amuse.units", "amuse.units.core",
-    "amuse.units.quantities", "amuse.units.nbody_system", "al26_nbody",
+    "amuse.datamodel.base", "amuse.datamodel.memory", "amuse.units",
+    "amuse.units.core", "amuse.units.quantities",
+    "amuse.units.nbody_system", "al26_nbody",
 ]
 
 
@@ -55,6 +56,8 @@ def _build_classes():
     C["Particles"] = _make_class("amuse.datamodel.particles", "Particles")
     C["PrivateProperties"] = _make_class(
         "amuse.datamodel.particles", "PrivateProperties")
+    C["CollectionAttributes"] = _make_class(
+        "amuse.datamodel.base", "CollectionAttributes")
     C["InMemoryAttributeStorage"] = _make_class(
         "amuse.datamodel.memory", "InMemoryAttributeStorage")
     C["InMemoryVectorQuantityAttribute"] = _make_class(
@@ -131,9 +134,13 @@ def _storage_plan(U):
 
 def build_state_pickle(columns: dict[str, np.ndarray], n: int, rc: float,
                        time_myr: float, t_f_myr: float,
-                       filename: str) -> bytes:
+                       filename: str, key_seed: int = 0,
+                       now: "datetime | None" = None) -> bytes:
     """Pickle a reference-layout State whose cluster carries `columns`
-    (given in OUR canonical column units, compat._UNIT_BY_ATTR)."""
+    (given in OUR canonical column units, compat._UNIT_BY_ATTR).
+    `key_seed` seeds the AMUSE-style random uint64 particle keys; `now`
+    pins the metadata timestamps (the checked-in binary fixture needs a
+    reproducible byte stream, scripts/gen_amuse_fixture.py)."""
     C = _build_classes()
     U = _units(C)
     plan = _storage_plan(U)
@@ -162,14 +169,32 @@ def build_state_pickle(columns: dict[str, np.ndarray], n: int, rc: float,
             attr.__dict__.update(name=name, values=values)
         mapping[name] = attr
 
+    # AMUSE draws random uint64 particle keys
+    # (amuse.datamodel.base.UniqueKeyGenerator); replicate unless the
+    # caller pinned a key column, plus the storage's sorted-key ancillary
+    # arrays real InMemoryAttributeStorage instances carry
+    keys = np.asarray(columns.get(
+        "key",
+        np.random.default_rng(key_seed).integers(1, 2**63, n,
+                                                 dtype=np.uint64),
+    ))
+    order = np.argsort(keys)
     storage = C["InMemoryAttributeStorage"]()
     storage.__dict__.update(
         mapping_from_attribute_to_quantities=mapping,
-        particle_keys=np.asarray(columns.get("key", np.arange(1, n + 1))),
+        particle_keys=keys,
+        sorted_keys=keys[order],
+        sorted_indices=order.astype(np.int64),
+        index_array=np.arange(n, dtype=np.int64),
+        keys_set=set(keys.tolist()),
         __version__=2,
     )
+    coll = C["CollectionAttributes"]()
+    coll.__dict__.update(_attributes={})
     private = C["PrivateProperties"]()
-    private.__dict__.update(attribute_storage=storage, version=2)
+    private.__dict__.update(attribute_storage=storage, version=2,
+                            timestamp=None, previous=None,
+                            collection_attributes=coll)
     cluster = C["Particles"]()
     cluster.__dict__.update(_private=private)
 
@@ -189,7 +214,7 @@ def build_state_pickle(columns: dict[str, np.ndarray], n: int, rc: float,
     tfq = C["ScalarQuantity"]()
     tfq.unit = U["Myr"]
     tfq.number = t_f_myr
-    now = datetime.now()
+    now = now or datetime.now()
     md.__dict__.update(
         sim_start=now, sim_start_str=now.strftime("%d/%m/%Y %H:%M:%S"),
         sim_last=now, sim_last_str=now.strftime("%d/%m/%Y %H:%M:%S"),
@@ -199,7 +224,16 @@ def build_state_pickle(columns: dict[str, np.ndarray], n: int, rc: float,
         most_recent_checkpoint=int(round(time_myr / t_f_myr * 100)),
     )
     conv = C["nbody_to_si"]()
-    conv.__dict__.update(value1=None, value2=None)
+    # real nbody_to_si converters record their two defining SI quantities
+    # (total mass, length scale); the loader treats the converter as
+    # opaque but the stream should carry the genuine shape
+    m_tot = C["ScalarQuantity"]()
+    m_tot.unit = U["kg"]
+    m_tot.number = float(np.asarray(columns["mass"]).sum()) * MSUN_SI
+    l_scale = C["ScalarQuantity"]()
+    l_scale.unit = U["m"]
+    l_scale.number = rc * PC_SI
+    conv.__dict__.update(value1=m_tot, value2=l_scale)
     state = C["State"]()
     state.__dict__.update(cluster=cluster, converter=conv, metadata=md)
 

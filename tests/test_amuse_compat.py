@@ -130,3 +130,53 @@ def test_postprocess_runs_on_reference_files(fixture_dir):
         df[df["star"] == 0]["mass"].iloc[0], cols["mass"][0], rtol=1e-12
     )
     assert np.isfinite(df["yield_ratio_nodecay"]).all()
+
+
+def test_checked_in_reference_state_loads():
+    """The byte-FROZEN AMUSE-format state pickle checked into
+    tests/golden/amuse/ (scripts/gen_amuse_fixture.py; VERDICT r4 item 5)
+    loads end-to-end through plotting.read_state: genuine amuse.* module
+    paths, random uint64 particle keys, sorted-key storage ancillaries,
+    SI-stored positions and a real converter payload — bytes that cannot
+    co-drift with the in-process fixture builder."""
+    from al26_tpu.plotting.lib import read_state
+
+    path = os.path.join(os.path.dirname(__file__), "golden", "amuse",
+                        "pt-0-state-00003.pkl.zst")
+    state = read_state(path)
+    cluster = state.cluster
+    n = 24
+
+    # expected values: the same deterministic recipe the generator used
+    cfg = SimConfig(n=n, rc=1.0, final_time=10.0, seed=20260501,
+                    dtype="f64", no_massive_star_requirement=True)
+    ref, _, _ = init_cluster(cfg, as_numpy=True)
+    rng = np.random.default_rng(20260501)
+    expect_slr = {}
+    ref_cols = cluster_to_particles(cluster_to_numpy(ref.cluster)).columns()
+    for name in ref_cols:
+        if name.startswith(("mass_26al", "mass_60fe")):
+            expect_slr[name] = rng.uniform(1e-12, 1e-8, n)
+
+    from al26_tpu.units import msol, myr, pc
+
+    np.testing.assert_allclose(cluster.x.value_in(pc),
+                               ref_cols["x"], rtol=1e-12)
+    np.testing.assert_allclose(cluster.vy.value_in(pc / myr),
+                               ref_cols["vy"], rtol=1e-12)
+    np.testing.assert_allclose(cluster.mass.value_in(msol),
+                               ref_cols["mass"], rtol=1e-12)
+    np.testing.assert_allclose(cluster.tau_disk.value_in(myr),
+                               ref_cols["tau_disk"], rtol=1e-12)
+    for name, v in expect_slr.items():
+        np.testing.assert_allclose(
+            np.asarray(getattr(cluster, name).value_in(msol)), v,
+            rtol=1e-12, err_msg=name)
+    # metadata round-trips with units re-tagged
+    from al26_tpu.units import myr
+
+    assert abs(float(state.metadata.time.value_in(myr)) - 3.0) < 1e-12
+    assert state.metadata.args.n == n
+    # keys are the AMUSE-style random uint64 draw, preserved verbatim
+    key = np.asarray(cluster.key)
+    assert key.dtype == np.uint64 and len(np.unique(key)) == n

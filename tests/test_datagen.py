@@ -92,3 +92,20 @@ def test_wind_ratio_script(tmp_path, capsys):
     captured = capsys.readouterr().out
     assert "t_SN" in captured
     assert os.path.exists(out)
+
+
+def test_wind_shape_regenerates():
+    """The SeBa MS-wind timing calibration (wind-shape.csv) regenerates
+    byte-identically from the reference tarball's vector figure — the
+    full PDF polyline extraction + axis calibration + knee/ramp fits
+    (scripts/gen_wind_shape.py), including its internal collapse-time
+    cross-validation against the binev.data events."""
+    import gen_wind_shape as g
+
+    if not os.path.exists(g.DEFAULT_TARBALL):
+        pytest.skip("reference tarball not available")
+    rows = g.derive(g.DEFAULT_TARBALL)
+    text = g.HEADER + "".join(
+        ",".join(str(v) for v in r) + "\n" for r in rows)
+    with open(g.OUT) as fh:
+        assert fh.read() == text

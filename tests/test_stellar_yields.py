@@ -407,15 +407,17 @@ def test_nj90_formula_transcription():
         assert abs(float(h.mdot_nj90(m, L, R)) / expect - 1.0) < 1e-4
 
 
-def test_ms_wind_cap_never_engages_on_grid():
-    """The _MS_BUDGET_CAP guard is inactive for every LC18 grid mass on
-    the default (vel=300) family at every PRODUCTION-REACHABLE (z, [Fe/H])
-    pairing: the NJ90-at-ZAMS MS loss stays below half the wind budget,
-    so the post-MS rate is strictly positive (the SN signal is mdot == 0).
-    The pairings use the runtime resolution feh_for_z — the feh=-3 set is
-    unreachable within the Hurley validity range [1e-4, 0.03] (it needs
-    z < 6.3e-5), and a cross-matched low-z/feh=-3 combination DOES engage
-    the cap at 20 Msun (a timing choice, see evolution._MS_BUDGET_CAP)."""
+def test_ms_wind_cap_on_grid():
+    """The _MS_BUDGET_CAP guard on the LC18 grid, default (vel=300)
+    family, at every PRODUCTION-REACHABLE (z, [Fe/H]) pairing: the
+    UNRAMPED NJ90-at-ZAMS MS loss stays below half the wind budget
+    everywhere, and with the round-5 calibrated ramp (x (1 + c/2),
+    models.stellar.wind_shape) the cap engages only at the very top of
+    the grid (>= 80 Msun) — a timing-only choice; either way the
+    post-MS rate stays strictly positive (the SN signal is mdot == 0).
+    The pairings use the runtime resolution feh_for_z — the feh=-3 set
+    is unreachable within the Hurley validity range [1e-4, 0.03] (it
+    needs z < 6.3e-5)."""
     from al26_tpu.models.stellar import hurley2000 as h
     from al26_tpu.models.stellar import lc18_anchors as lc
     from al26_tpu.models.yields import feh_for_z
@@ -423,12 +425,15 @@ def test_ms_wind_cap_never_engages_on_grid():
     tms = np.asarray(h.t_ms(lc.M_GRID))
     zs = [0.02, 0.002, 2e-4, 1e-4]
     assert [feh_for_z(z) for z in zs] == [0, -1, -2, -2]
+    low = lc.M_GRID < 80.0
     for z in zs:
         presn, _ = lc.anchors(feh_for_z(z))
         dm_ms = np.asarray(h.ms_wind_mdot(lc.M_GRID, z)) * tms
         frac = dm_ms / (lc.M_GRID - presn)
         assert np.all(frac < st._MS_BUDGET_CAP), (z, frac)
-        _, _, mdot_post, _ = st._phase_rates(jnp.asarray(lc.M_GRID), z)
+        c = np.asarray(st.wind_shape.interp("ramp_c", lc.M_GRID))
+        assert np.all((frac * (1.0 + 0.5 * c))[low] < st._MS_BUDGET_CAP), z
+        _, _, _, mdot_post, _ = st._phase_rates(jnp.asarray(lc.M_GRID), z)
         assert np.all(np.asarray(mdot_post) > 0.0), z
 
 
@@ -453,11 +458,14 @@ def test_wind_rates_strictly_positive_dense_grid():
     """Both phase rates stay strictly positive over a dense [8, 120]
     grid for every family: mdot == 0 must mean 'collapsed', never
     'budget rounded to zero' (the floor keeps the 8-Msun-adjacent band
-    and the interpolation-clamp plateaus off exact zero)."""
+    and the interpolation-clamp plateaus off exact zero). The round-5
+    MS ramp keeps the invariant at BOTH ends of the MS: the ZAMS rate
+    r0 > 0 and the slope >= 0 (monotone rising, wind_shape)."""
     ms = jnp.asarray(np.geomspace(8.0, 120.0, 257))
     for tracks in st.TRACKS:
-        _, mdot_ms, mdot_post, _ = st._phase_rates(ms, 0.02, tracks)
-        assert np.all(np.asarray(mdot_ms) > 0.0), tracks
+        _, r0, r1, mdot_post, _ = st._phase_rates(ms, 0.02, tracks)
+        assert np.all(np.asarray(r0) > 0.0), tracks
+        assert np.all(np.asarray(r1) >= 0.0), tracks
         assert np.all(np.asarray(mdot_post) > 0.0), tracks
 
 
@@ -534,3 +542,61 @@ def test_phase_table_f32_state_promotion_matches():
     np.testing.assert_array_equal(
         np.asarray(mdot_a.astype(jnp.float32)),
         np.asarray(mdot_b.astype(jnp.float32)))
+
+
+# ---------------------------------------------------------------------------
+# Round 5: MS wind timing calibrated on the reference's own SeBa wind
+# histories (limongi-2006.tar.gz::cumulative_yield.pdf vector data ->
+# data/seba/wind-shape.csv; scripts/gen_wind_shape.py).
+# ---------------------------------------------------------------------------
+
+def test_ms_wind_ramp_matches_dump_quantiles():
+    """The one-parameter monotone ramp rate(u) ∝ 1 + c u reproduces the
+    dump-derived within-MS cumulative release quantiles (q25/q50/q75 of
+    the digitized SeBa curves) to < 0.04 in life fraction on every
+    calibration mass — the shape pin VERDICT r4 item 3 asked for."""
+    from al26_tpu.models.stellar import wind_shape
+
+    tbl = wind_shape.table()
+    u = np.linspace(0.0, 1.0, 2001)
+    for i in range(len(tbl["m0"])):
+        c = tbl["ramp_c"][i]
+        F = (u + 0.5 * c * u * u) / (1.0 + 0.5 * c)
+        for q, key in ((0.25, "q25"), (0.5, "q50"), (0.75, "q75")):
+            u_model = float(np.interp(q, F, u))
+            assert abs(u_model - tbl[key][i]) < 0.04, (tbl["m0"][i], key)
+
+
+def test_ms_wind_rate_monotone_rising_and_budget_exact():
+    """The MS rate rises monotonically (SeBa's behaviour, not flat) and
+    the ramp preserves the budget integral EXACTLY: the mass lost by
+    core collapse equals m0 - m_presn on every family."""
+    ms = jnp.asarray([13.0, 20.0, 40.0, 60.0, 90.0])
+    for tracks in st.TRACKS:
+        t_ms, r0, r1, _, t_cc = st._phase_rates(ms, 0.02, tracks)
+        early = np.asarray(st.wind_mdot(ms, 0.1 * t_ms, 0.02, tracks))
+        late = np.asarray(st.wind_mdot(ms, 0.85 * t_ms, 0.02, tracks))
+        assert np.all(late > early), tracks  # strictly rising (c > 0)
+        # calibrated rise factor: rate(t_ms)/rate(0) = 1 + c in [2, 4.5]
+        ratio = np.asarray(r0 + r1 * t_ms) / np.asarray(r0)
+        assert np.all(ratio > 2.0) and np.all(ratio < 4.5), tracks
+        m_end = st.mass_at(ms, t_cc * (1.0 - 1e-9), 0.02, tracks)
+        presn = st.m_presn(ms, 0.02, tracks)
+        np.testing.assert_allclose(np.asarray(m_end), np.asarray(presn),
+                                   rtol=1e-7, err_msg=tracks)
+
+
+def test_seba_ms_share_matches_dump():
+    """On the seba family the fraction of the lifetime wind budget shed
+    by the end of the MS equals the dump-calibrated ms_frac (3-10% over
+    the 20-60 Msun grid) — replacing the round-4 0.5 cap, which was
+    ~5-15x too MS-heavy against the reference's own curves."""
+    from al26_tpu.models.stellar import wind_shape
+
+    tbl = wind_shape.table()
+    m0 = jnp.asarray(tbl["m0"])
+    t_ms, r0, r1, _, _ = st._phase_rates(m0, 0.02, "seba")
+    dm_ms = np.asarray((r0 + 0.5 * r1 * t_ms) * t_ms)
+    budget = np.asarray(m0 - st.m_presn(m0, 0.02, "seba"))
+    np.testing.assert_allclose(dm_ms / budget, tbl["ms_frac"], rtol=1e-8)
+    assert np.all(tbl["ms_frac"] < 0.11)

@@ -223,10 +223,105 @@ def test_step_tree_matches_exact_leapfrog_small_n():
                                   np.asarray(s_t.cluster.pos))
 
 
+def test_step_tree_hermite4_block_matches_exact_small_n():
+    # round 5: the tier carries jerk, so hermite4_block runs over tree
+    # forces. At all-P2P scale (N=512, leaf=256) the tree IS the exact
+    # pair sum -> trajectories match the exact-backend block-Hermite to
+    # fp tolerance, through the cached production path (run_steps).
+    from al26_tpu.sim.init import init_cluster
+    from al26_tpu.sim.step import run_steps
+
+    cfg_t = SimConfig(**_BASE, force_impl="tree",
+                      integrator="hermite4_block")
+    state_t, aux_t, rcfg_t = init_cluster(cfg_t)
+    assert rcfg_t.tree_kavg > 0
+    cfg_d = SimConfig(**_BASE, force_impl="default",
+                      integrator="hermite4_block", k_fast=rcfg_t.k_fast)
+    state_d, aux_d, rcfg_d = init_cluster(cfg_d)
+
+    s_t = run_steps(state_t, aux_t, rcfg_t, 3, force_impl="tree")
+    s_d = run_steps(state_d, aux_d, rcfg_d, 3, force_impl="default")
+    np.testing.assert_allclose(np.asarray(s_t.cluster.pos),
+                               np.asarray(s_d.cluster.pos), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(s_t.cluster.slr),
+                               np.asarray(s_d.cluster.slr), atol=1e-25)
+
+
+def test_tree_auto_resolves_hermite4_block_large_n():
+    # auto + tree resolves to the block-Hermite above the hermite4
+    # cutover (the large-N regime the tier exists for); pure config-level
+    # check via resolve_integrator (no init at 10k stars needed)
+    from al26_tpu.sim.init import resolve_integrator
+
+    cfg = resolve_integrator(
+        SimConfig(n=10000, force_impl="tree"), m_total=6000.0)
+    assert cfg.integrator == "hermite4_block"
+    assert cfg.k_fast and cfg.k_fast > 0
+    cfg_small = resolve_integrator(
+        SimConfig(n=512, force_impl="tree"), m_total=300.0)
+    assert cfg_small.integrator == "leapfrog"
+
+
+def test_tree_jerk_matches_exact_small_n():
+    # all-P2P scale: tree jerk == exact pairwise jerk to fp roundoff
+    from al26_tpu.ops.tree import tree_acc_jerk_pot
+
+    rng = np.random.default_rng(37)
+    n = 1500
+    pos = jnp.asarray(rng.normal(size=(n, 3)))
+    vel = jnp.asarray(rng.normal(size=(n, 3)))
+    mass = jnp.asarray(rng.uniform(0.1, 5.0, n))
+    eps2 = 1e-4
+    acc_ex, jerk_ex, _ = acc_jerk_pot_chunked(pos, vel, mass, eps2,
+                                              block=512)
+    acc_t, jerk_t, _, ovf = tree_acc_jerk_pot(
+        pos, vel, mass, eps2, leaf=128, theta=0.75, kavg=16, with_jerk=True)
+    assert not bool(ovf)
+    np.testing.assert_allclose(np.asarray(jerk_t), np.asarray(jerk_ex),
+                               rtol=0, atol=1e-11)
+    np.testing.assert_allclose(np.asarray(acc_t), np.asarray(acc_ex),
+                               rtol=0, atol=1e-12)
+
+
+def test_tree_jerk_monopole_accuracy_bounded():
+    # MAC engaged: the monopole jerk (nodes moving at their mass-weighted
+    # mean velocity) stays in the same accuracy class as the monopole
+    # acceleration — jerk only steers the Hermite timestep/corrector
+    from al26_tpu.ops.tree import tree_acc_jerk_pot
+
+    rng = np.random.default_rng(41)
+    pos, mass = _clumpy(rng, 4096)
+    vel = jnp.asarray(rng.normal(size=(4096, 3)))
+    eps2 = 1e-4
+    _, jerk_ex, _ = acc_jerk_pot_chunked(pos, vel, mass, eps2, block=512)
+    cnt = np.asarray(p2p_partner_counts(pos, mass, leaf=64, theta=0.75))
+    _, jerk_t, _, ovf = tree_acc_jerk_pot(
+        pos, vel, mass, eps2, leaf=64, theta=0.75,
+        kavg=int(cnt.mean()) + 4, with_jerk=True)
+    assert not bool(ovf)
+    rel = np.linalg.norm(np.asarray(jerk_t - jerk_ex), axis=1) \
+        / np.maximum(np.linalg.norm(np.asarray(jerk_ex), axis=1), 1e-30)
+    assert np.median(rel) < 3e-3
+    assert np.percentile(rel, 99) < 1e-1
+
+
+def test_tree_theta_validated():
+    rng = np.random.default_rng(43)
+    pos = jnp.asarray(rng.normal(size=(256, 3)))
+    mass = jnp.ones(256)
+    with pytest.raises(ValueError, match="theta <= 1"):
+        tree_acc_pot(pos, mass, 1e-4, leaf=128, theta=1.5, kavg=8)
+    with pytest.raises(ValueError, match="must be > 0"):
+        tree_acc_pot(pos, mass, 1e-4, leaf=128, theta=0.0, kavg=8)
+    from al26_tpu.sim.init import init_cluster
+    with pytest.raises(ValueError, match="tree_theta"):
+        init_cluster(SimConfig(**_BASE, force_impl="tree", tree_theta=1.5))
+
+
 def test_tree_rejects_hermite_and_mesh_and_ensemble():
     from al26_tpu.sim.init import init_cluster
 
-    with pytest.raises(ValueError, match="leapfrog-only"):
+    with pytest.raises(ValueError, match="supports integrator"):
         init_cluster(SimConfig(**_BASE, force_impl="tree",
                                integrator="hermite4"))
 
@@ -283,9 +378,9 @@ def test_pallas_near_field_matches_xla():
     kavg = int(cnt.mean()) + 4
 
     for pot_eps2 in (None, 1e-30):
-        a_x, p_x, o_x = _p2p_near_field(
+        a_x, _, p_x, o_x = _p2p_near_field(
             tree, p2p, eps2, G_INTERNAL, pot_eps2, kavg)
-        a_p, p_p, o_p = pallas_p2p_near_field(
+        a_p, _, p_p, o_p = pallas_p2p_near_field(
             tree.pos_s, tree.mass_s, p2p, n, eps2, leaf=leaf, kavg=kavg,
             pot_eps2=pot_eps2, interpret=True)
         assert not bool(o_x) and not bool(o_p)
@@ -295,6 +390,20 @@ def test_pallas_near_field_matches_xla():
                                    rtol=0, atol=1e-5 * sa)
         np.testing.assert_allclose(np.asarray(p_p), np.asarray(p_x),
                                    rtol=0, atol=1e-5 * sp)
+
+    # jerk variant: exact pairwise jerk agrees across backends too
+    vel32 = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    tree_v = build_block_tree(pos32, mass32, leaf, vel32)
+    a_x, j_x, p_x, _ = _p2p_near_field(
+        tree_v, p2p, eps2, G_INTERNAL, 1e-30, kavg, with_jerk=True)
+    a_p, j_p, p_p, _ = pallas_p2p_near_field(
+        tree_v.pos_s, tree_v.mass_s, p2p, n, eps2, leaf=leaf, kavg=kavg,
+        pot_eps2=1e-30, vel_s=tree_v.vel_s, with_jerk=True, interpret=True)
+    sj = float(jnp.max(jnp.abs(j_x)))
+    np.testing.assert_allclose(np.asarray(j_p), np.asarray(j_x),
+                               rtol=0, atol=1e-5 * sj)
+    np.testing.assert_allclose(np.asarray(a_p), np.asarray(a_x),
+                               rtol=0, atol=1e-5 * float(jnp.max(jnp.abs(a_x))))
 
 
 def test_pallas_near_field_overflow_flag():
@@ -306,7 +415,7 @@ def test_pallas_near_field_overflow_flag():
     tree = build_block_tree(pos.astype(jnp.float32),
                             mass.astype(jnp.float32), 128)
     _, p2p = mac_masks(tree, 0.75)
-    _, _, ovf = pallas_p2p_near_field(
+    _, _, _, ovf = pallas_p2p_near_field(
         tree.pos_s, tree.mass_s, p2p, 1024, 1e-4, leaf=128, kavg=1,
         interpret=True)
     assert bool(ovf)
@@ -331,3 +440,53 @@ def test_tree_acc_pot_near_impl_pallas_full_path():
                                rtol=0, atol=1e-5 * sa)
     np.testing.assert_allclose(np.asarray(p_p), np.asarray(p_x),
                                rtol=0, atol=1e-5 * sp)
+
+
+def test_step_tree_relative_mac_tracks_exact():
+    # relative MAC through the production cached path: tight alpha on an
+    # all-P2P-scale cluster stays within fp distance of the exact
+    # block-Hermite (the seeding sweep is EXACT by design; subsequent
+    # steps open against the cached acceleration)
+    from al26_tpu.sim.init import init_cluster
+    from al26_tpu.sim.step import run_steps
+
+    cfg_t = SimConfig(**_BASE, force_impl="tree", tree_mac="relative",
+                      tree_alpha=1e-5)
+    state_t, aux_t, rcfg_t = init_cluster(cfg_t)
+    assert rcfg_t.integrator == "hermite4_block"  # forced by relative
+    assert rcfg_t.tree_kavg > 0
+    cfg_d = SimConfig(**_BASE, force_impl="default",
+                      integrator="hermite4_block", k_fast=rcfg_t.k_fast)
+    state_d, aux_d, rcfg_d = init_cluster(cfg_d)
+
+    s_t = run_steps(state_t, aux_t, rcfg_t, 3, force_impl="tree")
+    s_d = run_steps(state_d, aux_d, rcfg_d, 3, force_impl="default")
+    assert bool(jnp.all(jnp.isfinite(s_t.cluster.pos)))
+    np.testing.assert_allclose(np.asarray(s_t.cluster.pos),
+                               np.asarray(s_d.cluster.pos), atol=1e-7)
+
+
+def test_tree_relative_mac_config_guards():
+    from al26_tpu.sim.init import init_cluster
+
+    with pytest.raises(ValueError, match="relative"):
+        init_cluster(SimConfig(**_BASE, force_impl="tree",
+                               tree_mac="relative", integrator="leapfrog"))
+    with pytest.raises(ValueError, match="tree_alpha"):
+        init_cluster(SimConfig(**_BASE, force_impl="tree",
+                               tree_mac="relative", tree_alpha=0.0))
+    with pytest.raises(ValueError, match="tree_mac"):
+        init_cluster(SimConfig(**_BASE, force_impl="tree",
+                               tree_mac="nope"))
+
+
+def test_cli_tree_mac_flags():
+    from al26_tpu.cli import build_parser, config_from_args
+
+    args = build_parser().parse_args(
+        ["-n", "512", "-rc", "1.0", "--force_impl", "tree",
+         "--tree_mac", "relative", "--tree_alpha", "1e-3"]
+    )
+    cfg = config_from_args(args)
+    assert cfg.tree_mac == "relative"
+    assert cfg.tree_alpha == 1e-3
