@@ -224,9 +224,12 @@ class SimConfig:
     #   "pallas" | "sharded" | "ring" | "default" | "tree" —
     #   see sim.step._build_force_fn. "tree" is the opt-in Barnes-Hut
     #   tier (ops/tree.py): the same algorithmic class as the reference's
-    #   default BHTree solver, leapfrog-only, single-chip, approximate
-    #   (monopole MAC at tree_theta) — for N >~ 2e5 where the exact
-    #   O(N^2) roof dominates. Knobs below.
+    #   default BHTree solver, single-chip, approximate (monopole MAC) —
+    #   for N >~ 2e5 where the exact O(N^2) roof dominates. Round 5: the
+    #   tier carries jerk, so it runs leapfrog (BHTree parity, auto at
+    #   n <= 8192) OR hermite4_block (auto above: ONE tree sweep per
+    #   step through the force cache, composing with gravity_stride).
+    #   Knobs below.
     tree_theta: float = 0.75           # Barnes-Hut opening angle (the
     #   reference BHTree default, al26_nbody.py:59,1712-1714) for the
     #   conservative geometric block-level MAC. Measured on fractal ICs
