@@ -124,14 +124,22 @@ def fractal_positions_velocities(
 
 
 def _potential_energy(pos: np.ndarray, mass: np.ndarray) -> float:
-    """Host-side O(N^2) potential energy in chunks (init-time only)."""
-    n = len(pos)
-    u = 0.0
-    block = 2048
-    for s in range(0, n, block):
-        p = pos[s : s + block]
-        d = np.linalg.norm(p[:, None, :] - pos[None, :, :], axis=-1)
-        rows = np.arange(s, min(s + block, n))
-        d[np.arange(len(rows)), rows] = np.inf
-        u += -0.5 * G_INTERNAL * np.sum(mass[rows][:, None] * mass[None, :] / d)
-    return u
+    """O(N^2) potential energy for the virial-radius scaling, evaluated
+    through the chunked jax sweep on the default device (init-time
+    only). Round 5: the previous pure-numpy broadcast loop took >8 min
+    of host CPU at N = 4e5 — it silently dominated every fractal
+    init_cluster at production N (the reference outsources this to its
+    Fortran worker). Precision follows the ambient jax x64 flag (f64 on
+    the CPU test/golden path, f32 on the chip), same as the rest of
+    init."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.nbody import acc_jerk_pot_chunked
+
+    posj = jnp.asarray(pos)
+    massj = jnp.asarray(mass, posj.dtype)
+    _, _, pot = jax.jit(acc_jerk_pot_chunked)(
+        posj, jnp.zeros_like(posj), massj, jnp.asarray(1e-30, posj.dtype)
+    )
+    return float(0.5 * jnp.sum(massj * pot))

@@ -313,17 +313,31 @@ def _monopole_far_field(tree, accepts, eps2, g, pot_eps2, chunk=128,
     truncation the MAC already admits). Jerk only steers the Hermite
     timestep criterion and corrector, so this accuracy class is ample.
     """
-    b, leaf, _ = tree.pos_s.shape
     m_all = jnp.concatenate(tree.masses)                      # [C]
     com_all = jnp.concatenate(tree.coms, axis=0)              # [C,3]
     mask_all = jnp.concatenate(accepts, axis=1)               # [B,C]
     w_all = jnp.where(mask_all, m_all[None, :], 0.0)          # [B,C]
+    vcom_all = (jnp.concatenate(tree.vcoms, axis=0)
+                if with_jerk else None)
+    return _far_field_rows(tree.pos_s, tree.vel_s, w_all, com_all,
+                           vcom_all, eps2, g, pot_eps2, chunk, with_jerk)
+
+
+def _far_field_rows(pos_s, vel_s, w_all, com_all, vcom_all, eps2, g,
+                    pot_eps2, chunk=128, with_jerk=False):
+    """Array-explicit far field over a (slice of the) target-block axis:
+    pos_s/vel_s [B_loc, L, 3], w_all [B_loc, C] against the REPLICATED
+    node axis com_all/vcom_all [C, 3]. Split out of _monopole_far_field
+    so the mesh path can shard the target axis (shard_map over row
+    blocks; nodes replicated — no collective needed, the node sum is
+    local per target)."""
+    b, leaf, _ = pos_s.shape
     com_sq = jnp.sum(com_all * com_all, axis=-1)              # [C]
     # cap the [chunk, L, C] temporaries at ~128 MiB f32 each: at
     # N = 4e5+ (C = 2B-1 ~ 4k) a chunk of 128 blocks makes them ~540 MiB
     # and the several live at once (r2/inv_r/s, + rv/q with jerk) OOM the
     # chip. chunk is a power of two so it divides b exactly.
-    c_tot = int(m_all.shape[0])
+    c_tot = int(com_all.shape[0])
     cap = max(1, (32 * 1024 * 1024) // max(leaf * c_tot, 1))
     cap = 1 << (cap.bit_length() - 1)
     chunk = min(chunk, b, cap)
@@ -337,7 +351,6 @@ def _monopole_far_field(tree, accepts, eps2, g, pot_eps2, chunk=128,
     hi = jax.lax.Precision.HIGHEST
     einsum = partial(jnp.einsum, precision=hi)
     if with_jerk:
-        vcom_all = jnp.concatenate(tree.vcoms, axis=0)        # [C,3]
         cvdot = jnp.sum(com_all * vcom_all, axis=-1)          # [C]
 
     def one_chunk(args):
@@ -378,10 +391,10 @@ def _monopole_far_field(tree, accepts, eps2, g, pot_eps2, chunk=128,
             return acc, jerk, pot
         return acc, pot
 
-    pos_ch = tree.pos_s.reshape(b // chunk, chunk, leaf, 3)
+    pos_ch = pos_s.reshape(b // chunk, chunk, leaf, 3)
     w_ch = w_all.reshape(b // chunk, chunk, -1)
     if with_jerk:
-        vel_ch = tree.vel_s.reshape(b // chunk, chunk, leaf, 3)
+        vel_ch = vel_s.reshape(b // chunk, chunk, leaf, 3)
         acc, jerk, pot = jax.lax.map(one_chunk, (pos_ch, vel_ch, w_ch))
         return (acc.reshape(b, leaf, 3), jerk.reshape(b, leaf, 3),
                 pot.reshape(b, leaf))
@@ -402,8 +415,7 @@ def _p2p_near_field(tree, p2p, eps2, g, pot_eps2, kavg, chunk=8,
     never the per-block max. `with_jerk` adds the exact pairwise jerk
     (velocity-built tree required).
     """
-    b, leaf, _ = tree.pos_s.shape
-    dtype = tree.pos_s.dtype
+    b = tree.pos_s.shape[0]
     chunk = min(chunk, b * b)               # b, chunk: powers of two
     budget = near_budget(kavg, b, chunk)
     flat = p2p.reshape(-1)
@@ -412,15 +424,29 @@ def _p2p_near_field(tree, p2p, eps2, g, pot_eps2, kavg, chunk=8,
     ti = (idx // b).reshape(-1, chunk)                        # target block
     sj = (idx % b).reshape(-1, chunk)                         # source block
     ok = flat[idx].reshape(-1, chunk)
+    acc, jerk, pot = _p2p_scan(tree.pos_s, tree.vel_s, tree.mass_s,
+                               tree.gidx_s, ti, sj, ok, eps2, g,
+                               pot_eps2, with_jerk)
+    return acc, jerk, pot, overflow
+
+
+def _p2p_scan(pos_s, vel_s, mass_s, gidx_s, ti, sj, ok, eps2, g,
+              pot_eps2, with_jerk=False):
+    """Scatter-add scan over a ([n_chunks, chunk]) pair-list slice into
+    FULL-size [B, L] accumulators. Split from _p2p_near_field so the
+    mesh path can shard the pair axis (each device scans its slice; the
+    full-size accumulators psum across the mesh)."""
+    b, leaf, _ = pos_s.shape
+    dtype = pos_s.dtype
 
     def one_chunk(carry, slot):
         acc, jerk, pot = carry
         i_c, j_c, ok_c = slot                                 # [C] each
-        pos_t = tree.pos_s[i_c]                               # [C,L,3]
-        gidx_t = tree.gidx_s[i_c]                             # [C,L]
-        pos_j = tree.pos_s[j_c]
-        mass_j = jnp.where(ok_c[:, None], tree.mass_s[j_c], 0.0)
-        gidx_j = tree.gidx_s[j_c]
+        pos_t = pos_s[i_c]                                    # [C,L,3]
+        gidx_t = gidx_s[i_c]                                  # [C,L]
+        pos_j = pos_s[j_c]
+        mass_j = jnp.where(ok_c[:, None], mass_s[j_c], 0.0)
+        gidx_j = gidx_s[j_c]
         dx = pos_j[:, None, :, :] - pos_t[:, :, None, :]      # [C,Lt,Ls,3]
         r2 = jnp.sum(dx * dx, axis=-1) + eps2
         self_pair = gidx_j[:, None, :] == gidx_t[:, :, None]
@@ -434,8 +460,8 @@ def _p2p_near_field(tree, p2p, eps2, g, pot_eps2, kavg, chunk=8,
         d_acc = g * jnp.einsum("cij,cijk->cik", mj3, dx,
                                precision=hi)                  # [C,L,3]
         if with_jerk:
-            dv = (tree.vel_s[j_c][:, None, :, :]
-                  - tree.vel_s[i_c][:, :, None, :])
+            dv = (vel_s[j_c][:, None, :, :]
+                  - vel_s[i_c][:, :, None, :])
             rv = jnp.sum(dx * dv, axis=-1)
             q = 3.0 * mj3 * rv / r2_safe
             d_jerk = g * (jnp.einsum("cij,cijk->cik", mj3, dv,
@@ -450,10 +476,11 @@ def _p2p_near_field(tree, p2p, eps2, g, pot_eps2, kavg, chunk=8,
         return (acc.at[i_c].add(d_acc), jerk, pot.at[i_c].add(d_pot)), None
 
     init = (jnp.zeros((b, leaf, 3), dtype),
-            jnp.zeros((b, leaf, 3), dtype) if with_jerk else jnp.zeros((), dtype),
+            jnp.zeros((b, leaf, 3), dtype) if with_jerk
+            else jnp.zeros((), dtype),
             jnp.zeros((b, leaf), dtype))
     (acc, jerk, pot), _ = jax.lax.scan(one_chunk, init, (ti, sj, ok))
-    return acc, (jerk if with_jerk else None), pot, overflow
+    return acc, (jerk if with_jerk else None), pot
 
 
 def _use_pallas_near(near_impl: str, dtype) -> bool:

@@ -245,12 +245,6 @@ def run(cfg: SimConfig, progress: bool = True,
             "extend_final_time is a resume directive: set reload too "
             "(a cold start takes its schedule from final_time/n_plot)"
         )
-    if cfg.mesh_shape and cfg.force_impl == "tree":
-        # before any filesystem side effects (trajectory reset, run dirs)
-        raise ValueError(
-            "force_impl='tree' is single-chip; with mesh_shape use "
-            "'auto', 'sharded' or 'ring'"
-        )
     if reload_base:
         state, aux, cfg, metadata, yields, converter = load_run(
             reload_base, cfg.n_checkpoint, data_dir=data_dir
@@ -337,11 +331,10 @@ def run(cfg: SimConfig, progress: bool = True,
     # optional multi-chip row sharding of a single large run
     mesh = None
     if cfg.mesh_shape:
-        if cfg.force_impl == "tree":
-            raise ValueError(
-                "force_impl='tree' is single-chip; with mesh_shape use "
-                "'auto', 'sharded' or 'ring'"
-            )
+        # round 5: force_impl='tree' runs under the mesh too
+        # (parallel.tree_mesh: replicated tree, sharded far-field
+        # targets + near-field pair list; hermite4_block-only,
+        # validated at init)
         from ..parallel.sharded import make_mesh, shard_state_rows
 
         n_dev = int(np.prod(cfg.mesh_shape))

@@ -184,6 +184,27 @@ def resolve_integrator(cfg: SimConfig, m_total: float) -> SimConfig:
             raise ValueError(
                 f"tree_mac={cfg.tree_mac!r}: 'geometric' or 'relative'"
             )
+        if cfg.mesh_shape is not None:
+            # mesh tree (parallel.tree_mesh): replicated tree build,
+            # sharded far-field targets + near-field pair list;
+            # hermite4_block-only (the leapfrog acc-only path is not
+            # wired through the mesh sweep)
+            if integ == "auto":
+                integ = "hermite4_block"
+            elif integ != "hermite4_block":
+                raise ValueError(
+                    "force_impl='tree' under a mesh requires "
+                    f"integrator='hermite4_block'; got {integ!r}"
+                )
+            n_dev = int(np.prod(cfg.mesh_shape))
+            nblocks = -(-cfg.n // cfg.tree_leaf)
+            b = 1 << max(1, (nblocks - 1).bit_length())
+            if b % n_dev:
+                raise ValueError(
+                    f"tree block count {b} (n={cfg.n}, tree_leaf="
+                    f"{cfg.tree_leaf}) must divide by the mesh size "
+                    f"{n_dev}; lower tree_leaf"
+                )
         if cfg.tree_mac == "relative":
             # the reference acceleration rides the force cache on the
             # hermite4_block path (sim.step); leapfrog's interior

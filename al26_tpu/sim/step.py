@@ -64,14 +64,31 @@ def _build_force_fn(mass, eps2, cfg: SimConfig, mesh, force_impl: str):
             f"force_impl={force_impl!r} requires a device mesh "
             "(cfg.mesh_shape)"
         )
-    if mesh is not None and force_impl not in ("auto", "sharded", "ring"):
+    if mesh is not None and force_impl not in ("auto", "sharded", "ring",
+                                               "tree"):
         # a mesh run's opening/closing sweeps are always the mesh
         # backends (fused_mesh in _step_impl): mixing in a single-chip
         # integrator force would reshard every substep or crash
         raise ValueError(
             f"force_impl={force_impl!r} is single-chip; with mesh_shape "
-            "use 'auto', 'sharded' or 'ring'"
+            "use 'auto', 'sharded', 'ring' or 'tree'"
         )
+    if mesh is not None and force_impl == "tree":
+        # hermite4_block-only under a mesh (sim.init enforces); the
+        # opening/closing sweeps come from the mesh tree sweep
+        from ..parallel.tree_mesh import make_tree_mesh_sweep
+
+        sweep = make_tree_mesh_sweep(
+            mass, mesh, cfg.eps2, leaf=cfg.tree_leaf,
+            theta=cfg.tree_theta, kavg=cfg.tree_kavg or 256,
+            pot_eps2=None, with_jerk=True,
+        )
+
+        def tree_force_fn(p, v):
+            a, j, _ = sweep(p, v)
+            return a, j
+
+        return tree_force_fn, None
     if force_impl == "auto":
         if mesh is not None:
             force_impl = "sharded"
@@ -151,6 +168,28 @@ def _sweep_eval_fn(cfg: SimConfig, mesh, force_impl: str, mass,
     opening-angle MAC (always the case for the cache-seeding first
     sweep of a run, where no previous acceleration exists)."""
     if mesh is not None:
+        if force_impl == "tree":
+            if cfg.tree_mac == "relative" and tree_aref is None:
+                # relative mode's exact cache-seeding sweep, through the
+                # all-gather mesh backend (same rationale as single-chip)
+                sweep = _mesh_sweep(mesh, "sharded")
+
+                def sweep_eval(p, v):
+                    return sweep(p, v, mass, eps2=cfg.eps2,
+                                 pot_eps2=_pot_eps2(cfg),
+                                 with_jerk=needs_jerk)
+
+                return sweep_eval
+            from ..parallel.tree_mesh import make_tree_mesh_sweep
+
+            theta = cfg.tree_theta
+            if tree_aref is not None:
+                theta = cfg.tree_alpha
+            return make_tree_mesh_sweep(
+                mass, mesh, cfg.eps2, leaf=cfg.tree_leaf, theta=theta,
+                kavg=cfg.tree_kavg or 256, pot_eps2=_pot_eps2(cfg),
+                with_jerk=needs_jerk, aref=tree_aref,
+            )
         sweep = _mesh_sweep(mesh, force_impl)
 
         def sweep_eval(p, v):
@@ -278,7 +317,7 @@ def _cacheable(cfg: SimConfig, n, dtype, mesh, force_impl) -> bool:
     if integ not in ("leapfrog", "hermite4", "hermite4_block"):
         return False
     if mesh is not None:
-        return force_impl in ("auto", "sharded", "ring")
+        return force_impl in ("auto", "sharded", "ring", "tree")
     if force_impl == "tree":
         # leapfrog: closing tree eval at the final positions exactly;
         # hermite4_block: P(EC) semantics like the Pallas path

@@ -89,6 +89,8 @@ def test_mass_delta_correction_chunked_bitwise():
                                    rtol=1e-14, atol=1e-16)
 
 
+# slow lane (round-5 re-tier): leapfrog cache equality (the hermite4/block cache equalities and the cross-chunk threading test stay default)
+@pytest.mark.slow
 def test_cached_leapfrog_equals_uncached():
     """Without mass evolution the cache is mathematically identical to a
     fresh opening sweep (same kernel call at the same operands): step-level

@@ -199,6 +199,8 @@ def test_resume_continues_identically(tmp_path):
         os.chdir(cwd)
 
 
+# slow lane (round-5 re-tier): run-extension end-to-end (5 driver runs; the extended_to schedule algebra stays default in test_extended_to_*, resume itself in test_resume_continues_identically)
+@pytest.mark.slow
 def test_resume_extends_final_time(tmp_path):
     """`-r X -t_f T` extends a finished run (the reference re-reads -t_f
     from the fresh invocation on reload, al26_nbody.py:1638,786). Ours
@@ -340,6 +342,8 @@ def test_cluster_particles_mapping_roundtrip():
         np.testing.assert_allclose(a, b, rtol=1e-12, err_msg=fld.name)
 
 
+# slow lane (round-5 re-tier): full interloper trajectory run (file plumbing stays default in test_trajectory_file_reset_on_rerun_and_resume)
+@pytest.mark.slow
 def test_interloper_trajectory_file(tmp_path):
     """--interloper_trajectory writes per-step rows once the AGB clock is
     positive (al26_nbody.py:1030-1037 format: 6 CSV floats)."""
@@ -954,6 +958,8 @@ def test_ubjson_unsigned_bool_bytes():
                                                    np.uint64))) == [big64]
 
 
+# slow lane (round-5 re-tier): rerun edge-case of the frames store (framed-store round-trip tests stay default)
+@pytest.mark.slow
 def test_rewrite_rerun_clears_stale_frames_file(tmp_path):
     """A cold rewrite-mode run under a base previously used by a
     frames-mode run must delete the stale .ubjf (load_checkpoint used to

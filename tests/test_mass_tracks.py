@@ -117,6 +117,8 @@ def test_lc18_vel0_firing_band_is_narrow():
 # ---------------------------------------------------------------------------
 # evolution threading
 # ---------------------------------------------------------------------------
+# slow lane (round-5 re-tier): full-run bit-identity of default vs explicit lc18 (anchor-value and resolution tests stay default; golden slow suite pins full runs)
+@pytest.mark.slow
 def test_default_tracks_bit_identical_to_lc18():
     """The round-3 public surface (no `tracks` keyword) is the lc18
     family, bit-for-bit."""
@@ -275,6 +277,8 @@ def _small_parity_state(tracks: str):
     return state, aux, cfg
 
 
+# slow lane (round-5 re-tier): two full 10 Myr outcome runs (resolution + rule-parity stay default; the slow golden suite pins the seba SN outcome bit-exactly)
+@pytest.mark.slow
 def test_parity_sn_fires_with_seba_and_not_with_lc18():
     from al26_tpu.sim.step import run_steps
     from al26_tpu.state import CH_SNE

@@ -93,6 +93,8 @@ def test_force_fn_hook_in_integrator():
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-10)
 
 
+# slow lane (round-5 re-tier): mesh-driver equality variant (test_sharded_force_matches_dense and the rows equality stay default; dryrun axis 1 executes the driver path)
+@pytest.mark.slow
 def test_driver_with_mesh_matches_unsharded(tmp_path):
     """run(cfg) with mesh_shape=(8,) row-shards the whole checkpointed run
     and matches the single-device trajectory."""
@@ -168,6 +170,8 @@ def test_ring_force_matches_allgather():
     np.testing.assert_allclose(np.asarray(p_b), np.asarray(p_a), rtol=1e-9)
 
 
+# slow lane (round-5 re-tier): ring variant of a default-tested path (the sharded step equality stays default; dryrun covers ring)
+@pytest.mark.slow
 def test_step_with_ring_force_matches():
     # cache off for like-for-like (the CPU single-device side cannot
     # cache; the ring cache is pinned separately below)
@@ -650,6 +654,8 @@ def test_ensemble_2d_rejects_non_leapfrog():
         ensemble_step_2d(bs, ba, cfgs[0], mesh)
 
 
+# slow lane (round-5 re-tier): 2-D-ensemble driver equality (dryrun axis 1x2 compiles+executes it; 1-D ensemble equalities stay default)
+@pytest.mark.slow
 def test_driver_ensemble_2d_matches_1d(tmp_path):
     """run_ensemble with mesh_shape=(2, 4) (ens x rows) writes the same
     grid-folder checkpoints and reaches the same final state as the
@@ -757,6 +763,8 @@ def test_driver_ensemble_2d_resume(tmp_path):
                                rtol=1e-10, atol=1e-30)
 
 
+# slow lane (round-5 re-tier): 2-D-mesh interloper variant (test_driver_ensemble_2d_matches_1d keeps the 2-D path default; 1-D interloper runs stay default)
+@pytest.mark.slow
 def test_driver_ensemble_2d_interloper_star_count(tmp_path):
     """With --interloper the per-realization star count is cfg.n + 1; the
     2-D rows axis must shard THAT (a cfg.n-based divisibility gate would

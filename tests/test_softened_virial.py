@@ -34,6 +34,8 @@ def test_softened_virial_shifts_only_global_channel():
         assert abs(g1 - g0) / g0 < 0.5  # bounded by the volume ratio
 
 
+# slow lane (round-5 re-tier): softened-virial x cache cross-variant (the softened-virial physics bounds and the cache equalities stay default separately)
+@pytest.mark.slow
 def test_softened_virial_cache_matches_uncached():
     """The force cache's mass-delta correction must mirror the softened
     pot convention (ops/nbody.py:mass_delta_correction pot_softened),

@@ -19,6 +19,8 @@ def _run(cfg, n_steps=40):
     return run_steps(state, aux, cfg, n_steps), cfg
 
 
+# slow lane (round-5 re-tier): k_ultra tier equality run (the stride/tier composition equalities keep a faster default sibling in test_stride)
+@pytest.mark.slow
 def test_tiered_tracks_two_level():
     base = dict(n=384, rc=0.5, final_time=10.0, seed=21, dtype="f32",
                 integrator="hermite4_block", k_fast=96)
@@ -57,6 +59,8 @@ def test_tiered_with_gravity_stride():
                                rtol=1e-4, atol=1e-5)
 
 
+# slow lane (round-5 re-tier): k_ultra edge-bounds sweep (the stride/tier default coverage remains in test_stride)
+@pytest.mark.slow
 def test_tiered_degenerate_bounds():
     """k_ultra >= k_fast or 0 falls back to the two-level loop (exact)."""
     base = dict(n=192, rc=1.0, final_time=10.0, seed=9, dtype="f32",

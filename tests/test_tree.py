@@ -99,6 +99,8 @@ def test_mac_engaged_accuracy_bounded():
     assert np.median(prel) < 1e-3
 
 
+# slow lane (round-5 re-tier): op-level relative-MAC accuracy sweep (the production relative path keeps test_step_tree_relative_mac_tracks_exact default)
+@pytest.mark.slow
 def test_relative_mac_tightens_error():
     # the Springel-style relative criterion with a reference acceleration
     # must produce a SMALLER worst-case error than geometric theta=0.75
@@ -191,6 +193,8 @@ _BASE = dict(n=512, rc=1.0, final_time=0.1, n_plot=10, steps_per_plot=1,
              seed=42, model="fractal")
 
 
+# slow lane (round-5 re-tier): leapfrog tree step equality (the hermite4_block step equality and the op-level small-N exactness stay default)
+@pytest.mark.slow
 def test_step_tree_matches_exact_leapfrog_small_n():
     from al26_tpu.sim.init import init_cluster
     from al26_tpu.sim.step import fresh_cache, run_steps_cached, step
@@ -318,7 +322,7 @@ def test_tree_theta_validated():
         init_cluster(SimConfig(**_BASE, force_impl="tree", tree_theta=1.5))
 
 
-def test_tree_rejects_hermite_and_mesh_and_ensemble():
+def test_tree_rejects_hermite_and_bad_mesh_and_ensemble():
     from al26_tpu.sim.init import init_cluster
 
     with pytest.raises(ValueError, match="supports integrator"):
@@ -327,11 +331,47 @@ def test_tree_rejects_hermite_and_mesh_and_ensemble():
 
     from al26_tpu.sim.driver import run, run_ensemble
 
-    with pytest.raises(ValueError, match="single-chip"):
+    # mesh + tree is supported (round 5) — but the block count must
+    # divide by the mesh (n=512 at leaf=256 -> 2 blocks vs 8 devices),
+    # and leapfrog cannot ride the mesh sweep
+    with pytest.raises(ValueError, match="divide by the mesh"):
         run(SimConfig(**_BASE, force_impl="tree", mesh_shape=(8,)))
+    with pytest.raises(ValueError, match="hermite4_block"):
+        init_cluster(SimConfig(**_BASE, force_impl="tree",
+                               mesh_shape=(8,), tree_leaf=16,
+                               integrator="leapfrog"))
     cfg_e = SimConfig(**_BASE, force_impl="tree", ensemble=2)
     with pytest.raises(ValueError, match="single-run"):
         run_ensemble(cfg_e)
+
+
+# slow lane (round-5 re-tier): mesh-tree equality (the dryrun tree axis compiles+executes the mesh path; rejection/validation tests stay default)
+@pytest.mark.slow
+def test_tree_mesh_matches_single_chip():
+    # the mesh tree sweep (replicated tree, sharded far-field targets +
+    # near-field pair list, psum) equals the single-chip tree step to fp
+    # tolerance, through the production cached run_steps path on the
+    # fake 8-device mesh
+    import jax
+
+    from al26_tpu.parallel.sharded import make_mesh, shard_state_rows
+    from al26_tpu.sim.init import init_cluster
+    from al26_tpu.sim.step import run_steps
+
+    assert len(jax.devices()) == 8
+    cfg = SimConfig(**_BASE, force_impl="tree", tree_leaf=16,
+                    integrator="hermite4_block", k_fast=32)
+    state, aux, rcfg = init_cluster(cfg)
+    s_one = run_steps(state, aux, rcfg, 3, force_impl="tree")
+
+    rcfg_m = rcfg.replace(mesh_shape=(8,))
+    mesh = make_mesh(8)
+    st_m = shard_state_rows(state, mesh)
+    s_mesh = run_steps(st_m, aux, rcfg_m, 3, mesh=mesh, force_impl="tree")
+    np.testing.assert_allclose(np.asarray(s_mesh.cluster.pos),
+                               np.asarray(s_one.cluster.pos), atol=1e-11)
+    np.testing.assert_allclose(np.asarray(s_mesh.cluster.slr),
+                               np.asarray(s_one.cluster.slr), atol=1e-26)
 
 
 def test_cli_tree_flags():
@@ -406,6 +446,8 @@ def test_pallas_near_field_matches_xla():
                                rtol=0, atol=1e-5 * float(jnp.max(jnp.abs(a_x))))
 
 
+# slow lane (round-5 re-tier): interpret-mode pallas overflow flag (the XLA overflow poison test stays default; pallas equality is in the slow lane)
+@pytest.mark.slow
 def test_pallas_near_field_overflow_flag():
     from al26_tpu.ops.pallas_tree import pallas_p2p_near_field
     from al26_tpu.ops.tree import build_block_tree, mac_masks
