@@ -380,17 +380,26 @@ def main() -> None:
         # ~0.1 N^2); on Plummer the conservative block MAC keeps
         # 20-40% of pairs near-field (docs/precision.md) — both are
         # measured, against the exact ladder on the SAME ICs.
-        ("tree_fractal_409600", ["wallclock", "n=409600", "steps=5",
-                                 "force_impl=tree", "model=fractal"],
-         900.0, "s_per_myr",
-         "N=409600 fractal, tree tier (hermite4_block over Barnes-Hut "
-         "forces)"),
+        ("tree_ladder_fractal_409600", ["wallclock", "n=409600",
+                                        "steps=8", "force_impl=tree",
+                                        "stride=4", "softened=1",
+                                        "model=fractal"], 900.0,
+         "s_per_myr",
+         "N=409600 fractal, tree tier + full opt-in ladder (stride 4, "
+         "softened virial) — the row that beats the exact ladder on the "
+         "same ICs"),
         ("exact_ladder_fractal_409600", ["wallclock", "n=409600",
                                          "steps=8", "stride=4",
                                          "softened=1", "model=fractal"],
          600.0, "s_per_myr",
          "N=409600 fractal, exact full opt-in ladder (stride 4, "
-         "softened virial) — same ICs as the tree row"),
+         "softened virial) — same ICs as the tree rows"),
+        ("tree_fractal_409600", ["wallclock", "n=409600", "steps=5",
+                                 "force_impl=tree", "model=fractal"],
+         900.0, "s_per_myr",
+         "N=409600 fractal, tree tier auto defaults (hermite4_block "
+         "over Barnes-Hut forces; exact-auto comparator: the "
+         "exact_409600 row)"),
         ("tree_409600", ["wallclock", "n=409600", "steps=5",
                          "force_impl=tree"], 900.0, "s_per_myr",
          "N=409600 Plummer, tree tier (the MAC-hostile IC, kept honest)"),
