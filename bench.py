@@ -426,6 +426,20 @@ def main() -> None:
          "16-realization ensemble (N=1024)"),
         ("ens_64", ["ensemble", "n_real=64"], 300.0, "s_per_myr",
          "64-realization ensemble (N=1024, the BASELINE.md campaign row)"),
+        # stretch rows: one MILLION stars on one chip (tree-tier
+        # exclusive regime — measured interactively: exact auto 1601.8,
+        # tree auto 235.3, tree+ladder 87.2 s/Myr)
+        ("tree_1m", ["wallclock", "n=1048576", "steps=3",
+                     "force_impl=tree", "model=fractal"], 900.0,
+         "s_per_myr", "N=1048576 fractal, tree tier auto (one chip)"),
+        ("tree_ladder_1m", ["wallclock", "n=1048576", "steps=4",
+                            "force_impl=tree", "stride=4", "softened=1",
+                            "model=fractal"], 900.0, "s_per_myr",
+         "N=1048576 fractal, tree tier + full opt-in ladder (one chip)"),
+        ("exact_1m", ["wallclock", "n=1048576", "steps=2",
+                      "model=fractal"], 900.0, "s_per_myr",
+         "N=1048576 fractal, exact auto (the comparator the tree beats "
+         "6.8x / 18.4x with the ladder)"),
     ]
     if n_dev > 1:
         rows.append(("ens2d", ["ensemble2d"], 420.0, "s_per_myr",
