@@ -188,7 +188,7 @@ def pallas_p2p_near_field(
     ``pallas_call`` each; every segment carries a masked diagonal pair
     per block so all output blocks are defined every call.
     """
-    from .tree import near_budget
+    from .tree import near_budget, pack_pair_list
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -212,15 +212,11 @@ def pallas_p2p_near_field(
         [eps2, jnp.asarray(0.0 if pot_eps2 is None else pot_eps2, f32)]
     ).reshape(1, 2)
 
-    flat = p2p.reshape(-1)
-    overflow = jnp.sum(flat) > budget
-    idx = jnp.argsort(~flat, stable=True)[:budget]
-    ok_g = flat[idx]
+    ti_g, sj_g, ok_g, overflow = pack_pair_list(p2p, kavg)
     # masked pairs (budget padding) go to the dummy target block b
     # (zeros, discarded) so they can never re-zero a real block's
     # finished accumulator; their source index is irrelevant
-    ti_g = jnp.where(ok_g, (idx // b), b).astype(jnp.int32)
-    sj_g = jnp.where(ok_g, (idx % b), 0).astype(jnp.int32)
+    ti_g = jnp.where(ok_g, ti_g, b).astype(jnp.int32)
     ok_g = ok_g.astype(jnp.int32)
     nn = jnp.asarray(n_true, jnp.int32).reshape(1)
 

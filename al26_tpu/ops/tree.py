@@ -141,6 +141,37 @@ def near_budget(kavg: int, b: int, chunk: int = 8) -> int:
     return min(-(-budget // chunk) * chunk, b * b)
 
 
+def pack_pair_list(p2p: jax.Array, kavg: int, chunk: int = 8):
+    """Flat target-major near-field pair list from the [B, B] mask,
+    padded to the static near_budget: (ti, sj, ok, overflow), all 1-D of
+    length near_budget(kavg, B, chunk). ONE implementation for all
+    three consumers (XLA scan, Pallas kernel, mesh path — review r5:
+    the packing was triplicated, the defect class near_budget exists to
+    prevent). Padding entries carry ok=False with ti/sj = 0; callers
+    that need a dummy-block routing re-map them."""
+    b = p2p.shape[0]
+    budget = near_budget(kavg, b, chunk)
+    flat = p2p.reshape(-1)
+    overflow = jnp.sum(flat) > budget
+    idx = jnp.argsort(~flat, stable=True)[:budget]
+    ok = flat[idx]
+    ti = jnp.where(ok, idx // b, 0).astype(jnp.int32)
+    sj = jnp.where(ok, idx % b, 0).astype(jnp.int32)
+    return ti, sj, ok, overflow
+
+
+def aref_block_min(tree: "BlockTree", aref: jax.Array, n: int) -> jax.Array:
+    """Per-block minimum reference-acceleration magnitudes [B] for the
+    relative MAC: the caller's per-star |a| [N] sorted into tree order,
+    padding slots at +inf so they never weaken a block's bound. Shared
+    by the single-chip and mesh entry points (review r5)."""
+    pad = tree.gidx_s.size - n
+    aref_s = jnp.concatenate(
+        [aref[tree.order], jnp.full(pad, jnp.inf, aref.dtype)]
+    ) if pad else aref[tree.order]
+    return jnp.min(aref_s.reshape(tree.pos_s.shape[0], -1), axis=1)
+
+
 def build_block_tree(pos: jax.Array, mass: jax.Array, leaf: int,
                      vel: jax.Array | None = None) -> BlockTree:
     """Sort by Morton key, pad to B = 2^D blocks of `leaf`, reduce the
@@ -417,15 +448,11 @@ def _p2p_near_field(tree, p2p, eps2, g, pot_eps2, kavg, chunk=8,
     """
     b = tree.pos_s.shape[0]
     chunk = min(chunk, b * b)               # b, chunk: powers of two
-    budget = near_budget(kavg, b, chunk)
-    flat = p2p.reshape(-1)
-    overflow = jnp.sum(flat) > budget
-    idx = jnp.argsort(~flat, stable=True)[:budget]
-    ti = (idx // b).reshape(-1, chunk)                        # target block
-    sj = (idx % b).reshape(-1, chunk)                         # source block
-    ok = flat[idx].reshape(-1, chunk)
+    ti, sj, ok, overflow = pack_pair_list(p2p, kavg, chunk)
     acc, jerk, pot = _p2p_scan(tree.pos_s, tree.vel_s, tree.mass_s,
-                               tree.gidx_s, ti, sj, ok, eps2, g,
+                               tree.gidx_s, ti.reshape(-1, chunk),
+                               sj.reshape(-1, chunk),
+                               ok.reshape(-1, chunk), eps2, g,
                                pot_eps2, with_jerk)
     return acc, jerk, pot, overflow
 
@@ -555,13 +582,7 @@ def tree_acc_jerk_pot(
     n = pos.shape[0]
     tree = build_block_tree(pos, mass, leaf,
                             vel if with_jerk else None)
-    aref_b = None
-    if aref is not None:
-        pad = tree.gidx_s.size - n
-        aref_s = jnp.concatenate(
-            [aref[tree.order], jnp.full(pad, jnp.inf, aref.dtype)]
-        ) if pad else aref[tree.order]
-        aref_b = jnp.min(aref_s.reshape(tree.pos_s.shape[0], -1), axis=1)
+    aref_b = aref_block_min(tree, aref, n) if aref is not None else None
     accepts, p2p = mac_masks(tree, theta, g, aref_b)
     far_acc, far_jerk, far_pot = _monopole_far_field(
         tree, accepts, eps2, g, pot_eps2, with_jerk=with_jerk
@@ -686,12 +707,6 @@ def p2p_partner_counts(pos: jax.Array, mass: jax.Array, leaf: int = 256,
     eagerly over the tunneled TPU take minutes (observed)."""
     n = pos.shape[0]
     tree = build_block_tree(pos, mass, leaf)
-    aref_b = None
-    if aref is not None:
-        pad = tree.gidx_s.size - n
-        aref_s = jnp.concatenate(
-            [aref[tree.order], jnp.full(pad, jnp.inf, aref.dtype)]
-        ) if pad else aref[tree.order]
-        aref_b = jnp.min(aref_s.reshape(tree.pos_s.shape[0], -1), axis=1)
+    aref_b = aref_block_min(tree, aref, n) if aref is not None else None
     _, p2p = mac_masks(tree, theta, g, aref_b)
     return jnp.sum(p2p, axis=1)

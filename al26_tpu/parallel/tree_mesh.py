@@ -59,6 +59,7 @@ def tree_acc_jerk_pot_mesh(
     B = 2^ceil(log2(N/leaf)) to be divisible by the mesh size (pick
     `leaf` accordingly; init-time configs at production N satisfy it
     automatically — B >= 256 vs meshes of 4-64 chips)."""
+    T._check_theta(theta, aref)   # same geometric-MAC guard as single-chip
     axis = mesh.axis_names[0]
     d = mesh.shape[axis]
     n = pos.shape[0]
@@ -71,13 +72,7 @@ def tree_acc_jerk_pot_mesh(
             f"tree mesh path needs the block count ({b}) divisible by "
             f"the mesh size ({d}); lower tree_leaf"
         )
-    aref_b = None
-    if aref is not None:
-        pad = tree.gidx_s.size - n
-        aref_s = jnp.concatenate(
-            [aref[tree.order], jnp.full(pad, jnp.inf, aref.dtype)]
-        ) if pad else aref[tree.order]
-        aref_b = jnp.min(aref_s.reshape(b, -1), axis=1)
+    aref_b = T.aref_block_min(tree, aref, n) if aref is not None else None
     accepts, p2p = T.mac_masks(tree, theta, g, aref_b)
 
     m_all = jnp.concatenate(tree.masses)
@@ -108,17 +103,11 @@ def tree_acc_jerk_pot_mesh(
 
     # ---- near field: pair list sharded, accumulators psum'd ----------
     chunk = min(8, b * b)
-    budget = T.near_budget(kavg, b, chunk)
-    flat = p2p.reshape(-1)
-    overflow = jnp.sum(flat) > budget
-    idx = jnp.argsort(~flat, stable=True)[:budget]
-    n_chunks = budget // chunk
+    ti, sj, ok, overflow = T.pack_pair_list(p2p, kavg, chunk)
+    n_chunks = ti.shape[0] // chunk
     # pad the chunk axis to a multiple of the mesh size with masked pairs
     n_pad = -(-n_chunks // d) * d
-    extra = n_pad * chunk - budget
-    ti = (idx // b).astype(jnp.int32)
-    sj = (idx % b).astype(jnp.int32)
-    ok = flat[idx]
+    extra = n_pad * chunk - ti.shape[0]
     if extra:
         ti = jnp.concatenate([ti, jnp.zeros(extra, jnp.int32)])
         sj = jnp.concatenate([sj, jnp.zeros(extra, jnp.int32)])

@@ -220,6 +220,15 @@ def resolve_integrator(cfg: SimConfig, m_total: float) -> SimConfig:
                 raise ValueError(
                     f"tree_alpha={cfg.tree_alpha}: must be > 0"
                 )
+            if not cfg.force_cache or cfg.natal_kicks:
+                # the reference acceleration rides the force cache;
+                # without it every step would silently run the exact
+                # O(N^2) seeding sweep (review r5) — refuse instead
+                raise ValueError(
+                    "tree_mac='relative' requires the force cache "
+                    "(force_cache=True and natal_kicks=False — kicks "
+                    "disable the Hermite cache, sim.step._cacheable)"
+                )
         elif integ == "auto":
             integ = "leapfrog" if cfg.n <= 8192 else "hermite4_block"
         elif integ not in ("leapfrog", "hermite4_block"):

@@ -283,7 +283,11 @@ def _resolve_integ(cfg: SimConfig, n: int) -> str:
             # small N: BHTree-parity leapfrog; large N (the regime the
             # tier exists for): block-timestep Hermite over tree
             # acc+jerk — ONE tree sweep per step via the force cache,
-            # vs n_sub leapfrog evaluations (round 5)
+            # vs n_sub leapfrog evaluations (round 5). relative MAC is
+            # hermite4_block-only at ANY n (mirrors resolve_integrator;
+            # leapfrog cannot thread the reference acceleration)
+            if cfg.tree_mac == "relative":
+                return "hermite4_block"
             return "leapfrog" if n <= 8192 else "hermite4_block"
         return "hermite4" if n <= 8192 else "hermite4_block"
     return cfg.integrator
@@ -682,8 +686,16 @@ def _stride_impl(state: SimState, aux: SimAux, cfg: SimConfig, cache,
         from ..parallel.sharded import make_sharded_force_rows
         force_rows_fn = make_sharded_force_rows(mesh, c.mass, cfg.eps2)
     else:
-        force_rows_fn = _build_force_rows_fn(c.mass, cfg.eps2, "pallas")
-        rows_at_factory = _build_rows_at_factory(c.mass, cfg.eps2, True)
+        # same row-backend gate as _step_impl: the tree tier reaches the
+        # stride on platforms where the Pallas rows cannot run (CPU
+        # tests, x64) — hardcoding "pallas" there either fails Mosaic
+        # i64 legalization or crawls through interpret mode
+        from ..ops.pallas_nbody import use_pallas
+        rows_pallas = use_pallas(c.n, c.pos.dtype)
+        force_rows_fn = _build_force_rows_fn(
+            c.mass, cfg.eps2, "pallas" if rows_pallas else "default")
+        rows_at_factory = _build_rows_at_factory(c.mass, cfg.eps2,
+                                                 rows_pallas)
     pos_c, vel_c, (a1, j1, pot1), (pos_s, vel_s) = advance(
         c.pos, c.vel, c.mass, dt_total,
         integrator="hermite4_block", eta=cfg.eta_hermite,

@@ -358,6 +358,12 @@ def main() -> None:
                       "Pallas execution wedged this window — last healthy "
                       "driver-captured kernel number: 124.84 Gpairs/s, "
                       "BENCH_r03)")
+            # the device count normally rides the headline result; in a
+            # fallback window fetch it separately so multi-chip-only
+            # secondary rows (ens2d) are not silently skipped
+            nd = run_phase(["ndev"], min(120.0, _remaining() - 20.0))
+            if nd:
+                summary["ndev"] = nd["ndev"]
         else:
             metric = ("pairwise force throughput — device unusable this "
                       "window (tunneled TPU outage: Pallas AND XLA phases "

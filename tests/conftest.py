@@ -43,10 +43,18 @@ def _ensure_native_codec() -> None:
         return
     if shutil.which("c++") is None and shutil.which("g++") is None:
         return
-    r = subprocess.run(
-        [sys.executable, os.path.join(repo, "scripts", "build_native.py")],
-        capture_output=True, text=True, timeout=300,
-    )
+    try:
+        r = subprocess.run(
+            [sys.executable,
+             os.path.join(repo, "scripts", "build_native.py")],
+            capture_output=True, text=True, timeout=300,
+        )
+    except subprocess.TimeoutExpired:
+        # genuinely best-effort: a hung/slow compiler must not abort the
+        # whole pytest session at conftest import (review r5)
+        warnings.warn("native codec build timed out (300 s); tests will "
+                      "skip the native lane")
+        return
     if r.returncode != 0:
         warnings.warn(
             "native codec build FAILED (tests will skip the native lane):\n"

@@ -514,6 +514,22 @@ def test_tree_relative_mac_config_guards():
     with pytest.raises(ValueError, match="relative"):
         init_cluster(SimConfig(**_BASE, force_impl="tree",
                                tree_mac="relative", integrator="leapfrog"))
+    # the reference acceleration rides the force cache: configs that
+    # disable it would silently run the exact seeding sweep every step
+    # (review r5) — refused at init instead
+    with pytest.raises(ValueError, match="force cache"):
+        init_cluster(SimConfig(**_BASE, force_impl="tree",
+                               tree_mac="relative", force_cache=False))
+    with pytest.raises(ValueError, match="force cache"):
+        init_cluster(SimConfig(**_BASE, force_impl="tree",
+                               tree_mac="relative", natal_kicks=True))
+    # defensive _resolve_integ mirrors the relative -> hermite4_block
+    # rule for dict-recreated configs that bypass init
+    from al26_tpu.sim.step import _resolve_integ
+
+    assert _resolve_integ(
+        SimConfig(**_BASE, force_impl="tree", tree_mac="relative"), 512
+    ) == "hermite4_block"
     with pytest.raises(ValueError, match="tree_alpha"):
         init_cluster(SimConfig(**_BASE, force_impl="tree",
                                tree_mac="relative", tree_alpha=0.0))
