@@ -430,11 +430,22 @@ def init_cluster(cfg: SimConfig, data_dir: str | None = None,
             ))
             kavg = int(2.0 * max(cnt_rel.mean(), cnt_geo.mean())) + 8
         else:
-            with jax.default_device(cpu):
+            # small n: CPU (a tunneled-TPU dispatch costs more than the
+            # count); production n: the default device — the dense
+            # [B, 2B] mask sweep is minutes of host CPU at N >= 4e5
+            # (measured: ~2-4 min of every large tree init) and
+            # milliseconds on the chip
+            if resolved.n >= 65536:
                 cnt = np.asarray(p2p_partner_counts(
-                    jnp.asarray(pos), jnp.asarray(masses),
+                    jnp.asarray(pos, dtype), jnp.asarray(masses, dtype),
                     leaf=resolved.tree_leaf, theta=resolved.tree_theta,
                 ))
+            else:
+                with jax.default_device(cpu):
+                    cnt = np.asarray(p2p_partner_counts(
+                        jnp.asarray(pos), jnp.asarray(masses),
+                        leaf=resolved.tree_leaf, theta=resolved.tree_theta,
+                    ))
             kavg = int(2.0 * cnt.mean()) + 8
         resolved = resolved.replace(tree_kavg=kavg)
 
